@@ -1,0 +1,301 @@
+"""Read-side navigation API + golden-output serializer.
+
+Mirrors the reference's Document/Node/Attribute query surface
+(reference: src/document.rs, src/node.rs, src/attribute.rs) over the
+packed arrays produced by :mod:`.parser`. Used by the parity test
+suite and the extraction kernels; the Spark pipeline itself works on
+the flat arrays directly.
+
+``debug_format`` reimplements the reference's ``Debug`` formatter
+(src/document.rs:610-703) verbatim -- it is the format of every golden
+``.result`` file under the reference's tests/test_data/.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from .parser import ELEMENT, HEAD, TEXT, ParsedDoc, _str_or_fallback
+
+
+class Attribute:
+    """Reference: src/attribute.rs:49-181."""
+
+    __slots__ = ("doc", "idx")
+
+    def __init__(self, doc: ParsedDoc, idx: int):
+        self.doc = doc
+        self.idx = idx
+
+    def name_bytes(self) -> bytes:
+        d = self.doc
+        return bytes(d.buf[d.a_name_start[self.idx] : d.a_name_end[self.idx]])
+
+    def value_bytes(self) -> bytes:
+        d = self.doc
+        return bytes(d.buf[d.a_val_start[self.idx] : d.a_val_end[self.idx]])
+
+    def name(self) -> str:
+        d = self.doc
+        return _str_or_fallback(d.buf, d.a_name_start[self.idx], d.a_name_end[self.idx])
+
+    def value(self) -> str:
+        d = self.doc
+        return _str_or_fallback(d.buf, d.a_val_start[self.idx], d.a_val_end[self.idx])
+
+    def is_named(self, name: str) -> bool:
+        return self.name_bytes() == name.encode()
+
+    def __repr__(self) -> str:
+        # Display (raw, unescaped) interpolation -- reference
+        # src/attribute.rs:184-194 uses "{}" not "{:?}".
+        return f'Attribute {{ name: "{self.name()}", value: "{self.value()}" }}'
+
+
+class Node:
+    """Reference: src/node.rs. Integer-index hops over the packed arrays."""
+
+    __slots__ = ("doc", "idx")
+
+    def __init__(self, doc: ParsedDoc, idx: int):
+        self.doc = doc
+        self.idx = idx
+
+    # -- predicates (src/node.rs:514-555) --
+    def is_root(self) -> bool:
+        return self.idx == 1
+
+    def is_element(self) -> bool:
+        return self.doc.kind[self.idx] == ELEMENT
+
+    def is_text(self) -> bool:
+        return self.doc.kind[self.idx] == TEXT
+
+    def has_children(self) -> bool:
+        return self.doc.first_child[self.idx] != 0
+
+    def node_type(self) -> int:
+        return self.doc.kind[self.idx]
+
+    # -- names / text (src/node.rs:127-271) --
+    def tag_name_bytes(self) -> bytes:
+        d = self.doc
+        if d.kind[self.idx] != ELEMENT:
+            return b""
+        return bytes(d.buf[d.loc_start[self.idx] : d.loc_end[self.idx]])
+
+    def tag_name(self) -> str:
+        d = self.doc
+        if d.kind[self.idx] != ELEMENT:
+            return ""
+        return _str_or_fallback(d.buf, d.loc_start[self.idx], d.loc_end[self.idx])
+
+    def is_(self, tag_name: str) -> bool:
+        # exact, case-sensitive byte equality (src/node.rs:177-194)
+        return self.is_element() and self.tag_name_bytes() == tag_name.encode()
+
+    def text_bytes(self) -> Optional[bytes]:
+        d = self.doc
+        if d.kind[self.idx] != TEXT:
+            return None
+        return bytes(d.buf[d.loc_start[self.idx] : d.loc_end[self.idx]])
+
+    def text(self) -> Optional[str]:
+        d = self.doc
+        if d.kind[self.idx] != TEXT:
+            return None
+        return _str_or_fallback(d.buf, d.loc_start[self.idx], d.loc_end[self.idx])
+
+    def position(self) -> int:
+        """Byte offset of name/text start in the post-mutation buffer
+        (src/node.rs:736-738)."""
+        return self.doc.loc_start[self.idx]
+
+    # -- attributes (src/node.rs:292-294, 688-695) --
+    def attributes(self) -> list[Attribute]:
+        d = self.doc
+        return [
+            Attribute(d, a)
+            for a in range(d.attr_start[self.idx], d.attr_end[self.idx])
+        ]
+
+    def get_attribute(self, name: str) -> Optional[str]:
+        nb = name.encode()
+        d = self.doc
+        for a in range(d.attr_start[self.idx], d.attr_end[self.idx]):
+            if bytes(d.buf[d.a_name_start[a] : d.a_name_end[a]]) == nb:
+                return _str_or_fallback(d.buf, d.a_val_start[a], d.a_val_end[a])
+        return None  # first-wins among duplicates
+
+    # -- structure hops (src/node.rs:314-478, 717-731) --
+    def parent(self) -> Optional["Node"]:
+        if self.idx <= 1:
+            return None
+        return Node(self.doc, self.doc.parent[self.idx])
+
+    def first_child(self) -> Optional["Node"]:
+        fc = self.doc.first_child[self.idx]
+        return Node(self.doc, fc) if fc else None
+
+    def last_child(self) -> Optional["Node"]:
+        # prev_sibling of first child tracks the last child (O(1) trick,
+        # src/document.rs:335-350 / src/node.rs:364-376)
+        fc = self.doc.first_child[self.idx]
+        if not fc:
+            return None
+        return Node(self.doc, self.doc.prev_sib[fc])
+
+    def next_sibling(self) -> Optional["Node"]:
+        ns = self.doc.next_sib[self.idx]
+        return Node(self.doc, ns) if ns else None
+
+    def prev_sibling(self) -> Optional["Node"]:
+        # sentinel: a first child's prev_sibling points at the LAST child,
+        # whose next_sibling is 0 (src/node.rs:423-436)
+        ps = self.doc.prev_sib[self.idx]
+        if self.doc.next_sib[ps] == 0:
+            return None
+        return Node(self.doc, ps)
+
+    def children(self) -> Iterator["Node"]:
+        c = self.doc.first_child[self.idx]
+        while c:
+            yield Node(self.doc, c)
+            c = self.doc.next_sib[c]
+
+    def get_child(self, tag_name: str) -> Optional["Node"]:
+        nb = tag_name.encode()
+        d = self.doc
+        c = d.first_child[self.idx]
+        while c:
+            if d.kind[c] == ELEMENT and bytes(d.buf[d.loc_start[c] : d.loc_end[c]]) == nb:
+                return Node(d, c)
+            c = d.next_sib[c]
+        return None
+
+    def get_sibling(self, tag_name: str) -> Optional["Node"]:
+        nb = tag_name.encode()
+        d = self.doc
+        c = d.next_sib[self.idx]
+        while c:
+            if d.kind[c] == ELEMENT and bytes(d.buf[d.loc_start[c] : d.loc_end[c]]) == nb:
+                return Node(d, c)
+            c = d.next_sib[c]
+        return None
+
+    def descendants(self) -> Iterator["Node"]:
+        last = last_descendant(self.doc, self.idx)
+        if last is None:
+            return
+        for i in range(self.idx + 1, last + 1):
+            yield Node(self.doc, i)
+
+
+def root(doc: ParsedDoc) -> Optional[Node]:
+    """Reference: src/document.rs:145-159."""
+    return Node(doc, 1) if doc.n_nodes > 1 else None
+
+
+def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
+    """Document-order iteration (src/document.rs:733-811): node indices
+    ARE document order, so this is just 1..=last."""
+    for i in range(1, doc.n_nodes):
+        yield Node(doc, i)
+
+
+def last_descendant(doc: ParsedDoc, node_idx: int) -> Optional[int]:
+    """Reference: src/document.rs:539-583 (climb parents until a
+    next_sibling exists; that minus one)."""
+    n = doc.n_nodes
+    if node_idx == 0 or doc.first_child[node_idx] == 0 or node_idx >= n - 1:
+        return None
+    if node_idx == 1:
+        return n - 1
+    up = doc.parent[node_idx]
+    last = doc.next_sib[up]
+    while last == 0:
+        up = doc.parent[up]
+        if up <= 1:
+            last = n
+            break
+        last = doc.next_sib[up]
+    return last - 1
+
+
+# ---------------------------------------------------------------------------
+# Golden-output serializer (reference Debug impl, src/document.rs:610-703)
+# ---------------------------------------------------------------------------
+
+
+def _rust_str_debug(s: str) -> str:
+    """Rust ``{:?}`` formatting of a str: escape_debug per char inside
+    double quotes. Printability matches Rust's unicode-printable table
+    closely enough for the fixture corpus (ASCII + Latin letters)."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\0":
+            out.append("\\0")
+        elif ch.isprintable():
+            out.append(ch)
+        else:
+            out.append(f"\\u{{{ord(ch):x}}}")
+    out.append('"')
+    return "".join(out)
+
+
+def debug_format(doc: ParsedDoc) -> str:
+    """Exact reimplementation of the reference's golden serializer.
+
+    Layout details that matter for byte-equality with the ``.result``
+    files (src/document.rs:610-703): 4-space indents; ``tag_name`` via
+    Rust ``{:?}`` (escaped); attribute name/value and text bodies via
+    ``{}`` (raw Display, newlines literal); an ``attributes:`` block
+    only when non-empty; a ``children:`` block only when non-empty.
+    """
+    r = root(doc)
+    if r is None:
+        return "Document [No root node]"
+
+    lines: list[str] = []
+
+    def w(indent: int, s: str) -> None:
+        lines.append("    " * indent + s)
+
+    def print_node(node: Node, indent: int) -> None:
+        if node.is_element():
+            w(indent, "Element {")
+            w(indent, f"    tag_name: {_rust_str_debug(node.tag_name())}")
+            attrs = node.attributes()
+            if attrs:
+                w(indent + 1, "attributes: [")
+                for a in attrs:
+                    w(indent + 2, repr(a))
+                w(indent + 1, "]")
+            if node.has_children():
+                w(indent, "    children: [")
+                for child in node.children():
+                    print_node(child, indent + 2)
+                w(indent, "    ]")
+            w(indent, "}")
+        elif node.is_text():
+            t = node.text()
+            w(indent, "Text {")
+            w(indent, f'    "{t if t is not None else "No text"}"')
+            w(indent, "}")
+        else:
+            w(indent, "Unknown Node!")
+
+    lines.append("Document [")
+    print_node(r, 1)
+    lines.append("]")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,777 @@
+"""Single-document XHTML parser producing a packed-array DOM.
+
+This is a from-scratch Python implementation of the parsing semantics
+of the reference engine (turgu1/xhtml_parser, /root/reference). It is
+NOT a line-by-line port: the reference's per-byte scan loops
+(src/parser.rs:283-409) are replaced by C-speed ``bytes.find`` /
+``bytes.translate`` passes, and the tree lands in flat Python lists
+(structure-of-arrays, mirroring the reference's packed
+``Vec<NodeInfo>`` layout, src/document.rs:30-34) that convert
+zero-copy-ish into Arrow/NumPy columns at the batch layer.
+
+Observable behaviors intentionally reproduced (each cited to the
+reference source; see SURVEY.md §2/§7.4 for the evidence trail):
+
+* in-place entity expansion and compaction of the byte buffer; all
+  strings are ranges into the mutated buffer (src/parser.rs:664-732)
+* entity ';' scan is document-global, not segment-bounded
+  (src/parser.rs:612)
+* invalid escapes kept verbatim ('&' retained, scan resumes after it)
+  (src/parser.rs:706-714)
+* numeric refs: lowercase 'x' only for hex, wrapping u32 arithmetic,
+  surrogates/out-of-range rejected (src/parser.rs:539-590, 611-647)
+* attribute values: leading ws dropped, internal ws runs -> single
+  space, ONE trailing 0x20 trimmed; entity-produced spaces opaque
+  (src/parser.rs:751-809)
+* namespace prefixes stripped through the FIRST ':' in tag and
+  attribute names (src/parser.rs:865-879)
+* comments/CDATA bounded-window skips (5000 bytes) and PI (500 bytes);
+  a miss is a hard parse error (src/parser.rs:942,980,996)
+* DOCTYPE internal-subset path consumes one extra byte after '>'
+  (src/parser.rs:957-977)
+* self-closing ROOT terminates the parse (trailing siblings ignored,
+  src/parser.rs:1203-1214); a CLOSED root does not (second root
+  becomes a sibling, level==0 guard commented out src/parser.rs:1180-1182)
+* whitespace-only text produces no node; non-empty text keeps leading
+  and trailing whitespace (src/parser.rs:1298-1391)
+* duplicate attribute names are all kept (src/parser.rs:1282-1291)
+* error messages formatted exactly like the reference:
+  "Invalid XML: {msg}. at position {pos}: ...{30B}[*]{30B}..."
+  (src/parser.rs:423-460, src/defs.rs:112-123)
+
+One deliberate deviation (SURVEY.md §7.4): a raw CR inside PCData is
+undefined behavior in the reference (infinite loop / buffer
+corruption, src/parser.rs:701-728 has no CR branch under the default
+``parse_escapes`` profile). Such documents get
+``error_class='UnsupportedCR'`` instead of hanging.
+"""
+
+from __future__ import annotations
+
+from .chartype import (
+    CHARTYPE,
+    START_SYMBOL,
+    T_SCAN_ATRNORM,
+    T_SCAN_CLOSE,
+    T_SCAN_PCDATA,
+    T_SKIP_SPACE,
+    T_SKIP_SYMBOL,
+)
+from .entities import ENTITIES
+
+# Node kinds (reference: src/node_type.rs:18-25)
+HEAD = 0
+ELEMENT = 1
+TEXT = 2
+
+_U32_MASK = 0xFFFFFFFF
+_MAX_XML_LEN = 0xFFFFFFFF  # XmlIdx = u32 under default features (Cargo.toml:24)
+
+_AMP = 0x26
+_SEMI = 0x3B
+_HASH = 0x23
+_LOWER_X = 0x78
+_SPACE = 0x20
+_LT = 0x3C
+_GT = 0x3E
+_SLASH = 0x2F
+_EQ = 0x3D
+_EXCL = 0x21
+_QUEST = 0x3F
+_LBRACKET = 0x5B
+_RBRACKET = 0x5D
+_COLON = 0x3A
+_SQUOTE = 0x27
+_DQUOTE = 0x22
+
+_HEXDIGITS = frozenset(b"0123456789abcdefABCDEF")
+_DIGITS = frozenset(b"0123456789")
+
+
+class ParseError(Exception):
+    """Carries the fully-formatted reference-compatible message."""
+
+    def __init__(self, message: str, pos: int | None, error_class: str = "InvalidXml"):
+        super().__init__(message)
+        self.message = message
+        self.pos = pos
+        self.error_class = error_class
+
+
+class ParsedDoc:
+    """Packed-array DOM: index-linked tree over the mutated byte buffer.
+
+    Mirrors the reference's three-vector layout (src/document.rs:30-34):
+    node index 0 is the synthetic Head, index 1 the root element; node
+    indices are document order, so descendants of node k are the
+    contiguous range k+1..=last_descendant(k).
+
+    Sibling linking reproduces the reference's O(1) last-child trick
+    (src/document.rs:335-350): a first child's prev_sibling points at
+    the parent's CURRENT LAST child (initially itself).
+    """
+
+    __slots__ = (
+        "buf",
+        "parent",
+        "prev_sib",
+        "next_sib",
+        "first_child",
+        "kind",
+        "loc_start",
+        "loc_end",
+        "attr_start",
+        "attr_end",
+        "a_name_start",
+        "a_name_end",
+        "a_val_start",
+        "a_val_end",
+        "ok",
+        "error_class",
+        "error_pos",
+        "error_msg",
+    )
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        # node columns; index 0 = Head
+        self.parent = [0]
+        self.prev_sib = [0]
+        self.next_sib = [0]
+        self.first_child = [0]
+        self.kind = [HEAD]
+        self.loc_start = [0]  # element: tag-name range; text: text range
+        self.loc_end = [0]
+        self.attr_start = [0]
+        self.attr_end = [0]
+        # attribute columns
+        self.a_name_start: list[int] = []
+        self.a_name_end: list[int] = []
+        self.a_val_start: list[int] = []
+        self.a_val_end: list[int] = []
+        # outcome
+        self.ok = True
+        self.error_class: str | None = None
+        self.error_pos: int | None = None
+        self.error_msg: str | None = None
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.kind)
+
+    @property
+    def n_attrs(self) -> int:
+        return len(self.a_name_start)
+
+    def extracted_text(self) -> bytes:
+        """Per-url deliverable: Text-node bytes concatenated in document
+        order (reference read path: all_nodes(), src/document.rs:733-811)."""
+        buf = self.buf
+        ls, le, kd = self.loc_start, self.loc_end, self.kind
+        return b"".join(
+            bytes(buf[ls[i] : le[i]]) for i in range(1, len(kd)) if kd[i] == TEXT
+        )
+
+
+def _show_around(buf: bytearray, pos: int) -> str:
+    """Reference: src/parser.rs:423-438 (30-byte window each side)."""
+    start = max(0, pos - 30)
+    end = min(pos + 30, len(buf))
+    try:
+        before = bytes(buf[start:pos]).decode("utf-8")
+    except UnicodeDecodeError:
+        before = "non valid utf-8"
+    try:
+        after = bytes(buf[pos:end]).decode("utf-8")
+    except UnicodeDecodeError:
+        after = "non valid utf-8"
+    return f"...{before}[*]{after}..."
+
+
+def _invalid(buf: bytearray, msg: str, pos: int) -> ParseError:
+    """Reference: src/parser.rs:452-460 + Display prefix src/defs.rs:115-117."""
+    return ParseError(
+        f"Invalid XML: {msg}. at position {pos}: {_show_around(buf, pos)}", pos
+    )
+
+
+def _unexpected_end() -> ParseError:
+    """Reference: src/parser.rs:1398-1400."""
+    return ParseError("Invalid XML: Unexpected end of XML document.", None)
+
+
+def _char_from_u32(v: int) -> bytes | None:
+    """char::from_u32 + UTF-8 encode: rejects surrogates and > U+10FFFF."""
+    if v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
+        return None
+    return chr(v).encode("utf-8")
+
+
+def _decimal(s: bytes) -> int | None:
+    """Strict digit fold with wrapping u32 arithmetic (src/parser.rs:539-547;
+    release-mode Rust wraps silently on overflow)."""
+    acc = 0
+    for c in s:
+        if c not in _DIGITS:
+            return None
+        acc = (acc * 10 + (c - 0x30)) & _U32_MASK
+    return acc
+
+
+def _hexadecimal(s: bytes) -> int | None:
+    """Reference: src/parser.rs:560-590 (wrapping, strict hex charset)."""
+    acc = 0
+    for c in s:
+        if c not in _HEXDIGITS:
+            return None
+        if c >= 0x61:
+            v = c - 0x61 + 10
+        elif c >= 0x41:
+            v = c - 0x41 + 10
+        else:
+            v = c - 0x30
+        acc = (acc * 16 + v) & _U32_MASK
+    return acc
+
+
+def _translate_sequence(buf: bytearray, frm: int, to: int) -> tuple[int, int] | None:
+    """Decode one '&...;' escape, writing UTF-8 bytes at ``to``.
+
+    Reference: src/parser.rs:611-647. The ';' scan is document-global
+    (not bounded by the enclosing text/attribute range). Returns
+    (position after ';', position after written bytes) or None when
+    the sequence is invalid (caller keeps the '&' verbatim).
+    """
+    if frm >= len(buf):
+        return None
+    end = buf.find(_SEMI, frm)
+    if end < 0:
+        return None
+    number = buf[frm] == _HASH
+    if number:
+        frm += 1
+    hex_number = buf[frm] == _LOWER_X  # lowercase 'x' only (verified behavior)
+    if hex_number:
+        frm += 1
+    if frm == end:
+        return None
+    s = bytes(buf[frm:end])
+    if number:
+        v = _hexadecimal(s) if hex_number else _decimal(s)
+        if v is None:
+            return None
+        bts = _char_from_u32(v)
+        if bts is None:
+            return None
+    else:
+        bts = ENTITIES.get(s)
+        if bts is None:
+            return None
+    n = min(len(bts), len(buf) - to)
+    buf[to : to + n] = bts[:n]
+    return (end + 1, to + n)
+
+
+def _parse_pcdata(buf: bytearray, pc_map: bytes, start: int, end: int) -> int:
+    """In-place entity expansion + compaction of a text range; returns the
+    new end. Decoded bytes are never re-scanned (so '&#38;amp;' yields a
+    literal '&amp;'). Reference: src/parser.rs:664-732.
+
+    ``pc_map`` is the pristine-buffer PARSE_PCDATA classification; all
+    scans here touch positions >= ``frm`` which mutation never reaches
+    (writes land strictly below the read cursor), so the stale map is
+    sound -- mirroring the reference's forward-only in-situ rewrite.
+
+    Raw CR (the other PARSE_PCDATA byte) is reference UB -> UnsupportedCR.
+    """
+    to = start
+    frm = start
+    while True:
+        np_ = pc_map.find(1, frm, end)
+        if np_ < 0:
+            np_ = end
+        if np_ >= end:
+            if frm != to:
+                buf[to : to + (end - frm)] = buf[frm:end]
+            to += end - frm
+            break
+        if np_ > frm:
+            if frm != to:
+                buf[to : to + (np_ - frm)] = buf[frm:np_]
+            to += np_ - frm
+        if buf[np_] == _AMP:
+            r = _translate_sequence(buf, np_ + 1, to)
+            if r is not None:
+                frm, to = r
+            else:
+                if frm != to:
+                    buf[to] = _AMP  # keep the '&' verbatim
+                frm = np_ + 1
+                to += 1
+        else:
+            # Raw CR in PCData: reference has no handling branch under the
+            # default profile (hang/corruption). Flag instead (SURVEY §7.4).
+            raise ParseError(
+                "Unsupported raw carriage return in PCData "
+                f"at position {np_} (reference UB)",
+                np_,
+                error_class="UnsupportedCR",
+            )
+    return to
+
+
+def _normalize_attr_fast(buf: bytearray, an_map: bytes, start: int, end: int) -> int:
+    """Attribute-value normalization, fast path (valid/no escapes).
+
+    Reference: src/parser.rs:751-809. Leading ws dropped, each internal
+    ws run -> one 0x20, ONE trailing 0x20 trimmed, entities decoded
+    inline (decoded bytes opaque to collapsing). Returns new end.
+
+    Raises _AttrQuirk when an invalid escape is hit: the reference's
+    invalid-escape branch leaves ``from`` stale (src/parser.rs:790-794),
+    re-reading bytes its own copy_within already moved -- behavior the
+    stale ``an_map`` cannot reproduce. The caller restores the pristine
+    value bytes and replays with the live-buffer slow path.
+    """
+    to = start
+    frm = start
+    space_added = False
+    while True:
+        np_ = an_map.find(1, frm, end)
+        if np_ < 0:
+            np_ = end
+        if np_ >= end:
+            if frm != to:
+                buf[to : to + (end - frm)] = buf[frm:end]
+            to += end - frm
+            if to > start and buf[to - 1] == _SPACE:
+                to -= 1  # trim ONE trailing space
+            break
+        if np_ > frm:
+            buf[to : to + (np_ - frm)] = buf[frm:np_]
+            to += np_ - frm
+            space_added = False
+        if buf[np_] == _AMP:
+            r = _translate_sequence(buf, np_ + 1, to)
+            if r is None:
+                raise _AttrQuirk()
+            frm, to = r
+            space_added = False
+        else:
+            if not space_added and to != start:
+                buf[to] = _SPACE
+                to += 1
+                space_added = True
+            frm = np_ + 1
+    return to
+
+
+class _AttrQuirk(Exception):
+    pass
+
+
+_ATRNORM_SET = frozenset(
+    b for b in range(256) if CHARTYPE[b] & 4  # PARSE_ATRNORM
+)
+
+
+def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
+    """Slow live-buffer replay of normalize_attribute_value, reproducing
+    the reference's stale-``from`` invalid-escape quirk byte-for-byte
+    (src/parser.rs:751-809: on invalid escape, ``from`` advances from its
+    PRE-COPY value, so already-moved bytes are re-read and duplicated).
+    """
+    to = start
+    frm = start
+    space_added = False
+    while True:
+        np_ = end
+        for p in range(frm, end):
+            if buf[p] in _ATRNORM_SET:
+                np_ = p
+                break
+        if np_ >= end:
+            buf[to : to + (end - frm)] = buf[frm:end]
+            to += end - frm
+            if to > start and buf[to - 1] == _SPACE:
+                to -= 1
+            break
+        if np_ > frm:
+            buf[to : to + (np_ - frm)] = buf[frm:np_]
+            to += np_ - frm
+            space_added = False
+        if buf[np_] == _AMP:
+            r = _translate_sequence(buf, np_ + 1, to)
+            if r is not None:
+                frm, to = r
+            else:
+                frm += 1  # the stale-from quirk: NOT np_ + 1
+            space_added = False
+        else:
+            if not space_added and to != start:
+                buf[to] = _SPACE
+                to += 1
+                space_added = True
+            frm = np_ + 1
+    return to
+
+
+def parse_document(xml: bytes) -> ParsedDoc:
+    """Parse one document; malformed input becomes a row-level error,
+    never an exception (error-as-data for the Spark pipeline)."""
+    doc = ParsedDoc()
+    try:
+        _parse(doc, xml)
+    except ParseError as e:
+        doc.ok = False
+        doc.error_class = e.error_class
+        doc.error_pos = e.pos
+        doc.error_msg = e.message
+    return doc
+
+
+def _remove_ns_prefix(buf: bytearray, start: int, end: int) -> int:
+    """Strip through the FIRST ':' by in-place shift; returns new end.
+    Reference: src/parser.rs:865-879 ('a:b:c' -> 'b:c', '<:a>' -> 'a')."""
+    colon = buf.find(_COLON, start, end)
+    if colon < 0:
+        return end
+    n = end - colon - 1
+    buf[start : start + n] = buf[colon + 1 : end]
+    return start + n
+
+
+def _parse(doc: ParsedDoc, xml: bytes) -> None:
+    size = len(xml)
+    if size > _MAX_XML_LEN:
+        raise ParseError("Invalid XML: XML document is too large!", None)
+    # Admission/pre-sizing (src/document.rs:74-107). Python lists grow by
+    # doubling; the u16/u32 node-count caps are RAM features, not
+    # semantics, and are deliberately not reproduced (SURVEY §7.4).
+
+    buf = bytearray(xml)
+    doc.buf = buf
+
+    # One O(n) classification pass per scan kind, C-speed, on the
+    # pristine bytes. Sound because every scan reads at/after the read
+    # cursor, and in-situ rewrites land strictly below it.
+    sp_skip = xml.translate(T_SKIP_SPACE)   # find(1,p) = first non-ws
+    sym_skip = xml.translate(T_SKIP_SYMBOL)  # find(1,p) = first non-symbol
+    close_scan = xml.translate(T_SCAN_CLOSE)  # find(1,p) = first ws-or-'>'
+    an_map = xml.translate(T_SCAN_ATRNORM)
+    pc_map = xml.translate(T_SCAN_PCDATA)
+
+    parent = doc.parent
+    prev_sib = doc.prev_sib
+    next_sib = doc.next_sib
+    first_child = doc.first_child
+    kind = doc.kind
+    loc_start = doc.loc_start
+    loc_end = doc.loc_end
+    attr_start = doc.attr_start
+    attr_end = doc.attr_end
+    a_name_start = doc.a_name_start
+    a_name_end = doc.a_name_end
+    a_val_start = doc.a_val_start
+    a_val_end = doc.a_val_end
+
+    chartype = CHARTYPE
+
+    def add_node(parent_idx: int, last_child_idx: int, k: int, s: int, e: int) -> int:
+        # O(1) sibling link via caller-tracked last child
+        # (reference: src/document.rs:313-369).
+        idx = len(kind)
+        if first_child[parent_idx] == 0:
+            first_child[parent_idx] = idx
+            prev = idx  # first child's prev_sibling = itself (= last child)
+        else:
+            fc = first_child[parent_idx]
+            next_sib[last_child_idx] = idx
+            prev_sib[fc] = idx  # first child's prev_sibling tracks last child
+            prev = last_child_idx
+        parent.append(parent_idx)
+        prev_sib.append(prev)
+        next_sib.append(0)
+        first_child.append(0)
+        kind.append(k)
+        loc_start.append(s)
+        loc_end.append(e)
+        na = len(a_name_start)
+        attr_start.append(na)
+        attr_end.append(na)
+        return idx
+
+    # parent stack: (node_idx, last_child_idx) pairs (src/parser.rs:229-241)
+    stack_idx: list[int] = []
+    stack_last: list[int] = []
+    level = 0
+
+    # states
+    S_START, S_TAGSTART, S_TAGOPEN, S_TAGCLOSE, S_ATTR, S_PCDATA, S_END = range(7)
+    state = S_START
+    i = 0
+
+    while True:
+        if state == S_PCDATA:
+            space_start = i  # default profile keeps leading ws (src/parser.rs:1315-1319)
+            i = sp_skip.find(1, i)
+            if i < 0:
+                state = S_END
+                continue
+            if i >= size:
+                state = S_END
+                continue
+            start = i
+            i = buf.find(_LT, i)
+            if i < 0:
+                break  # text not followed by '<' -> Unexpected end
+            if i > start:
+                start = space_start
+                new_end = _parse_pcdata(buf, pc_map, start, i)
+                if level > 0:
+                    node_idx = add_node(
+                        stack_idx[level - 1], stack_last[level - 1], TEXT, start, new_end
+                    )
+                    stack_last[level - 1] = node_idx
+                else:
+                    break  # text at level 0 -> Unexpected end
+            # ws-only segments produce NO node (keep_ws_only_pcdata off)
+            i += 1
+            if i >= size:
+                break
+            state = S_TAGSTART
+            continue
+
+        if state == S_TAGSTART:
+            c = buf[i]
+            if c == _SLASH:
+                i += 1
+                state = S_TAGCLOSE
+                continue
+            if c == _EXCL:
+                i += 1
+                if i < size:
+                    if buf[i : i + 2] == b"--":
+                        i += 2
+                        # bounded 5000-byte window (src/parser.rs:942)
+                        p = buf.find(b"-->", i, i + 5000)
+                        if p < 0:
+                            break
+                        i = p + 3
+                    elif buf[i : i + 7] == b"DOCTYPE":
+                        i += 7
+                        # scan for '>' or '[' (src/parser.rs:948-955)
+                        pg = buf.find(_GT, i)
+                        pb = buf.find(_LBRACKET, i)
+                        if pg < 0 and pb < 0:
+                            break
+                        if pg < 0:
+                            i = pb
+                        elif pb < 0:
+                            i = pg
+                        else:
+                            i = min(pg, pb)
+                        if buf[i] == _LBRACKET:
+                            i = buf.find(_RBRACKET, i)
+                            if i < 0:
+                                break
+                            i += 1  # skip ']'
+                            i = sp_skip.find(1, i)
+                            if i < 0:
+                                break
+                            if buf[i] == _GT:
+                                i += 1  # skip '>'
+                            else:
+                                raise _invalid(
+                                    buf, "Expected '>' after DOCTYPE declaration", i
+                                )
+                        i += 1  # reference skips one more byte here
+                        # (src/parser.rs:977: non-subset path consumes the
+                        # '>', subset path swallows the byte AFTER it)
+                    elif buf[i : i + 7] == b"[CDATA[":
+                        i += 7
+                        p = buf.find(b"]]>", i, i + 5000)
+                        if p < 0:
+                            break
+                        i = p + 3
+                    else:
+                        break  # unknown '<!...' construct
+                if i >= size:
+                    state = S_END
+                else:
+                    state = S_PCDATA
+                continue
+            if c == _QUEST:
+                i += 1
+                p = buf.find(b"?>", i, i + 500)
+                if p < 0:
+                    break
+                i = p + 2
+                state = S_END if i >= size else S_PCDATA
+                continue
+            state = S_TAGOPEN
+            continue
+
+        if state == S_TAGOPEN:
+            start = i
+            if not (chartype[buf[i]] & START_SYMBOL):
+                raise _invalid(buf, "Tag name must start with a letter or underscore", i)
+            i += 1
+            i = sym_skip.find(1, i)
+            if i < 0:
+                break
+            name_end = _remove_ns_prefix(buf, start, i)
+            if level == 0:
+                node_idx = add_node(0, 0, ELEMENT, start, name_end)
+            else:
+                node_idx = add_node(
+                    stack_idx[level - 1], stack_last[level - 1], ELEMENT, start, name_end
+                )
+                stack_last[level - 1] = node_idx
+            stack_idx.append(node_idx)
+            stack_last.append(0)
+            level += 1
+            state = S_ATTR
+            continue
+
+        if state == S_ATTR:
+            i = sp_skip.find(1, i)
+            if i < 0:
+                break
+            c = buf[i]
+            if c == _SLASH:
+                i += 1
+                if i >= size:
+                    break
+                if buf[i] != _GT:
+                    raise _invalid(buf, "Expected '>' after '/' in self-closing tag", i)
+                stack_idx.pop()
+                stack_last.pop()
+                level -= 1
+                if level == 0:
+                    # self-closed root STOPS the parse (src/parser.rs:1206-1208)
+                    state = S_END
+                else:
+                    i += 1
+                    if i >= size:
+                        break
+                    state = S_PCDATA
+                continue
+            if c == _GT:
+                i += 1
+                if i >= size:
+                    break
+                state = S_PCDATA
+                continue
+            start = i
+            if not (chartype[c] & START_SYMBOL):
+                raise _invalid(
+                    buf, "Attribute name must start with a letter or underscore", i
+                )
+            i += 1
+            i = sym_skip.find(1, i)
+            if i < 0:
+                break
+            if buf[i] != _EQ:
+                raise _invalid(buf, "Attribute must have an '=' sign", i)
+            name_end_raw = i
+            i += 1
+            if i >= size:
+                break
+            quote = buf[i]
+            if quote != _SQUOTE and quote != _DQUOTE:
+                raise _invalid(buf, "Attribute value must be enclosed in quotes", i)
+            i += 1
+            value_start = i
+            i = buf.find(quote, i)
+            if i < 0:
+                break
+            # normalize value; on invalid escape, restore and replay with
+            # the quirk-exact live path (see _normalize_attr_quirk).
+            if buf.find(_AMP, value_start, i) >= 0:
+                saved = bytes(buf[value_start:i])
+                try:
+                    value_end = _normalize_attr_fast(buf, an_map, value_start, i)
+                except _AttrQuirk:
+                    buf[value_start:i] = saved
+                    value_end = _normalize_attr_quirk(buf, value_start, i)
+            else:
+                value_end = _normalize_attr_fast(buf, an_map, value_start, i)
+            a_name_end_ = _remove_ns_prefix(buf, start, name_end_raw)
+            if level > 0:
+                owner = stack_idx[level - 1]
+                a_name_start.append(start)
+                a_name_end.append(a_name_end_)
+                a_val_start.append(value_start)
+                a_val_end.append(value_end)
+                attr_end[owner] += 1  # attrs of one element stay contiguous
+            else:
+                break
+            i += 1
+            state = S_ATTR
+            continue
+
+        if state == S_TAGCLOSE:
+            start = i
+            i = close_scan.find(1, i)
+            if i < 0:
+                break
+            if i == start:
+                raise _invalid(buf, "Expected tag name after '</'", i)
+            name_end = _remove_ns_prefix(buf, start, i)
+            is_gt = buf[i] == _GT
+            if level > 0:
+                open_idx = stack_idx[level - 1]
+                if kind[open_idx] == ELEMENT:
+                    if (
+                        buf[loc_start[open_idx] : loc_end[open_idx]]
+                        != buf[start:name_end]
+                    ):
+                        closing = _str_or_fallback(buf, start, name_end)
+                        opening = _str_or_fallback(
+                            buf, loc_start[open_idx], loc_end[open_idx]
+                        )
+                        raise _invalid(
+                            buf,
+                            f"Closing tag '{closing}' does not match opening tag "
+                            f"'{opening}'",
+                            start,
+                        )
+                else:
+                    raise _invalid(buf, "Expected an element node for closing tag", start)
+            else:
+                raise _invalid(buf, "No opening tag for closing tag", i)
+            stack_idx.pop()
+            stack_last.pop()
+            level -= 1
+            if not is_gt:
+                i = buf.find(_GT, i + 1)
+                if i < 0:
+                    break
+            i += 1
+            # parsing continues after the root closes (src/parser.rs:1180-1182)
+            state = S_END if i >= size else S_PCDATA
+            continue
+
+        if state == S_START:
+            i = buf.find(_LT, i)
+            if i < 0:
+                break  # bytes before first '<' ignored; none found -> error
+            i += 1
+            if i >= size:
+                break
+            state = S_TAGSTART
+            continue
+
+        if state == S_END:
+            return
+
+    raise _unexpected_end()
+
+
+def _str_or_fallback(buf: bytearray, start: int, end: int) -> str:
+    """get_str_from_location semantics (src/document.rs:421-434)."""
+    try:
+        return bytes(buf[start:end]).decode("utf-8")
+    except UnicodeDecodeError:
+        return "non valid utf-8"
