@@ -1,0 +1,105 @@
+"""Spark end-to-end tests: pages DataFrame -> parse operators.
+
+The byte-identity gate rides through Spark here: fixture documents go
+in as (url, html) rows, and the extracted text coming back from the
+mapInPandas kernel must equal the kernel's local output (which the
+golden suite already proved byte-identical to the reference).
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+
+import pytest
+
+from xhtml_parser_spark.kernel import parse_document
+from xhtml_parser_spark.operators import parse_attrs, parse_nodes, parse_pages
+from xhtml_parser_spark.sources import PAGES_SCHEMA, gen_page, synthesize_pages
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _fixture_pages(spark):
+    rows = []
+    ts = datetime.datetime(2025, 8, 8)
+    for i, f in enumerate(sorted((FIXTURES / "simple_test" / "test_case").glob("*.xhtml"))):
+        rows.append((f"https://fixture.test/simple_test/{f.name}", ts, f.read_bytes(), None, "en"))
+    return spark.createDataFrame(rows, PAGES_SCHEMA), rows
+
+
+def test_parse_pages_byte_identity(spark):
+    df, rows = _fixture_pages(spark)
+    got = {r["url"]: r for r in parse_pages(df).collect()}
+    assert len(got) == len(rows)
+    for url, _, html, _, _ in rows:
+        local = parse_document(html)
+        r = got[url]
+        assert r["parse_ok"] is True
+        assert bytes(r["text"]) == local.extracted_text()
+        assert r["n_nodes"] == local.n_nodes - 1
+        assert r["n_attrs"] == local.n_attrs
+
+
+def test_parse_pages_error_rows(spark):
+    rows = [
+        ("u1", datetime.datetime(2025, 8, 8), b"<a>ok</a>", None, "en"),
+        ("u2", datetime.datetime(2025, 8, 8), b"<root><child>bad", None, "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r for r in parse_pages(df).collect()}
+    assert got["u1"]["parse_ok"] and bytes(got["u1"]["text"]) == b"ok"
+    assert not got["u2"]["parse_ok"]
+    assert "Unexpected end" in got["u2"]["error_msg"]
+
+
+def test_parse_nodes_and_attrs(spark):
+    rows = [
+        (
+            "u1",
+            datetime.datetime(2025, 8, 8),
+            b"<root a='1' b='2'><c>T</c><d/></root>",
+            None,
+            "en",
+        )
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    nodes = sorted(parse_nodes(df).collect(), key=lambda r: r["node_id"])
+    assert [(n["node_id"], n["parent_id"], n["kind"], n["tag"]) for n in nodes] == [
+        (1, 0, 1, "root"),
+        (2, 1, 1, "c"),
+        (3, 2, 2, None),
+        (4, 1, 1, "d"),
+    ]
+    assert bytes(nodes[2]["text"]) == b"T"
+    # descendants of root (node 1) are the contiguous range 2..last_descendant
+    assert nodes[0]["last_descendant"] == 4
+
+    attrs = sorted(parse_attrs(df).collect(), key=lambda r: r["attr_idx"])
+    assert [(a["node_id"], a["name"], bytes(a["value"])) for a in attrs] == [
+        (1, "a", b"1"),
+        (1, "b", b"2"),
+    ]
+
+
+def test_synth_corpus_deterministic_and_parses(spark):
+    df = synthesize_pages(spark, 200, max_b=8192)
+    parsed = parse_pages(df)
+    agg = parsed.groupBy("parse_ok").count().collect()
+    counts = {r["parse_ok"]: r["count"] for r in agg}
+    assert counts.get(True, 0) == 198  # 1% malformed -> 2 of 200
+    assert counts.get(False, 0) == 2
+    # pure function of doc_id: regeneration is identical
+    a = gen_page(123, max_b=8192)
+    b = gen_page(123, max_b=8192)
+    assert a == b
+    # host skew present: top host should hold a visible share
+    hosts = (
+        df.selectExpr("regexp_extract(url, 'host-([0-9]+)', 1) AS host")
+        .groupBy("host")
+        .count()
+        .orderBy("count", ascending=False)
+        .limit(1)
+        .collect()
+    )
+    assert hosts[0]["count"] >= 10  # ~10% of 200 on the hottest host

@@ -1,0 +1,212 @@
+"""DataFrame-level parse/extract operators (north_star B5).
+
+The entire reference parser (SURVEY.md §2 Part A) runs inside
+``mapInPandas`` over Arrow batches: Spark moves (url, html) columns to
+the Python worker as Arrow buffers, the kernel parses each document
+against C-speed byte scans, and the results return as Arrow columns.
+No per-row Python objects cross the boundary; no driver-side loops.
+
+Three operators, all shuffle-free map-side work:
+
+  parse_pages  -> extracted(url, text, text_main, stats, error columns)
+  parse_nodes  -> exploded nodes(url, node_id, parent_id, kind, tag,
+                  depth, text, span_start, last_descendant, ...) --
+                  the relational form of the packed-node DOM
+  parse_attrs  -> exploded attrs(url, node_id, attr_idx, name, value)
+
+Catalyst prunes the scan to exactly (url, html) because the operators
+select before mapInPandas -- check .explain() for ReadSchema.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.extract import compute_depth_and_last_descendant, doc_stats, extract_main_text
+from ..kernel.parser import parse_document
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", BinaryType()),
+        StructField("text_main", BinaryType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("n_attrs", IntegerType()),
+        StructField("n_text_nodes", IntegerType()),
+        StructField("max_depth", IntegerType()),
+        StructField("html_bytes", LongType()),
+        StructField("parse_ok", BooleanType()),
+        StructField("error_class", StringType()),
+        StructField("error_pos", LongType()),
+        StructField("error_msg", StringType()),
+        StructField("kernel_ns", LongType()),
+    ]
+)
+
+NODES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("node_id", IntegerType()),
+        StructField("parent_id", IntegerType()),
+        StructField("kind", ByteType()),
+        StructField("tag", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("text", BinaryType()),
+        StructField("span_start", LongType()),
+        StructField("last_descendant", IntegerType()),
+        StructField("attr_start", IntegerType()),
+        StructField("attr_end", IntegerType()),
+    ]
+)
+
+ATTRS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("node_id", IntegerType()),
+        StructField("attr_idx", IntegerType()),
+        StructField("name", StringType()),
+        StructField("value", BinaryType()),
+    ]
+)
+
+
+def _as_bytes(v) -> bytes:
+    if v is None:
+        return b""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return bytes(v)  # arrow may hand back memoryview
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        n = len(urls)
+        cols: dict[str, list] = {k.name: [] for k in PARSED_SCHEMA.fields}
+        for j in range(n):
+            html = _as_bytes(htmls[j])
+            t0 = time.perf_counter_ns()
+            doc = parse_document(html)
+            if doc.ok:
+                text = doc.extracted_text()
+                text_main = extract_main_text(doc)
+                n_nodes, n_attrs, n_text, max_depth = doc_stats(doc)
+            else:
+                text = b""
+                text_main = b""
+                n_nodes = n_attrs = n_text = max_depth = 0
+            dt = time.perf_counter_ns() - t0
+            cols["url"].append(urls[j])
+            cols["text"].append(text)
+            cols["text_main"].append(text_main)
+            cols["n_nodes"].append(n_nodes)
+            cols["n_attrs"].append(n_attrs)
+            cols["n_text_nodes"].append(n_text)
+            cols["max_depth"].append(max_depth)
+            cols["html_bytes"].append(len(html))
+            cols["parse_ok"].append(doc.ok)
+            cols["error_class"].append(doc.error_class)
+            cols["error_pos"].append(doc.error_pos)
+            cols["error_msg"].append(doc.error_msg)
+            cols["kernel_ns"].append(dt)
+        yield pd.DataFrame(cols)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> extracted rows. Map-side only: no shuffle.
+
+    Equivalent of running Document::new + all_nodes() text concatenation
+    per document (reference src/document.rs:74-140, 733-811), plus the
+    B10 boilerplate strip, as one vectorized pass.
+    """
+    return pages.select("url", "html").mapInPandas(_parse_batches, PARSED_SCHEMA)
+
+
+def _node_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        out: dict[str, list] = {k.name: [] for k in NODES_SCHEMA.fields}
+        for j in range(len(urls)):
+            doc = parse_document(_as_bytes(htmls[j]))
+            if not doc.ok:
+                continue
+            depth, last_desc = compute_depth_and_last_descendant(doc)
+            buf = doc.buf
+            url = urls[j]
+            for i in range(1, doc.n_nodes):
+                k = doc.kind[i]
+                s, e = doc.loc_start[i], doc.loc_end[i]
+                out["url"].append(url)
+                out["node_id"].append(i)
+                out["parent_id"].append(doc.parent[i])
+                out["kind"].append(k)
+                if k == 1:  # ELEMENT
+                    out["tag"].append(
+                        bytes(buf[s:e]).decode("utf-8", errors="replace")
+                    )
+                    out["text"].append(None)
+                else:
+                    out["tag"].append(None)
+                    out["text"].append(bytes(buf[s:e]))
+                out["depth"].append(depth[i])
+                out["span_start"].append(s)
+                out["last_descendant"].append(last_desc[i])
+                out["attr_start"].append(doc.attr_start[i])
+                out["attr_end"].append(doc.attr_end[i])
+        yield pd.DataFrame(out)
+
+
+def parse_nodes(pages: DataFrame) -> DataFrame:
+    """Exploded document-order node table: the relational form of the
+    packed DOM (descendants of k = node_id BETWEEN k+1 AND
+    last_descendant; children of k = parent_id = k)."""
+    return pages.select("url", "html").mapInPandas(_node_batches, NODES_SCHEMA)
+
+
+def _attr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        out: dict[str, list] = {k.name: [] for k in ATTRS_SCHEMA.fields}
+        for j in range(len(urls)):
+            doc = parse_document(_as_bytes(htmls[j]))
+            if not doc.ok:
+                continue
+            buf = doc.buf
+            url = urls[j]
+            for i in range(1, doc.n_nodes):
+                for a in range(doc.attr_start[i], doc.attr_end[i]):
+                    out["url"].append(url)
+                    out["node_id"].append(i)
+                    out["attr_idx"].append(a)
+                    out["name"].append(
+                        bytes(buf[doc.a_name_start[a] : doc.a_name_end[a]]).decode(
+                            "utf-8", errors="replace"
+                        )
+                    )
+                    out["value"].append(
+                        bytes(buf[doc.a_val_start[a] : doc.a_val_end[a]])
+                    )
+        yield pd.DataFrame(out)
+
+
+def parse_attrs(pages: DataFrame) -> DataFrame:
+    """Exploded attribute table (duplicate names kept; first-wins
+    semantics are a MIN(attr_idx) aggregation on the read side)."""
+    return pages.select("url", "html").mapInPandas(_attr_batches, ATTRS_SCHEMA)
