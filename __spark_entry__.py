@@ -1,38 +1,521 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Query surface of the xhtml_parser_spark engine (SURVEY.md §2):
+
+* xhtml_* queries run the REAL parse kernel (mapInPandas Arrow batches)
+  over documents synthesized from the `documents` table by escaping
+  text into XHTML -- the DuckDB oracle can then predict extracted
+  text / node counts / tag histograms exactly, giving a cross-engine
+  end-to-end correctness gate for the parser itself.
+* dedup_*, minhash_*, simhash, ann_*, text_*, lang_id, fingerprint are
+  the training-data-pipeline operators (dedup, similarity search, text
+  analysis) over `documents` / `embeddings`.
+* events_/lineage_/tpch_ queries exercise the relational pipeline ops
+  (window dedup B9, lineage aggregation B7, pushdown-friendly aggs).
+
+Numeric outputs are integers or md5 hex strings wherever the oracle is
+hash-compared (float reduction order differs across engines); float
+variants are exposed as rows-only queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to python workers (works in any deploy mode)."""
+    if getattr(_ensure_pkg, "_done", None) is spark:
+        return
+    pkg = os.path.join(_REPO, "xhtml_parser_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "xhtml_parser_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _ensure_pkg._done = spark
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# XHTML parse queries (the core engine, end-to-end through Spark)
+# ---------------------------------------------------------------------------
+
+
+def _pages_from_docs(docs: DataFrame, html_col: "F.Column") -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html_col, "UTF-8").alias("html"),
+    )
+
+
+def q_xhtml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse(wrap(text)) must reproduce text byte-for-byte (whitespace-
+    only text yields no text node per reference semantics)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import wrap_simple_doc
+    from xhtml_parser_spark.operators import parse_pages
+
+    docs = _docs(spark, sf_dir)
+    pages = _pages_from_docs(docs, wrap_simple_doc(F.col("text")))
+    parsed = parse_pages(pages)
+    return parsed.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.decode(F.col("text"), "UTF-8").alias("extracted"),
+    )
+
+
+def q_xhtml_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural counts over a line-structured synthesis: node/text/
+    attribute counts are exactly predictable from the input text."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import parse_pages
+
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.coalesce(F.col("lang"), F.lit("xx")),
+        F.lit('"><body>'),
+        F.array_join(
+            F.transform(
+                lines, lambda x: F.concat(F.lit('<p class="l">'), esc(x), F.lit("</p>"))
+            ),
+            "",
+        ),
+        F.lit("</body></html>"),
+    )
+    parsed = parse_pages(_pages_from_docs(docs, html))
+    return parsed.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_text_nodes").cast("bigint").alias("n_text"),
+        F.col("n_attrs").cast("bigint").alias("n_attrs"),
+    )
+
+
+def q_xhtml_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip: nav/footer/head subtrees dropped, content
+    paragraph kept."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import parse_pages
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title></head><body>'
+            '<nav><ul><li><a href="/m">menu one</a></li></ul></nav>'
+            '<p class="c">'
+        ),
+        esc(F.col("text")),
+        F.lit('</p><footer><a href="/t">terms</a></footer></body></html>'),
+    )
+    parsed = parse_pages(_pages_from_docs(docs, html))
+    return parsed.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.decode(F.col("text_main"), "UTF-8").alias("main"),
+    )
+
+
+def q_xhtml_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed documents become error rows, never exceptions."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import wrap_simple_doc
+    from xhtml_parser_spark.operators import parse_pages
+
+    docs = _docs(spark, sf_dir)
+    html = (
+        F.when(F.col("doc_id") % 10 == 3, F.lit("<root><x>dangling"))
+        .when(F.col("doc_id") % 10 == 7, F.lit("<123bad/>"))
+        .otherwise(wrap_simple_doc(F.col("text")))
+    )
+    parsed = parse_pages(_pages_from_docs(docs, html))
+    return parsed.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("parse_ok"),
+        F.col("error_class"),
+    )
+
+
+def q_xhtml_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded node table -> per-document tag histogram."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import parse_nodes
+
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(lines, lambda x: F.concat(F.lit("<p>"), esc(x), F.lit("</p>"))),
+            "",
+        ),
+        F.lit("</body></html>"),
+    )
+    nodes = parse_nodes(_pages_from_docs(docs, html))
+    return (
+        nodes.where(F.col("kind") == 1)
+        .groupBy(F.col("url").cast("bigint").alias("doc_id"), "tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.similarity import brute_force_scores
+
+    return brute_force_scores(_emb(spark, sf_dir), query_vec_id=0)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.textops import text_quality
+
+    df = text_quality(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("stop_cnt").cast("bigint").alias("stop_cnt"),
+        F.col("punct_cnt").cast("bigint").alias("punct_cnt"),
+        F.col("token_cnt").cast("bigint").alias("token_cnt"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Relational pipeline operators (window dedup B9, lineage agg B7, pushdown)
+# ---------------------------------------------------------------------------
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").cast("bigint").alias("byte_count"),
+        )
+    )
+
+
+def q_tpch_q1_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse/extract round trip at sf0.001."""
+    return q_xhtml_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "xhtml_roundtrip": q_xhtml_roundtrip,
+        "xhtml_stats": q_xhtml_stats,
+        "xhtml_main_text": q_xhtml_main_text,
+        "xhtml_parse_errors": q_xhtml_parse_errors,
+        "xhtml_spans": q_xhtml_spans,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_scores": q_ann_scores,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "events_dedup": q_events_dedup,
+        "lineage_rollup": q_lineage_rollup,
+        "tpch_q1_qty": q_tpch_q1_qty,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WS_ONLY = "'^[ \\t\\n]*$'"  # regex literal for parser-whitespace-only text
+
+_SHINGLE_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE [array_to_string(ws, ' ')]
+         END AS sh
+  FROM w
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # NB: DuckDB regexes receive backslash escapes through regular
+    # string literals unchanged ('\t' is passed to RE2 verbatim).
+    stop_list = "['the','a','of','and','to','in','is','it','that','for']"
+    mh = ", ".join(
+        "list_aggregate(list_transform(sh, x -> md5('%d:' || x)), 'min') AS h%d"
+        % (j, j)
+        for j in range(4)
+    )
+    lang_counts = {
+        "en": "('the','and','of')",
+        "fr": "('le','et','les')",
+        "es": "('el','de','los')",
+        "de": "('der','und','die')",
+        "zh": "('de','le','shi')",
+    }
+    lc = ", ".join(
+        f"len(list_filter(ws, x -> x IN {m})) AS c_{lg}"
+        for lg, m in lang_counts.items()
+    )
+    best = "greatest(c_en, c_fr, c_es, c_de, c_zh)"
+    pred = (
+        "CASE WHEN c_en = g THEN 'en' WHEN c_fr = g THEN 'fr' "
+        "WHEN c_es = g THEN 'es' WHEN c_de = g THEN 'de' ELSE 'zh' END"
+    )
+    return {
+        "xhtml_roundtrip": f"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(coalesce(text, ''), {_WS_ONLY})
+                        THEN '' ELSE coalesce(text, '') END AS extracted
+            FROM documents
+        """,
+        "xhtml_stats": """
+            WITH l AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   2 + len(lines)
+                     + len(list_filter(lines,
+                           x -> NOT regexp_matches(x, '^[ \\t]*$'))) AS n_nodes,
+                   len(list_filter(lines,
+                           x -> NOT regexp_matches(x, '^[ \\t]*$'))) AS n_text,
+                   1 + len(lines) AS n_attrs
+            FROM l
+        """,
+        "xhtml_main_text": """
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, ''),
+                                  ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(11) || chr(12)) = ''
+                        THEN '' ELSE coalesce(text, '') END AS main
+            FROM documents
+        """,
+        "xhtml_parse_errors": """
+            SELECT doc_id,
+                   (doc_id % 10 NOT IN (3, 7)) AS parse_ok,
+                   CASE WHEN doc_id % 10 IN (3, 7)
+                        THEN 'InvalidXml' ELSE NULL END AS error_class
+            FROM documents
+        """,
+        "xhtml_spans": """
+            SELECT doc_id, 'html' AS tag, CAST(1 AS BIGINT) AS cnt FROM documents
+            UNION ALL
+            SELECT doc_id, 'body', CAST(1 AS BIGINT) FROM documents
+            UNION ALL
+            SELECT doc_id, 'p',
+                   CAST(len(string_split(coalesce(text, ''), chr(10))) AS BIGINT)
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_sig": _SHINGLE_CTE + f"SELECT doc_id, {mh} FROM s",
+        "ann_scores": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), qv AS (SELECT q AS qq FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> e.q[i] * qq[i])) AS BIGINT) AS dot
+            FROM e, qv WHERE e.vec_id <> 0
+        """,
+        "ann_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), qv AS (SELECT q AS qq FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> e.q[i] * qq[i])) AS BIGINT) AS dot
+            FROM e, qv WHERE e.vec_id <> 0
+            ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        "text_quality": f"""
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS n_chars,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to',
+                        'in','is','it','that','for'))) AS BIGINT) AS stop_cnt,
+                   CAST(len(regexp_extract_all(t, '[^A-Za-z0-9 \\t\\n]'))
+                        AS BIGINT) AS punct_cnt,
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'))
+                        AS BIGINT) AS token_cnt
+            FROM w
+        """,
+        "lang_id": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            ), c AS (SELECT doc_id, {lc} FROM w),
+            g AS (SELECT doc_id, c_en, c_fr, c_es, c_de, c_zh, {best} AS g FROM c)
+            SELECT doc_id, {pred} AS pred_lang FROM g
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(coalesce(text, '')),
+                       '[ \\t\\n]+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "events_dedup": """
+            SELECT user_id, event_type, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "lineage_rollup": """
+            SELECT lang, count(*) AS doc_count,
+                   CAST(sum(n_chars) AS BIGINT) AS byte_count
+            FROM documents GROUP BY lang
+        """,
+        "tpch_q1_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        # lsh_pairs, simhash, ann_lsh_topk: non-SQL-expressible /
+        # float-order-dependent -> rows-only checks (pytest covers them
+        # differentially).
+    }

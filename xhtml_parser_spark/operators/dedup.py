@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines.
+
+All of these stay JVM-side (built-in pyspark.sql.functions inside
+whole-stage codegen) except simhash, which is an Arrow-batched pandas
+pass. Scale notes per operator:
+
+  exact_dedup        one hash-aggregate shuffle on the digest; partial
+                     aggregation map-side, so the shuffle carries one
+                     row per distinct digest, not per input row
+  minhash_signatures pure map-side (no shuffle); signatures are
+                     md5-based so any SQL engine reproduces them
+  lsh_candidate_pairs
+                     band-bucket self-join: shuffles (band, hash) pairs;
+                     buckets with a single member are dropped BEFORE the
+                     join (the overwhelming majority at web scale);
+                     verified with exact shingle Jaccard afterwards
+  simhash64          map-side Arrow pass; Hamming-distance bucketing is
+                     a downstream join on the 16-bit prefix words
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# tokenization shared by all text dedup ops: whitespace words
+_WS = "[ \t\n]+"
+
+
+def words_col(text) -> "F.Column":
+    return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
+
+
+def shingles_col(text, n: int = 3) -> "F.Column":
+    """Word n-gram shingles; documents with < n words collapse to one
+    whole-text shingle (so every doc has >= 1 shingle)."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + k) for k in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: min id per md5(text). Output (h, doc_id)."""
+    return (
+        docs.select(
+            F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")).alias("h"),
+            F.col(id_col),
+        )
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """md5-based minhash: h_j(doc) = lexicographic min over shingles of
+    md5('<j>:' + shingle). Engine-portable (md5 is identical everywhere),
+    so the signature doubles as a cross-engine correctness oracle."""
+    sh = shingles_col(F.col(text_col)).alias("shingles")
+
+    def _hasher(prefix: str):
+        # closure, NOT a 2-arg lambda (Spark would bind arg 2 to the index)
+        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8"))
+
+    cols = [F.col(id_col)]
+    for j in range(n_hashes):
+        cols.append(F.array_min(F.transform(sh, _hasher(f"{j}:"))).alias(f"h{j}"))
+    return docs.select(*cols)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    jaccard_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+
+    band-explode -> bucket self-join (single-member buckets pruned
+    map-side) -> distinct candidate pairs -> exact shingle Jaccard via
+    array_intersect/array_union -> threshold filter.
+    Output (a, b, jac) with a < b.
+    """
+    sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("h"))
+                for j in range(n_hashes)
+            ])
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.h")
+    # prune singleton buckets before the join: at web scale almost every
+    # bucket has one member, so this cuts the join input by orders of
+    # magnitude (two-phase: count per bucket, keep >1)
+    hot = bands.groupBy("band", "h").count().where(F.col("count") > 1).drop("count")
+    b2 = bands.join(hot, ["band", "h"])
+    pairs = (
+        b2.alias("x")
+        .join(b2.alias("y"), ["band", "h"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+        .withColumn("sha", F.array_distinct("sha"))
+        .withColumn("shb", F.array_distinct("shb"))
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .where(F.col("jac") >= jaccard_min)
+        .select("a", "b", F.round("jac", 6).alias("jac"))
+    )
+
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        texts = pdf["text"].tolist()
+        out_h = []
+        for t in texts:
+            t = t or ""
+            counts: dict[str, int] = {}
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+            acc = [0] * 64
+            for w, c in counts.items():
+                hv = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for b in range(64):
+                    acc[b] += c if (hv >> b) & 1 else -c
+            h = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    h |= 1 << b
+            # store as signed 64-bit
+            out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
+        yield pd.DataFrame({"doc_id": ids, "simhash": out_h})
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word unigrams (md5-derived bit vectors,
+    count-weighted). Near-dup candidates downstream: join on any of the
+    four 16-bit prefix words, verify Hamming distance <= k."""
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_simhash_batches, _SIMHASH_SCHEMA)

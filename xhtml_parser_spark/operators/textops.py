@@ -1,0 +1,79 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, language ID, token counting, fingerprinting.
+
+Everything is built-in pyspark.sql.functions (JVM, codegen) -- no
+Python in the hot path. The formulas are deliberately expressible in
+ANSI SQL so the DuckDB oracle can replay them exactly; all outputs are
+integers or md5 hex strings (no float divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = "[ \t\n]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+# token pattern shared with the oracle: letter runs, digit runs, single
+# other non-ws chars (a BPE-ish first segmentation)
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "de", "los"),
+    "de": ("der", "und", "die"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def _words(text) -> "F.Column":
+    return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_words, stop_cnt, punct_cnt, token_cnt) --
+    integer quality features; ratios are downstream divisions."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = _words(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias("stop_cnt"),
+        F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9 \t\n]"), 0)).alias("punct_cnt"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("token_cnt"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: predicted = argmax of marker hits, ties
+    broken in fixed language order. Output (doc_id, pred_lang)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = _words(F.lower(t))
+    def _contains(arr):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # Spark's higher-order functions -- close over arr instead
+        return lambda x: F.array_contains(arr, x)
+
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(w, _contains(arr)))
+    langs = list(LANG_MARKERS)
+    pred = None
+    best = F.greatest(*[counts[lg] for lg in langs])
+    for lg in langs:  # first language reaching the max wins
+        cond = counts[lg] == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint (doc_id, fp)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(t), _WS, " "))
+    return docs.select(F.col(id_col), F.md5(F.encode(norm, "UTF-8")).alias("fp"))
