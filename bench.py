@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: end-to-end extraction throughput (docs/s and MB/s of HTML
+parsed) over a deterministic synthetic CC-style corpus written to
+parquet, scan -> mapInPandas parse kernel -> noop sink. Plus wall-time
+for representative operator queries at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_DOCS (override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_path(n_docs: int) -> str:
+    return f"/tmp/xps_bench_corpus_{n_docs}"
+
+
+def main() -> None:
+    sf = _sf()
+    from xhtml_parser_spark.session import get_spark
+
+    spark = get_spark("xps-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    entry._ensure_pkg(spark)
+
+    # ---- headline: parse throughput over the synthetic corpus ----
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(500, int(120000 * sf))))
+    corpus = _corpus_path(n_docs)
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from xhtml_parser_spark.sources import synthesize_pages
+
+        synthesize_pages(
+            spark, n_docs, max_b=1 << 17, partitions=4 * CPUS
+        ).write.mode("overwrite").parquet(corpus)
+
+    # CPU-bound parse stage: right-size input splits so every core gets
+    # multiple task waves (no shuffle needed -- parse is map-side; the
+    # url-hash repartition lives in the extract JOB where the output
+    # layout needs it, not in front of the parse kernel)
+    total_bytes = (
+        spark.read.parquet(corpus).selectExpr("sum(length(html)) b").collect()[0]["b"]
+    )
+    split = max(2 * 1024 * 1024, int(total_bytes / (2 * CPUS)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    pages = spark.read.parquet(corpus)
+
+    from xhtml_parser_spark.operators import parse_pages
+
+    def run_parse() -> float:
+        t0 = time.monotonic()
+        parse_pages(pages).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    run_parse()  # warm up JVM + python workers
+    times = [run_parse() for _ in range(3)]
+    parse_sec = min(times)
+    docs_per_sec = n_docs / parse_sec
+    mb_per_sec = total_bytes / parse_sec / 1e6
+
+    # ---- representative operator queries at SF_DIR ----
+    qtimes: dict[str, float] = {"parse_pipeline": round(parse_sec, 3)}
+    queries = entry.queries()
+    for name in (
+        "xhtml_roundtrip",
+        "xhtml_stats",
+        "xhtml_main_text",
+        "dedup_exact",
+        "minhash_sig",
+        "simhash",
+        "ann_scores",
+        "ann_topk",
+        "text_quality",
+        "fingerprint",
+        "events_dedup",
+        "lineage_rollup",
+        "tpch_q1_qty",
+    ):
+        t0 = time.monotonic()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "parse_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "extra": {
+            "parse_mb_per_sec": round(mb_per_sec, 2),
+            "corpus_docs": n_docs,
+            "corpus_bytes": int(total_bytes),
+            "cpus": CPUS,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,21 +106,22 @@ def extract_main_text(doc: ParsedDoc) -> bytes:
     for i in range(1, n):
         p = parent[i]
         if kind[i] == ELEMENT:
-            tag = bytes(buf[ls[i] : le[i]])
+            tag = buf[ls[i] : le[i]]  # buf frozen to bytes post-parse
             bad[i] = bad[p] or (tag in BLACKLIST)
             in_anchor[i] = in_anchor[p] or (tag == _ANCHOR)
             block_of[i] = i if tag in BLOCK_TAGS else block_of[p]
         else:  # TEXT
-            bad[i] = bad[p]
+            if bad[p]:
+                bad[i] = 1
+                continue
             in_anchor[i] = in_anchor[p]
-            block_of[i] = block_of[p]
-            if kind[i] == TEXT and not bad[i]:
-                text_ids.append(i)
-                blk = block_of[i]
-                tl = le[i] - ls[i]
-                text_len[blk] += tl
-                if in_anchor[i]:
-                    link_len[blk] += tl
+            blk = block_of[p]
+            block_of[i] = blk
+            text_ids.append(i)
+            tl = le[i] - ls[i]
+            text_len[blk] += tl
+            if in_anchor[i]:
+                link_len[blk] += tl
 
     out: list[bytes] = []
     for i in text_ids:
@@ -128,7 +129,7 @@ def extract_main_text(doc: ParsedDoc) -> bytes:
         tl = text_len[blk]
         if tl > 0 and link_len[blk] / tl > LINK_DENSITY_MAX:
             continue  # link-dominated block: navigation/boilerplate
-        seg = bytes(buf[ls[i] : le[i]])
+        seg = buf[ls[i] : le[i]]
         if seg.strip():
             out.append(seg)
     return b"".join(out)

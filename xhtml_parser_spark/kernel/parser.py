@@ -113,6 +113,8 @@ class ParsedDoc:
 
     __slots__ = (
         "buf",
+        "n_text_nodes",
+        "max_depth",
         "parent",
         "prev_sib",
         "next_sib",
@@ -154,6 +156,9 @@ class ParsedDoc:
         self.error_class: str | None = None
         self.error_pos: int | None = None
         self.error_msg: str | None = None
+        # stats tracked during the parse (free: level == depth)
+        self.n_text_nodes = 0
+        self.max_depth = 0
 
     @property
     def n_nodes(self) -> int:
@@ -165,11 +170,12 @@ class ParsedDoc:
 
     def extracted_text(self) -> bytes:
         """Per-url deliverable: Text-node bytes concatenated in document
-        order (reference read path: all_nodes(), src/document.rs:733-811)."""
+        order (reference read path: all_nodes(), src/document.rs:733-811).
+        ``buf`` is frozen to bytes after parsing, so slices are cheap."""
         buf = self.buf
         ls, le, kd = self.loc_start, self.loc_end, self.kind
         return b"".join(
-            bytes(buf[ls[i] : le[i]]) for i in range(1, len(kd)) if kd[i] == TEXT
+            buf[ls[i] : le[i]] for i in range(1, len(kd)) if kd[i] == TEXT
         )
 
 
@@ -427,6 +433,9 @@ def parse_document(xml: bytes) -> ParsedDoc:
         doc.error_class = e.error_class
         doc.error_pos = e.pos
         doc.error_msg = e.message
+    # freeze: nothing mutates after the parse; bytes slices are cheaper
+    # than bytearray slices for every downstream read
+    doc.buf = bytes(doc.buf)
     return doc
 
 
@@ -477,34 +486,17 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
 
     chartype = CHARTYPE
 
-    def add_node(parent_idx: int, last_child_idx: int, k: int, s: int, e: int) -> int:
-        # O(1) sibling link via caller-tracked last child
-        # (reference: src/document.rs:313-369).
-        idx = len(kind)
-        if first_child[parent_idx] == 0:
-            first_child[parent_idx] = idx
-            prev = idx  # first child's prev_sibling = itself (= last child)
-        else:
-            fc = first_child[parent_idx]
-            next_sib[last_child_idx] = idx
-            prev_sib[fc] = idx  # first child's prev_sibling tracks last child
-            prev = last_child_idx
-        parent.append(parent_idx)
-        prev_sib.append(prev)
-        next_sib.append(0)
-        first_child.append(0)
-        kind.append(k)
-        loc_start.append(s)
-        loc_end.append(e)
-        na = len(a_name_start)
-        attr_start.append(na)
-        attr_end.append(na)
-        return idx
+    # node-append + O(1) sibling link (reference: src/document.rs:313-369;
+    # a first child's prev_sibling tracks the parent's current LAST child)
+    # is inlined at the three add sites below -- this loop is the single
+    # hot path of the engine, and the call overhead is measurable.
 
     # parent stack: (node_idx, last_child_idx) pairs (src/parser.rs:229-241)
     stack_idx: list[int] = []
     stack_last: list[int] = []
     level = 0
+    n_text = 0
+    max_d = 0
 
     # states
     S_START, S_TAGSTART, S_TAGOPEN, S_TAGCLOSE, S_ATTR, S_PCDATA, S_END = range(7)
@@ -529,10 +521,31 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                 start = space_start
                 new_end = _parse_pcdata(buf, pc_map, start, i)
                 if level > 0:
-                    node_idx = add_node(
-                        stack_idx[level - 1], stack_last[level - 1], TEXT, start, new_end
-                    )
-                    stack_last[level - 1] = node_idx
+                    # inlined add_node (text)
+                    lv = level - 1
+                    parent_idx = stack_idx[lv]
+                    idx = len(kind)
+                    if first_child[parent_idx] == 0:
+                        first_child[parent_idx] = idx
+                        prev_sib.append(idx)
+                    else:
+                        last_child_idx = stack_last[lv]
+                        next_sib[last_child_idx] = idx
+                        prev_sib[first_child[parent_idx]] = idx
+                        prev_sib.append(last_child_idx)
+                    parent.append(parent_idx)
+                    next_sib.append(0)
+                    first_child.append(0)
+                    kind.append(TEXT)
+                    loc_start.append(start)
+                    loc_end.append(new_end)
+                    na = len(a_name_start)
+                    attr_start.append(na)
+                    attr_end.append(na)
+                    stack_last[lv] = idx
+                    n_text += 1
+                    if level >= max_d:
+                        max_d = level + 1
                 else:
                     break  # text at level 0 -> Unexpected end
             # ws-only segments produce NO node (keep_ws_only_pcdata off)
@@ -621,16 +634,33 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             if i < 0:
                 break
             name_end = _remove_ns_prefix(buf, start, i)
-            if level == 0:
-                node_idx = add_node(0, 0, ELEMENT, start, name_end)
+            # inlined add_node (element)
+            parent_idx = stack_idx[level - 1] if level else 0
+            idx = len(kind)
+            if first_child[parent_idx] == 0:
+                first_child[parent_idx] = idx
+                prev_sib.append(idx)
             else:
-                node_idx = add_node(
-                    stack_idx[level - 1], stack_last[level - 1], ELEMENT, start, name_end
-                )
-                stack_last[level - 1] = node_idx
-            stack_idx.append(node_idx)
+                last_child_idx = stack_last[level - 1] if level else 0
+                next_sib[last_child_idx] = idx
+                prev_sib[first_child[parent_idx]] = idx
+                prev_sib.append(last_child_idx)
+            parent.append(parent_idx)
+            next_sib.append(0)
+            first_child.append(0)
+            kind.append(ELEMENT)
+            loc_start.append(start)
+            loc_end.append(name_end)
+            na = len(a_name_start)
+            attr_start.append(na)
+            attr_end.append(na)
+            if level:
+                stack_last[level - 1] = idx
+            stack_idx.append(idx)
             stack_last.append(0)
             level += 1
+            if level > max_d:
+                max_d = level
             state = S_ATTR
             continue
 
@@ -764,6 +794,8 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             continue
 
         if state == S_END:
+            doc.n_text_nodes = n_text
+            doc.max_depth = max_d
             return
 
     raise _unexpected_end()

@@ -35,17 +35,22 @@ def words_col(text) -> "F.Column":
     return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
 
 
-def shingles_col(text, n: int = 3) -> "F.Column":
+def shingle_list(text: str | None, n: int = 3) -> list[str]:
     """Word n-gram shingles; documents with < n words collapse to one
-    whole-text shingle (so every doc has >= 1 shingle)."""
-    w = words_col(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + k) for k in range(n)]
-    )
-    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
-        F.array(F.array_join(w, " "))
-    )
+    whole-text shingle (so every doc has >= 1 shingle). Python-side
+    mirror of the SQL-oracle formulation.
+
+    Performance note: an all-built-in formulation with
+    element_at(words, i) inside transform() re-evaluates the split per
+    element (higher-order fns are interpreted, O(words^2) per doc), so
+    shingling runs as a vectorized Arrow pass instead.
+    """
+    import re
+
+    w = [x for x in re.split("[ \t\n]+", text or "") if x != ""]
+    if len(w) >= n:
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    return [" ".join(w)]
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,22 +65,53 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _minhash_batches(n_hashes: int, with_shingles: bool):
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            texts = pdf["text"].tolist()
+            cols: dict[str, list] = {"doc_id": ids}
+            hs: list[list[str]] = [[] for _ in range(n_hashes)]
+            shs: list[list[str]] = []
+            for t in texts:
+                sh = shingle_list(t)
+                if with_shingles:
+                    shs.append(sorted(set(sh)))
+                for j in range(n_hashes):
+                    p = f"{j}:".encode()
+                    hs[j].append(
+                        min(hashlib.md5(p + s.encode()).hexdigest() for s in sh)
+                    )
+            for j in range(n_hashes):
+                cols[f"h{j}"] = hs[j]
+            if with_shingles:
+                cols["sh"] = shs
+            yield pd.DataFrame(cols)
+
+    return run
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """md5-based minhash: h_j(doc) = lexicographic min over shingles of
-    md5('<j>:' + shingle). Engine-portable (md5 is identical everywhere),
-    so the signature doubles as a cross-engine correctness oracle."""
-    sh = shingles_col(F.col(text_col)).alias("shingles")
+    md5('<j>:' + shingle). md5 is identical in every engine, so the
+    signature doubles as a cross-engine correctness oracle.
 
-    def _hasher(prefix: str):
-        # closure, NOT a 2-arg lambda (Spark would bind arg 2 to the index)
-        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8"))
+    Map-side only (no shuffle): signatures are computed in one
+    Arrow-batched pass per partition, the posture that holds at
+    10^12 documents (LSH banding shuffles only (band, hash) keys
+    afterwards)."""
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    cols = [F.col(id_col)]
-    for j in range(n_hashes):
-        cols.append(F.array_min(F.transform(sh, _hasher(f"{j}:"))).alias(f"h{j}"))
-    return docs.select(*cols)
+    schema = StructType(
+        [StructField("doc_id", docs.schema[id_col].dataType)]
+        + [StructField(f"h{j}", StringType()) for j in range(n_hashes)]
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_minhash_batches(n_hashes, False), schema)
 
 
 def lsh_candidate_pairs(
@@ -92,9 +128,17 @@ def lsh_candidate_pairs(
     array_intersect/array_union -> threshold filter.
     Output (a, b, jac) with a < b.
     """
-    sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", docs.schema[id_col].dataType)]
+        + [StructField(f"h{j}", StringType()) for j in range(n_hashes)]
+        + [StructField("sh", ArrayType(StringType()))]
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sigs = src.mapInPandas(_minhash_batches(n_hashes, True), schema)
     bands = sigs.select(
-        F.col(id_col).alias("id"),
+        F.col("doc_id").alias("id"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("h"))
@@ -114,14 +158,10 @@ def lsh_candidate_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
-    )
+    sh = sigs.select(F.col("doc_id").alias("id"), "sh")
     return (
         pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
-        .withColumn("sha", F.array_distinct("sha"))
-        .withColumn("shb", F.array_distinct("shb"))
         .withColumn(
             "jac",
             F.size(F.array_intersect("sha", "shb"))

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.extract import compute_depth_and_last_descendant, doc_stats, extract_main_text
+from ..kernel.extract import compute_depth_and_last_descendant, extract_main_text
 from ..kernel.parser import parse_document
 
 PARSED_SCHEMA = StructType(
@@ -105,7 +105,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if doc.ok:
                 text = doc.extracted_text()
                 text_main = extract_main_text(doc)
-                n_nodes, n_attrs, n_text, max_depth = doc_stats(doc)
+                n_nodes = doc.n_nodes - 1
+                n_attrs = doc.n_attrs
+                n_text = doc.n_text_nodes
+                max_depth = doc.max_depth
             else:
                 text = b""
                 text_main = b""
