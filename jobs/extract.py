@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the extraction pipeline.
+
+  spark-submit --py-files dist/xhtml_parser_spark.zip jobs/extract.py \
+      --input /data/pages --output /data/extracted --run-id run-001 \
+      [--slices 256] [--partitions 4096] [--max-slices N]
+
+Resumable: re-running with the same --output skips committed slices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--max-slices", type=int, default=None)
+    args = ap.parse_args()
+
+    from xhtml_parser_spark.session import get_spark
+    from xhtml_parser_spark.plans import run_extract
+
+    spark = get_spark("xps-extract")
+    summary = run_extract(
+        spark,
+        input_path=args.input,
+        output_path=args.output,
+        run_id=args.run_id,
+        n_slices=args.slices,
+        partitions=args.partitions,
+        max_slices=args.max_slices,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

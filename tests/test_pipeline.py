@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests: snapshot commits, lineage, resume-after-
+kill, byte-identity through the whole job, salted host stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.kernel import parse_document
+from xhtml_parser_spark.plans import run_extract
+from xhtml_parser_spark.plans.extract_job import host_stats, read_extracted, read_lineage
+from xhtml_parser_spark.sources import gen_page, synthesize_pages
+
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "pages")
+    synthesize_pages(spark, N_DOCS, max_b=8192).write.parquet(p)
+    return p
+
+
+def test_extract_job_end_to_end(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    summary = run_extract(spark, corpus_path, out, run_id="r1", n_slices=4)
+    assert len(summary["processed"]) == 4
+
+    ext = read_extracted(spark, out)
+    assert ext.count() == N_DOCS
+    assert ext.select("url").distinct().count() == N_DOCS  # no dup urls
+
+    # lineage: per (slice, partition) rows; totals reconcile with data
+    lin = read_lineage(spark, out)
+    tot = lin.agg(
+        F.sum("doc_count").alias("d"), F.sum("parse_error_count").alias("e")
+    ).collect()[0]
+    assert tot["d"] == N_DOCS
+    assert tot["e"] == 3  # 1% malformed slots in 300 docs
+    assert set(lin.columns) == {
+        "run_id", "slice_id", "partition_id", "doc_count",
+        "byte_count", "parse_error_count", "wall_ms",
+    }
+
+    # byte identity through the whole pipeline, spot-checked
+    rows = ext.where(F.col("parse_ok")).orderBy("url").limit(20).collect()
+    for r in rows:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        local = parse_document(gen_page(doc_id, max_b=8192)[2])
+        assert bytes(r["text"]) == local.extracted_text()
+
+
+def test_resume_after_partial_run(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "extracted_resume")
+    # simulate a mid-run kill: only 2 of 4 slices commit
+    s1 = run_extract(spark, corpus_path, out, run_id="rA", n_slices=4, max_slices=2)
+    assert len(s1["processed"]) == 2
+    # partial table is readable and incomplete
+    assert read_extracted(spark, out).count() < N_DOCS
+
+    # resume: processes ONLY the remaining slices under a new run id
+    s2 = run_extract(spark, corpus_path, out, run_id="rB", n_slices=4)
+    assert sorted(x["slice_id"] for x in s2["processed"]) == sorted(
+        set(range(4)) - {x["slice_id"] for x in s1["processed"]}
+    )
+    assert s2["skipped_committed"] == sorted(x["slice_id"] for x in s1["processed"])
+
+    ext = read_extracted(spark, out)
+    assert ext.count() == N_DOCS
+    assert ext.select("url").distinct().count() == N_DOCS  # no duplicates
+
+    # third run: everything committed, nothing to do
+    s3 = run_extract(spark, corpus_path, out, run_id="rC", n_slices=4)
+    assert s3["processed"] == []
+    assert read_extracted(spark, out).count() == N_DOCS
+
+    # lineage records both contributing runs
+    lin = read_lineage(spark, out)
+    runs = {r["run_id"] for r in lin.select("run_id").distinct().collect()}
+    assert runs == {"rA", "rB"}
+
+
+def test_uncommitted_slice_invisible(spark, corpus_path, tmp_path):
+    """Orphan data without a manifest must be invisible to readers."""
+    out = str(tmp_path / "extracted_orphan")
+    run_extract(spark, corpus_path, out, run_id="r1", n_slices=2, max_slices=1)
+    # fake an orphan: data dir exists, no manifest
+    orphan = os.path.join(out, "data", "slice=1")
+    os.makedirs(orphan, exist_ok=True)
+    n = read_extracted(spark, out).count()
+    run_extract(spark, corpus_path, out, run_id="r2", n_slices=2)
+    assert read_extracted(spark, out).count() == N_DOCS
+    assert n < N_DOCS
+
+
+def test_host_stats_salted(spark, corpus_path):
+    pages = spark.read.parquet(corpus_path)
+    stats = host_stats(pages, salts=8)
+    rows = stats.collect()
+    assert sum(r["doc_count"] for r in rows) == N_DOCS
+    top = max(rows, key=lambda r: r["doc_count"])
+    assert top["doc_count"] >= N_DOCS * 0.05  # Zipf head present
+    # cross-check against a plain groupBy
+    plain = (
+        pages.select(F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"))
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert {r["host"]: r["count"] for r in plain} == {
+        r["host"]: r["doc_count"] for r in rows
+    }
