@@ -1,0 +1,76 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These assert on .explain() output so regressions in scan pruning,
+filter pushdown, or broadcast strategy fail loudly in CI rather than
+silently costing a full-corpus read at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.operators import parse_pages
+from xhtml_parser_spark.operators.similarity import brute_force_scores
+from xhtml_parser_spark.sources import synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    synthesize_pages(spark, 50, max_b=4096).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parse_scan_prunes_to_url_html(spark, pages_path):
+    """The parse stage must read ONLY (url, html) -- a scan that also
+    reads text/lang/warc_ts wastes 3 columns of IO per page."""
+    df = parse_pages(spark.read.parquet(pages_path))
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "url" in m.group(1) and "html" in m.group(1)
+    for col in ("warc_ts", "lang"):
+        assert col not in m.group(1), f"{col} not pruned:\n{m.group(1)}"
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path).where(F.col("lang") == "en").select("url")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_parse_is_single_stage_no_shuffle(spark, pages_path):
+    """parse_pages is map-side only: no Exchange may appear."""
+    df = parse_pages(spark.read.parquet(pages_path))
+    assert "Exchange" not in _plan(df)
+
+
+def test_ann_query_vector_is_broadcast(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(brute_force_scores(emb, query_vec_id=0))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_events_window_single_shuffle(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_dedup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # exactly one exchange: the window partitioning
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan

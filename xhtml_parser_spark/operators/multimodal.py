@@ -1,0 +1,200 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media rides as opaque ``binary`` columns with typed metadata structs --
+the same posture as the ``html: binary`` pages column. All Spark-side
+plumbing (schemas, Arrow batch shapes, partition sizing) is real and
+tested; the actual codec work is stubbed because no image/audio
+libraries exist in this container:
+
+  * ``decode_image_meta`` parses real magic bytes + container headers
+    (PNG/JPEG/GIF dimensions) with pure byte arithmetic -- no library
+    needed, genuinely functional.
+  * ``extract_features`` produces a deterministic fake embedding
+    (byte-histogram, documented as a stand-in) so downstream
+    similarity/dedup plumbing is exercised end-to-end.
+  * ``frame_sample`` raises NotImplementedError behind a clearly-marked
+    stub unless given the fake 'rawvid' container, whose layout is
+    documented below.
+
+Scale notes: media rows are large; the operators run through
+mapInPandas with the session's bounded Arrow batch rows, and the
+recommended layout is one media item per row, partitioned by content
+hash (co-locates exact-dup detection).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("valid", StringType()),  # ok | unknown-format | truncated
+    ]
+)
+
+
+def _sniff_image(b: bytes) -> tuple[str, int, int, str]:
+    """Header-only dimension extraction: PNG IHDR, GIF logical screen,
+    JPEG SOF scan. Pure byte arithmetic (no codec)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h, "ok"
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h, "ok"
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h, "ok"
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", 0, 0, "truncated"
+    return "unknown", 0, 0, "unknown-format"
+
+
+def _image_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k.name: [] for k in IMAGE_META_SCHEMA.fields}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            fmt, w, h, valid = _sniff_image(b)
+            out["media_id"].append(int(mid))
+            out["format"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_bytes"].append(len(b))
+            out["valid"].append(valid)
+        yield pd.DataFrame(out)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) -> typed image metadata. Map-side."""
+    return media.select("media_id", "payload").mapInPandas(
+        _image_meta_batches, IMAGE_META_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, embs = [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            # STUB FEATURE EXTRACTOR: deterministic 64-bin byte histogram,
+            # L2-normalized. A real extractor (CLIP/ResNet/NeMo) slots in
+            # here unchanged -- same signature, same Arrow batch shape.
+            hist = np.bincount(
+                np.frombuffer(b, dtype=np.uint8) >> 2, minlength=64
+            ).astype(np.float64)
+            n = np.linalg.norm(hist)
+            embs.append((hist / n if n else hist).astype(np.float32).tolist())
+            ids.append(int(mid))
+        yield pd.DataFrame({"media_id": ids, "embedding": embs})
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in embedding per media item (see stub note)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _feature_batches, FEATURE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+_RAWVID_MAGIC = b"RAWVID01"
+
+
+def make_rawvid(frames: list[bytes]) -> bytes:
+    """Deterministic fake video container for testing the sampling
+    plumbing: magic + u32 frame count + (u32 length + payload)*."""
+    out = [_RAWVID_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _frame_sample_batches(every_n: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if not b.startswith(_RAWVID_MAGIC):
+                    # STUB: real demuxing (mp4/webm) needs av/ffmpeg,
+                    # absent in this container
+                    raise NotImplementedError(
+                        "frame_sample supports only the rawvid test "
+                        "container here; plug ffmpeg/PyAV for real video"
+                    )
+                (n,) = struct.unpack("<I", b[8:12])
+                p = 12
+                for i in range(n):
+                    (ln,) = struct.unpack("<I", b[p : p + 4])
+                    frame = b[p + 4 : p + 4 + ln]
+                    p += 4 + ln
+                    if i % every_n == 0:
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(i)
+                        out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """1-in-N frame sampling: one input row fans out to many frame rows
+    (mapInPandas is a flatMap, so the fan-out is streaming-friendly)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _frame_sample_batches(every_n), FRAME_SCHEMA
+    )
