@@ -52,8 +52,6 @@ from .chartype import (
     CHARTYPE,
     START_SYMBOL,
     T_SCAN_ATRNORM,
-    T_SCAN_CLOSE,
-    T_SCAN_PCDATA,
     T_SKIP_SPACE,
     T_SKIP_SYMBOL,
 )
@@ -278,22 +276,29 @@ def _translate_sequence(buf: bytearray, frm: int, to: int) -> tuple[int, int] | 
     return (end + 1, to + n)
 
 
-def _parse_pcdata(buf: bytearray, pc_map: bytes, start: int, end: int) -> int:
+def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
     """In-place entity expansion + compaction of a text range; returns the
     new end. Decoded bytes are never re-scanned (so '&#38;amp;' yields a
     literal '&amp;'). Reference: src/parser.rs:664-732.
 
-    ``pc_map`` is the pristine-buffer PARSE_PCDATA classification; all
-    scans here touch positions >= ``frm`` which mutation never reaches
-    (writes land strictly below the read cursor), so the stale map is
-    sound -- mirroring the reference's forward-only in-situ rewrite.
+    The PARSE_PCDATA class is exactly {'&', '\\r'}, so the scan is two
+    live ``find`` calls (scans read at/after ``frm``, which in-situ
+    rewriting never touches -- writes land strictly below the read
+    cursor, mirroring the reference's forward-only rewrite).
 
     Raw CR (the other PARSE_PCDATA byte) is reference UB -> UnsupportedCR.
     """
     to = start
     frm = start
     while True:
-        np_ = pc_map.find(1, frm, end)
+        na = buf.find(_AMP, frm, end)
+        nr = buf.find(13, frm, end)
+        if na < 0:
+            np_ = nr
+        elif nr < 0:
+            np_ = na
+        else:
+            np_ = na if na < nr else nr
         if np_ < 0:
             np_ = end
         if np_ >= end:
@@ -326,26 +331,32 @@ def _parse_pcdata(buf: bytearray, pc_map: bytes, start: int, end: int) -> int:
     return to
 
 
-def _normalize_attr_fast(buf: bytearray, an_map: bytes, start: int, end: int) -> int:
+def _normalize_attr_fast(buf: bytearray, start: int, end: int) -> int:
     """Attribute-value normalization, fast path (valid/no escapes).
 
     Reference: src/parser.rs:751-809. Leading ws dropped, each internal
     ws run -> one 0x20, ONE trailing 0x20 trimmed, entities decoded
     inline (decoded bytes opaque to collapsing). Returns new end.
 
+    A local classification map over just the value range drives the
+    scan (values are tiny relative to the document; classifying the
+    whole buffer for this was measurable memory traffic). The map is
+    pristine-value state; sound because scans read at/after ``frm``
+    and rewrites land strictly below it.
+
     Raises _AttrQuirk when an invalid escape is hit: the reference's
     invalid-escape branch leaves ``from`` stale (src/parser.rs:790-794),
-    re-reading bytes its own copy_within already moved -- behavior the
-    stale ``an_map`` cannot reproduce. The caller restores the pristine
-    value bytes and replays with the live-buffer slow path.
+    re-reading bytes its own copy_within already moved -- behavior a
+    stale map cannot reproduce. The caller restores the pristine value
+    bytes and replays with the live-buffer slow path.
     """
+    lm = bytes(buf[start:end]).translate(T_SCAN_ATRNORM)
     to = start
     frm = start
     space_added = False
     while True:
-        np_ = an_map.find(1, frm, end)
-        if np_ < 0:
-            np_ = end
+        rel = lm.find(1, frm - start)
+        np_ = start + rel if rel >= 0 else end
         if np_ >= end:
             if frm != to:
                 buf[to : to + (end - frm)] = buf[frm:end]
@@ -461,14 +472,13 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
     buf = bytearray(xml)
     doc.buf = buf
 
-    # One O(n) classification pass per scan kind, C-speed, on the
-    # pristine bytes. Sound because every scan reads at/after the read
+    # Two O(n) classification passes, C-speed, on the pristine bytes
+    # (whitespace runs and symbol runs are the only scans frequent
+    # enough to earn a whole-buffer pass; every other scan is a live
+    # bounded find). Sound because every scan reads at/after the read
     # cursor, and in-situ rewrites land strictly below it.
     sp_skip = xml.translate(T_SKIP_SPACE)   # find(1,p) = first non-ws
     sym_skip = xml.translate(T_SKIP_SYMBOL)  # find(1,p) = first non-symbol
-    close_scan = xml.translate(T_SCAN_CLOSE)  # find(1,p) = first ws-or-'>'
-    an_map = xml.translate(T_SCAN_ATRNORM)
-    pc_map = xml.translate(T_SCAN_PCDATA)
 
     parent = doc.parent
     prev_sib = doc.prev_sib
@@ -519,7 +529,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                 break  # text not followed by '<' -> Unexpected end
             if i > start:
                 start = space_start
-                new_end = _parse_pcdata(buf, pc_map, start, i)
+                new_end = _parse_pcdata(buf, start, i)
                 if level > 0:
                     # inlined add_node (text)
                     lv = level - 1
@@ -721,12 +731,12 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             if buf.find(_AMP, value_start, i) >= 0:
                 saved = bytes(buf[value_start:i])
                 try:
-                    value_end = _normalize_attr_fast(buf, an_map, value_start, i)
+                    value_end = _normalize_attr_fast(buf, value_start, i)
                 except _AttrQuirk:
                     buf[value_start:i] = saved
                     value_end = _normalize_attr_quirk(buf, value_start, i)
             else:
-                value_end = _normalize_attr_fast(buf, an_map, value_start, i)
+                value_end = _normalize_attr_fast(buf, value_start, i)
             a_name_end_ = _remove_ns_prefix(buf, start, name_end_raw)
             if level > 0:
                 owner = stack_idx[level - 1]
@@ -743,7 +753,16 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
 
         if state == S_TAGCLOSE:
             start = i
-            i = close_scan.find(1, i)
+            # scan_until_chartype(ParseCloseTag): closing names are
+            # symbol runs, and PARSE_CLOSE bytes are never symbols, so
+            # jump the symbol run and walk the (almost always empty)
+            # remainder per byte
+            i = sym_skip.find(1, i)
+            if i >= 0:
+                while i < size and not (chartype[buf[i]] & 16):  # PARSE_CLOSE
+                    i += 1
+                if i >= size:
+                    i = -1
             if i < 0:
                 break
             if i == start:
