@@ -204,22 +204,31 @@ def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
 
 
 def last_descendant(doc: ParsedDoc, node_idx: int) -> Optional[int]:
-    """Reference: src/document.rs:539-583 (climb parents until a
-    next_sibling exists; that minus one)."""
+    """Last descendant of node_idx (documented reference semantics:
+    climb until an ancestor-or-self has a next sibling; that minus one,
+    src/document.rs:505-583).
+
+    Documented deviation: the reference's implementation starts the
+    climb at the node's PARENT (src/document.rs:551-552), so for a node
+    with a following sibling it overshoots into the node's own siblings
+    -- a latent defect its test suite never reaches (it only exercises
+    root, which is special-cased, and leaves, which return None). This
+    engine implements the documented intent: descendants(k) is exactly
+    the contiguous index range k+1..=last_descendant(k).
+    """
     n = doc.n_nodes
     if node_idx == 0 or doc.first_child[node_idx] == 0 or node_idx >= n - 1:
         return None
     if node_idx == 1:
-        return n - 1
-    up = doc.parent[node_idx]
-    last = doc.next_sib[up]
-    while last == 0:
-        up = doc.parent[up]
-        if up <= 1:
-            last = n
-            break
-        last = doc.next_sib[up]
-    return last - 1
+        return n - 1  # reference-parity special case (src/document.rs:545-547)
+    cur = node_idx
+    while True:
+        ns = doc.next_sib[cur]
+        if ns:
+            return ns - 1
+        cur = doc.parent[cur]
+        if cur <= 1:
+            return n - 1
 
 
 # ---------------------------------------------------------------------------

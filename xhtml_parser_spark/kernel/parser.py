@@ -397,7 +397,21 @@ def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
     the reference's stale-``from`` invalid-escape quirk byte-for-byte
     (src/parser.rs:751-809: on invalid escape, ``from`` advances from its
     PRE-COPY value, so already-moved bytes are re-read and duplicated).
+
+    When the duplication pushes the write cursor past the value range,
+    the reference clobbers the closing quote / following attributes and
+    ultimately panics on an out-of-bounds copy_within -- undefined
+    behavior we flag as an error row instead (SURVEY §7.4 policy),
+    error_class='AttrNormCorruption'.
     """
+    def _overflow(pos: int) -> ParseError:
+        return ParseError(
+            "Attribute normalization overran the value range "
+            f"at position {pos} (reference UB: buffer corruption)",
+            pos,
+            error_class="AttrNormCorruption",
+        )
+
     to = start
     frm = start
     space_added = False
@@ -408,15 +422,21 @@ def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
                 np_ = p
                 break
         if np_ >= end:
+            if to + (end - frm) > end:
+                raise _overflow(to)
             buf[to : to + (end - frm)] = buf[frm:end]
             to += end - frm
             if to > start and buf[to - 1] == _SPACE:
                 to -= 1
             break
         if np_ > frm:
+            if to + (np_ - frm) > end:
+                raise _overflow(to)
             buf[to : to + (np_ - frm)] = buf[frm:np_]
             to += np_ - frm
             space_added = False
+        if to > end:
+            raise _overflow(to)
         if buf[np_] == _AMP:
             r = _translate_sequence(buf, np_ + 1, to)
             if r is not None:
@@ -426,6 +446,8 @@ def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
             space_added = False
         else:
             if not space_added and to != start:
+                if to >= end:
+                    raise _overflow(to)
                 buf[to] = _SPACE
                 to += 1
                 space_added = True

@@ -11,10 +11,32 @@ tens-of-MB range an executor core can hold.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 ARROW_BATCH_ROWS = 256
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on python workers regardless of the
+    driver's cwd/sys.path (mapInPandas closures are pickled by module
+    reference, so workers must import ``xhtml_parser_spark`` themselves).
+    Zips the package and addPyFile's it -- works in any deploy mode."""
+    if getattr(ship_package, "_done", None) is spark:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.dirname(pkg_root)
+    zpath = os.path.join(tempfile.gettempdir(), "xhtml_parser_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, base))
+    spark.sparkContext.addPyFile(zpath)
+    ship_package._done = spark
 
 
 def get_spark(
@@ -25,7 +47,7 @@ def get_spark(
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
-    return (
+    spark = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,3 +63,5 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
+    ship_package(spark)
+    return spark
