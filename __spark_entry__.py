@@ -197,6 +197,31 @@ def q_xhtml_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded attribute table -> per-document attribute-name counts
+    (duplicate names kept: two class attrs on the marker element)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import parse_attrs
+
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    html = F.concat(
+        F.lit('<html lang="x"><body><div class="m" class="m2" id="top">'),
+        F.array_join(
+            F.transform(
+                lines, lambda x: F.concat(F.lit('<p class="l">'), esc(x), F.lit("</p>"))
+            ),
+            "",
+        ),
+        F.lit("</div></body></html>"),
+    )
+    attrs = parse_attrs(_pages_from_docs(docs, html))
+    return attrs.groupBy(F.col("url").cast("bigint").alias("doc_id"), "name").agg(
+        F.count("*").alias("cnt")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.dedup import exact_dedup
 
@@ -325,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_main_text": q_xhtml_main_text,
         "xhtml_parse_errors": q_xhtml_parse_errors,
         "xhtml_spans": q_xhtml_spans,
+        "xhtml_attrs": q_xhtml_attrs,
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
@@ -430,6 +456,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'p',
                    CAST(len(string_split(coalesce(text, ''), chr(10))) AS BIGINT)
+            FROM documents
+        """,
+        "xhtml_attrs": """
+            SELECT doc_id, 'lang' AS name, CAST(1 AS BIGINT) AS cnt FROM documents
+            UNION ALL SELECT doc_id, 'id', CAST(1 AS BIGINT) FROM documents
+            UNION ALL
+            SELECT doc_id, 'class',
+                   CAST(2 + len(string_split(coalesce(text, ''), chr(10)))
+                        AS BIGINT)
             FROM documents
         """,
         "dedup_exact": """

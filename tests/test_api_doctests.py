@@ -1,0 +1,109 @@
+"""API parity with the reference's own doc-test examples, transcribed
+from the rustdoc examples in src/document.rs and src/node.rs."""
+
+from __future__ import annotations
+
+import pytest
+
+from xhtml_parser_spark.kernel import parse_document
+from xhtml_parser_spark.kernel.document import (
+    all_nodes,
+    get_node,
+    is_empty,
+    last_descendant,
+    last_node_idx,
+    next_seq_node,
+    previous_seq_node,
+    root,
+)
+
+
+def test_document_new_doctest():
+    # src/document.rs:52-69
+    doc = parse_document(b"<root><child>Text</child></root>")
+    r = root(doc)
+    assert r.tag_name() == "root"
+    child = r.first_child()
+    assert child.tag_name() == "child"
+    assert child.first_child().text() == "Text"
+
+
+def test_all_nodes_doctest():
+    # src/document.rs:712-732
+    doc = parse_document(b"<root><child>Text</child><totototo/></root>")
+    nodes = list(all_nodes(doc))
+    assert len(nodes) == 4
+    assert nodes[0].is_("root")
+    assert nodes[1].is_("child")
+    assert nodes[2].text() == "Text"
+    assert nodes[3].is_("totototo")
+    assert nodes[3].is_element()
+    assert nodes[2].is_text()
+    assert nodes[0].is_root()
+    assert nodes[0].has_children() and nodes[1].has_children()
+    assert not nodes[2].has_children() and not nodes[3].has_children()
+
+
+def test_descendants_doctest():
+    # src/document.rs:485-498
+    doc = parse_document(b"<root><child>Text</child><last/></root>")
+    r = root(doc)
+    desc = list(r.descendants())
+    assert len(desc) == 3
+    assert desc[0].is_("child")
+    assert desc[1].text() == "Text"
+    assert desc[2].is_("last")
+
+
+def test_last_descendant_doctest():
+    # src/document.rs:516-530
+    doc = parse_document(b"<root><child>Text</child>boo<last/></root>")
+    r = root(doc)
+    last = last_descendant(doc, r.idx)
+    assert last is not None
+    assert get_node(doc, last).is_("last")
+    assert last_descendant(doc, last) is None
+
+
+def test_get_node_and_bounds():
+    doc = parse_document(b"<root><child>Content</child></root>")
+    assert get_node(doc, 0).node_type() == 0  # head is accessible
+    with pytest.raises(ValueError, match="Invalid node index"):
+        get_node(doc, 9999)
+
+
+def test_is_empty_and_last_node_idx():
+    doc = parse_document(b"<root/>")
+    assert not is_empty(doc)
+    assert last_node_idx(doc) == 1
+
+
+def test_seq_navigation():
+    doc = parse_document(b"<a><b/>t</a>")
+    assert next_seq_node(doc, 1).idx == 2
+    assert next_seq_node(doc, 3) is None
+    assert previous_seq_node(doc, 2).idx == 1
+    assert previous_seq_node(doc, 1) is None
+
+
+def test_children_siblings_doctests():
+    # src/node.rs children/first_child/last_child/next/prev examples
+    doc = parse_document(b"<root><child1/><child2/></root>")
+    r = root(doc)
+    kids = list(r.children())
+    assert len(kids) == 2
+    assert kids[0].is_("child1") and kids[1].is_("child2")
+    assert r.first_child().next_sibling().is_("child2")
+    assert r.last_child().prev_sibling().is_("child1")
+
+
+def test_get_child_get_sibling_get_attribute():
+    doc = parse_document(
+        b"<parent><child1 name='<go>'/>text<child2 name='rust'/></parent>"
+    )
+    r = root(doc)
+    c1 = r.get_child("child1")
+    assert c1 is not None and c1.get_attribute("name") == "<go>"
+    c2 = c1.get_sibling("child2")
+    assert c2 is not None and c2.get_attribute("name") == "rust"
+    assert r.get_child("child2").idx == c2.idx

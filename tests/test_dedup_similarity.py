@@ -1,0 +1,123 @@
+"""Differential tests for dedup and similarity operators on corpora
+with KNOWN near-duplicate structure (the driver testdata has none, so
+these prove the recall/verify path actually fires)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_list,
+    simhash64,
+)
+from xhtml_parser_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "archivists catalogue ancient manuscripts beneath flickering "
+    "lamplight and distant engines hum through the northern valley"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, BASE + " every winter morning brings fresh snow"),  # superset
+        (4, "completely different content about basalt canyon geometry"),
+        (5, "another unrelated document mentioning copper rooftops"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_list():
+    assert shingle_list("a b c d") == ["a b c", "b c d"]
+    assert shingle_list("a b") == ["a b"]
+    assert shingle_list("") == [""]
+    assert shingle_list("  a\t b \n c ") == ["a b c"]
+
+
+def test_exact_dedup_keeps_min_id(spark, near_dup_docs):
+    got = exact_dedup(near_dup_docs).collect()
+    kept = sorted(r["doc_id"] for r in got)
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 deduped into 0
+
+
+def test_minhash_identical_docs_share_signature(spark, near_dup_docs):
+    sigs = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+            for r in minhash_signatures(near_dup_docs).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup shares at least one band with the original
+    assert any(a == b for a, b in zip(sigs[0], sigs[2]))
+    # unrelated docs share no band
+    assert all(a != b for a, b in zip(sigs[0], sigs[4]))
+
+
+def test_lsh_pairs_find_near_dups(spark, near_dup_docs):
+    pairs = {
+        (r["a"], r["b"]): r["jac"]
+        for r in lsh_candidate_pairs(near_dup_docs, jaccard_min=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) in pairs  # superset keeps high containment-ish jaccard
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_hamming_structure(spark, near_dup_docs):
+    hs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+          for r in simhash64(near_dup_docs).collect()}
+    assert hs[0] == hs[1]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(hs[0], hs[2]) <= 8  # near-dup: few bits flip
+    assert hamming(hs[0], hs[4]) > 12  # unrelated: many bits differ
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    # two tight clusters around orthogonal axes + the query vector
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.0, 1.0, 0.001 * i]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_cluster(spark, clustered_emb):
+    top = brute_force_topk(clustered_emb, query_vec_id=0, k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids) <= set(range(1, 10))  # same cluster only
+
+
+def test_cosine_topk_matches_dot_ranking(spark, clustered_emb):
+    c = [r["vec_id"] for r in cosine_topk(clustered_emb, query_vec_id=0, k=5).collect()]
+    assert set(c) <= set(range(1, 10))
+
+
+def test_ann_lsh_recall_on_clusters(spark, clustered_emb):
+    got = {r["vec_id"] for r in ann_lsh_topk(clustered_emb, query_vec_id=0, k=5).collect()}
+    brute = {r["vec_id"] for r in brute_force_topk(clustered_emb, query_vec_id=0, k=5).collect()}
+    # hyperplane buckets keep the query's own tight cluster together
+    assert got
+    assert got <= set(range(1, 10))
+    assert len(got & brute) >= 3  # recall on a trivially-clustered set
+
+
+def test_simhash_signed_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x " * 100)], "doc_id long, text string")
+    r = simhash64(df).collect()[0]
+    assert -(1 << 63) <= r["simhash"] < (1 << 63)

@@ -196,6 +196,36 @@ def root(doc: ParsedDoc) -> Optional[Node]:
     return Node(doc, 1) if doc.n_nodes > 1 else None
 
 
+def is_empty(doc: ParsedDoc) -> bool:
+    """Only the head node exists (src/document.rs:166-170)."""
+    return doc.n_nodes <= 1
+
+
+def last_node_idx(doc: ParsedDoc) -> int:
+    """Reference: src/document.rs:177-185."""
+    return 0 if is_empty(doc) else doc.n_nodes - 1
+
+
+def get_node(doc: ParsedDoc, node_idx: int) -> Node:
+    """Bounds-checked access (src/document.rs:200-234); raises ValueError
+    with the reference's message on an invalid index."""
+    if node_idx < 0 or node_idx >= doc.n_nodes:
+        raise ValueError(f"Invalid node index: {node_idx}")
+    return Node(doc, node_idx)
+
+
+def next_seq_node(doc: ParsedDoc, current: int) -> Optional[Node]:
+    """Document-order +1 (src/document.rs:586-595)."""
+    nxt = current + 1
+    return Node(doc, nxt) if nxt < doc.n_nodes else None
+
+
+def previous_seq_node(doc: ParsedDoc, current: int) -> Optional[Node]:
+    """Document-order -1 (src/document.rs:597-607)."""
+    prev = current - 1
+    return Node(doc, prev) if prev > 0 else None
+
+
 def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
     """Document-order iteration (src/document.rs:733-811): node indices
     ARE document order, so this is just 1..=last."""
