@@ -502,6 +502,11 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
     sp_skip = xml.translate(T_SKIP_SPACE)   # find(1,p) = first non-ws
     sym_skip = xml.translate(T_SKIP_SYMBOL)  # find(1,p) = first non-symbol
 
+    # bound methods: attribute lookups are measurable at ~1M calls/doc-batch
+    bfind = buf.find
+    sp_find = sp_skip.find
+    sym_find = sym_skip.find
+
     parent = doc.parent
     prev_sib = doc.prev_sib
     next_sib = doc.next_sib
@@ -538,20 +543,21 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
     while True:
         if state == S_PCDATA:
             space_start = i  # default profile keeps leading ws (src/parser.rs:1315-1319)
-            i = sp_skip.find(1, i)
+            i = sp_find(1, i)
             if i < 0:
                 state = S_END
                 continue
-            if i >= size:
-                state = S_END
-                continue
             start = i
-            i = buf.find(_LT, i)
+            i = bfind(_LT, i)
             if i < 0:
                 break  # text not followed by '<' -> Unexpected end
             if i > start:
                 start = space_start
-                new_end = _parse_pcdata(buf, start, i)
+                # fast path: no '&' and no CR -> the range is the text
+                if bfind(_AMP, start, i) < 0 and bfind(13, start, i) < 0:
+                    new_end = i
+                else:
+                    new_end = _parse_pcdata(buf, start, i)
                 if level > 0:
                     # inlined add_node (text)
                     lv = level - 1
@@ -599,15 +605,15 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                     if buf[i : i + 2] == b"--":
                         i += 2
                         # bounded 5000-byte window (src/parser.rs:942)
-                        p = buf.find(b"-->", i, i + 5000)
+                        p = bfind(b"-->", i, i + 5000)
                         if p < 0:
                             break
                         i = p + 3
                     elif buf[i : i + 7] == b"DOCTYPE":
                         i += 7
                         # scan for '>' or '[' (src/parser.rs:948-955)
-                        pg = buf.find(_GT, i)
-                        pb = buf.find(_LBRACKET, i)
+                        pg = bfind(_GT, i)
+                        pb = bfind(_LBRACKET, i)
                         if pg < 0 and pb < 0:
                             break
                         if pg < 0:
@@ -617,11 +623,11 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                         else:
                             i = min(pg, pb)
                         if buf[i] == _LBRACKET:
-                            i = buf.find(_RBRACKET, i)
+                            i = bfind(_RBRACKET, i)
                             if i < 0:
                                 break
                             i += 1  # skip ']'
-                            i = sp_skip.find(1, i)
+                            i = sp_find(1, i)
                             if i < 0:
                                 break
                             if buf[i] == _GT:
@@ -635,7 +641,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                         # '>', subset path swallows the byte AFTER it)
                     elif buf[i : i + 7] == b"[CDATA[":
                         i += 7
-                        p = buf.find(b"]]>", i, i + 5000)
+                        p = bfind(b"]]>", i, i + 5000)
                         if p < 0:
                             break
                         i = p + 3
@@ -648,7 +654,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                 continue
             if c == _QUEST:
                 i += 1
-                p = buf.find(b"?>", i, i + 500)
+                p = bfind(b"?>", i, i + 500)
                 if p < 0:
                     break
                 i = p + 2
@@ -662,10 +668,17 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             if not (chartype[buf[i]] & START_SYMBOL):
                 raise _invalid(buf, "Tag name must start with a letter or underscore", i)
             i += 1
-            i = sym_skip.find(1, i)
+            i = sym_find(1, i)
             if i < 0:
                 break
-            name_end = _remove_ns_prefix(buf, start, i)
+            # inlined first-colon namespace strip (src/parser.rs:865-879)
+            colon = bfind(_COLON, start, i)
+            if colon < 0:
+                name_end = i
+            else:
+                n = i - colon - 1
+                buf[start : start + n] = buf[colon + 1 : i]
+                name_end = start + n
             # inlined add_node (element)
             parent_idx = stack_idx[level - 1] if level else 0
             idx = len(kind)
@@ -693,11 +706,20 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             level += 1
             if level > max_d:
                 max_d = level
-            state = S_ATTR
+            # fast path for the dominant '<tag>' shape: skip the
+            # attribute state's whitespace scan entirely (semantically
+            # identical: ReadAttribute would skip zero ws and hit '>')
+            if buf[i] == _GT:
+                i += 1
+                if i >= size:
+                    break
+                state = S_PCDATA
+            else:
+                state = S_ATTR
             continue
 
         if state == S_ATTR:
-            i = sp_skip.find(1, i)
+            i = sp_find(1, i)
             if i < 0:
                 break
             c = buf[i]
@@ -731,7 +753,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                     buf, "Attribute name must start with a letter or underscore", i
                 )
             i += 1
-            i = sym_skip.find(1, i)
+            i = sym_find(1, i)
             if i < 0:
                 break
             if buf[i] != _EQ:
@@ -745,12 +767,12 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                 raise _invalid(buf, "Attribute value must be enclosed in quotes", i)
             i += 1
             value_start = i
-            i = buf.find(quote, i)
+            i = bfind(quote, i)
             if i < 0:
                 break
             # normalize value; on invalid escape, restore and replay with
             # the quirk-exact live path (see _normalize_attr_quirk).
-            if buf.find(_AMP, value_start, i) >= 0:
+            if bfind(_AMP, value_start, i) >= 0:
                 saved = bytes(buf[value_start:i])
                 try:
                     value_end = _normalize_attr_fast(buf, value_start, i)
@@ -759,7 +781,14 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                     value_end = _normalize_attr_quirk(buf, value_start, i)
             else:
                 value_end = _normalize_attr_fast(buf, value_start, i)
-            a_name_end_ = _remove_ns_prefix(buf, start, name_end_raw)
+            # inlined first-colon namespace strip for the attribute name
+            colon = bfind(_COLON, start, name_end_raw)
+            if colon < 0:
+                a_name_end_ = name_end_raw
+            else:
+                n = name_end_raw - colon - 1
+                buf[start : start + n] = buf[colon + 1 : name_end_raw]
+                a_name_end_ = start + n
             if level > 0:
                 owner = stack_idx[level - 1]
                 a_name_start.append(start)
@@ -779,7 +808,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             # symbol runs, and PARSE_CLOSE bytes are never symbols, so
             # jump the symbol run and walk the (almost always empty)
             # remainder per byte
-            i = sym_skip.find(1, i)
+            i = sym_find(1, i)
             if i >= 0:
                 while i < size and not (chartype[buf[i]] & 16):  # PARSE_CLOSE
                     i += 1
@@ -816,7 +845,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             stack_last.pop()
             level -= 1
             if not is_gt:
-                i = buf.find(_GT, i + 1)
+                i = bfind(_GT, i + 1)
                 if i < 0:
                     break
             i += 1
@@ -825,7 +854,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             continue
 
         if state == S_START:
-            i = buf.find(_LT, i)
+            i = bfind(_LT, i)
             if i < 0:
                 break  # bytes before first '<' ignored; none found -> error
             i += 1
