@@ -265,6 +265,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: exact per-label centroid accumulators."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import label_centroid_sums
+
+    return label_centroid_sums(_emb(spark, sf_dir))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.textops import text_quality
 
@@ -358,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -496,6 +505,19 @@ def oracle_sql() -> dict[str, str]:
                         i -> e.q[i] * qq[i])) AS BIGINT) AS dot
             FROM e, qv WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        "label_centroids": """
+            WITH e AS (
+              SELECT label,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            )
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   CAST(sum(q[i]) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM e CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY label, i
         """,
         "text_quality": f"""
             WITH w AS (

@@ -113,3 +113,53 @@ def test_host_stats_salted(spark, corpus_path):
     assert {r["host"]: r["count"] for r in plain} == {
         r["host"]: r["doc_count"] for r in rows
     }
+
+
+def test_time_travel_read(spark, corpus_path, tmp_path):
+    """Snapshot time travel: a read as-of an earlier commit instant sees
+    only the slices committed by then."""
+    import time as _time
+
+    from xhtml_parser_spark.sources.table import SnapshotTable
+
+    out = str(tmp_path / "extracted_tt")
+    run_extract(spark, corpus_path, out, run_id="rA", n_slices=4, max_slices=2)
+    t_mid = _time.time()
+    run_extract(spark, corpus_path, out, run_id="rB", n_slices=4)
+
+    table = SnapshotTable(out)
+    n_then = table.read(spark, as_of_unix=t_mid).count()
+    n_now = table.read(spark).count()
+    assert 0 < n_then < n_now == N_DOCS
+
+
+def test_parse_full_single_pass(spark, corpus_path):
+    """parse_full emits text + nested DOM in one kernel pass, consistent
+    with the per-output operators."""
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators.parse import parse_full, parse_nodes
+
+    pages = spark.read.parquet(corpus_path).limit(20)
+    full = parse_full(pages).where(F.col("parse_ok"))
+    rows = {r["url"]: r for r in full.collect()}
+    assert rows
+    # nested node counts match the scalar stats
+    for r in rows.values():
+        assert len(r["nodes"]) == r["n_nodes"]
+        assert len(r["attrs"]) == r["n_attrs"]
+    # exploding the nested form equals the dedicated exploded operator
+    exploded = (
+        full.select("url", F.explode("nodes").alias("n"))
+        .select("url", "n.node_id", "n.parent_id", "n.kind", "n.tag")
+        .collect()
+    )
+    direct = (
+        parse_nodes(pages)
+        .select("url", "node_id", "parent_id", "kind", "tag")
+        .collect()
+    )
+    key = lambda r: (r["url"], r["node_id"])  # noqa: E731
+    assert sorted(map(tuple, exploded), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, direct), key=lambda t: (t[0], t[1])
+    )

@@ -26,6 +26,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     ByteType,
@@ -213,3 +214,115 @@ def parse_attrs(pages: DataFrame) -> DataFrame:
     """Exploded attribute table (duplicate names kept; first-wins
     semantics are a MIN(attr_idx) aggregation on the read side)."""
     return pages.select("url", "html").mapInPandas(_attr_batches, ATTRS_SCHEMA)
+
+
+FULL_SCHEMA = StructType(
+    list(PARSED_SCHEMA.fields)
+    + [
+        StructField(
+            "nodes",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("node_id", IntegerType()),
+                        StructField("parent_id", IntegerType()),
+                        StructField("kind", ByteType()),
+                        StructField("tag", StringType()),
+                        StructField("text", BinaryType()),
+                        StructField("depth", IntegerType()),
+                        StructField("span_start", LongType()),
+                        StructField("last_descendant", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "attrs",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("node_id", IntegerType()),
+                        StructField("name", StringType()),
+                        StructField("value", BinaryType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _full_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        cols: dict[str, list] = {f.name: [] for f in FULL_SCHEMA.fields}
+        for j in range(len(urls)):
+            html = _as_bytes(htmls[j])
+            t0 = time.perf_counter_ns()
+            doc = parse_document(html)
+            nodes_out = []
+            attrs_out = []
+            if doc.ok:
+                text = doc.extracted_text()
+                text_main = extract_main_text(doc)
+                depth, last_desc = compute_depth_and_last_descendant(doc)
+                buf = doc.buf
+                for i in range(1, doc.n_nodes):
+                    k = doc.kind[i]
+                    s, e = doc.loc_start[i], doc.loc_end[i]
+                    nodes_out.append(
+                        (
+                            i,
+                            doc.parent[i],
+                            k,
+                            buf[s:e].decode("utf-8", errors="replace")
+                            if k == 1
+                            else None,
+                            bytes(buf[s:e]) if k == 2 else None,
+                            depth[i],
+                            s,
+                            last_desc[i],
+                        )
+                    )
+                    for a in range(doc.attr_start[i], doc.attr_end[i]):
+                        attrs_out.append(
+                            (
+                                i,
+                                buf[doc.a_name_start[a] : doc.a_name_end[a]].decode(
+                                    "utf-8", errors="replace"
+                                ),
+                                bytes(buf[doc.a_val_start[a] : doc.a_val_end[a]]),
+                            )
+                        )
+                stats = (doc.n_nodes - 1, doc.n_attrs, doc.n_text_nodes, doc.max_depth)
+            else:
+                text = b""
+                text_main = b""
+                stats = (0, 0, 0, 0)
+            dt = time.perf_counter_ns() - t0
+            cols["url"].append(urls[j])
+            cols["text"].append(text)
+            cols["text_main"].append(text_main)
+            cols["n_nodes"].append(stats[0])
+            cols["n_attrs"].append(stats[1])
+            cols["n_text_nodes"].append(stats[2])
+            cols["max_depth"].append(stats[3])
+            cols["html_bytes"].append(len(html))
+            cols["parse_ok"].append(doc.ok)
+            cols["error_class"].append(doc.error_class)
+            cols["error_pos"].append(doc.error_pos)
+            cols["error_msg"].append(doc.error_msg)
+            cols["kernel_ns"].append(dt)
+            cols["nodes"].append(nodes_out)
+            cols["attrs"].append(attrs_out)
+        yield pd.DataFrame(cols)
+
+
+def parse_full(pages: DataFrame) -> DataFrame:
+    """Parse ONCE, emit everything: extracted text + stats + the whole
+    DOM as nested arrays. At 100 TB this is the operator to run when
+    consumers want both text and structure -- re-parsing per output
+    (parse_pages + parse_nodes + parse_attrs) triples the kernel cost.
+    Explode downstream: ``select(url, explode(nodes))``."""
+    return pages.select("url", "html").mapInPandas(_full_batches, FULL_SCHEMA)

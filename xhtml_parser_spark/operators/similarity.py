@@ -96,6 +96,45 @@ def cosine_topk(
     )
 
 
+def label_centroid_sums(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid accumulators via grouped applyInPandas:
+    (label, dim, s, cnt) where s = exact int64 sum of quantized
+    components. The grouped-map pattern for per-cluster work (centroid
+    refinement, per-group statistics) -- one shuffle on the group key,
+    then a vectorized NumPy pass per group.
+
+    Exact integers so any engine reproduces the result; the float
+    centroid is s / (cnt * 1000) downstream.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = int(pdf[label_col].iloc[0])
+        # np.rint is half-to-even vs SQL round's half-away-from-zero,
+        # but float32*1000 in double can never land on exactly .5
+        # (1/2000 is not dyadic), so the quantizations agree
+        m = np.stack(
+            [np.rint(np.asarray(v, dtype=np.float64) * _Q) for v in pdf[vec_col]]
+        ).astype(np.int64)
+        s = m.sum(axis=0)
+        return pd.DataFrame(
+            {
+                "label": label,
+                "dim": np.arange(m.shape[1], dtype=np.int32),
+                "s": s,
+                "cnt": np.int64(m.shape[0]),
+            }
+        )
+
+    return emb.select(label_col, vec_col).groupBy(label_col).applyInPandas(
+        per_label, "label int, dim int, s bigint, cnt bigint"
+    )
+
+
 def hyperplane_lsh_buckets(
     emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

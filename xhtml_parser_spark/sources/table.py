@@ -78,9 +78,24 @@ class SnapshotTable:
                 out.append(json.load(fh))
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read committed slices only (uncommitted orphans invisible)."""
-        dirs = [self.slice_dir(s) for s in sorted(self.committed_slices())]
+    def read(
+        self, spark: SparkSession, as_of_unix: float | None = None
+    ) -> DataFrame:
+        """Read committed slices only (uncommitted orphans invisible).
+
+        ``as_of_unix`` gives snapshot time travel: only slices whose
+        manifest committed at or before that instant are visible --
+        the Iceberg snapshot-id read, keyed on commit time here.
+        """
+        if as_of_unix is None:
+            slices = sorted(self.committed_slices())
+        else:
+            slices = [
+                m["slice_id"]
+                for m in self.manifests()
+                if m["committed_at_unix"] <= as_of_unix
+            ]
+        dirs = [self.slice_dir(s) for s in slices]
         if not dirs:
             raise FileNotFoundError(f"no committed slices under {self.path}")
         return spark.read.parquet(*dirs)
