@@ -1,0 +1,114 @@
+"""Differential tests: the optional C kernel must agree with the
+pure-Python kernel (the semantic source of truth) on EVERYTHING --
+tree arrays, mutated buffer, extracted/main text, stats, error class,
+error position, and the full formatted error message."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from xhtml_parser_spark.kernel.extract import extract_main_text
+from xhtml_parser_spark.kernel.parser import (
+    _get_cparser,
+    parse_document,
+    parse_document_pure,
+)
+
+if _get_cparser() is None:
+    pytest.skip("C accel unavailable in this environment", allow_module_level=True)
+
+
+def _assert_same(xml: bytes) -> None:
+    a = parse_document(xml)  # C path
+    b = parse_document_pure(xml)
+    assert a.ok == b.ok, xml
+    if a.ok:
+        assert a.buf == b.buf
+        assert a.parent == b.parent
+        assert a.prev_sib == b.prev_sib
+        assert a.next_sib == b.next_sib
+        assert a.first_child == b.first_child
+        assert a.kind == b.kind
+        assert a.loc_start == b.loc_start
+        assert a.loc_end == b.loc_end
+        assert a.attr_start == b.attr_start
+        assert a.attr_end == b.attr_end
+        assert a.a_name_start == b.a_name_start
+        assert a.a_name_end == b.a_name_end
+        assert a.a_val_start == b.a_val_start
+        assert a.a_val_end == b.a_val_end
+        assert a.n_text_nodes == b.n_text_nodes
+        assert a.max_depth == b.max_depth
+        assert a.extracted_text() == b.extracted_text()
+        assert extract_main_text(a) == extract_main_text(b)
+    else:
+        assert a.error_class == b.error_class, (a.error_msg, b.error_msg)
+        assert a.error_pos == b.error_pos, (a.error_msg, b.error_msg)
+        assert a.error_msg == b.error_msg
+
+
+CASES = [
+    b"",
+    b"<a/>",
+    b"<a>x</a>",
+    b"<r><a b='1'><c/></a><d/></r>",
+    b"<a>x&amp;y&#65;&#x42;&nbsp;&euro;&foo;&;&#xD800;</a>",
+    b"<ns:a xml:lang='en'>t</ns:a>",
+    b"<a b='  hello   world  ' c='x&#32;&#32;y'>t</a>",
+    b"<a x='1' x='2'>t</a>",
+    b"<!DOCTYPE note [ <!x> ]>\n<a>t</a>",
+    b"<a><!-- c --><![CDATA[zap]]><?pi?>x</a>",
+    b"<a>x</a><b>y</b>",
+    b"<a/><b>ignored</b>",
+    b"\xef\xbb\xbf<a>x</a>",
+    b"<root><child>Content",
+    b"<root><child>x</different></root>",
+    b"<123bad/>",
+    b"<root attr=value>x</root>",
+    b"<root 1a='v'>x</root>",
+    b'<root a"v">x</root>',
+    b"<root><c/junk</root>",
+    b"<root>x</root></extra>",
+    b"<>x</>",
+    b"<a>x\ry</a>",
+    b"<A A='' A='00000000&'></A>",
+    b"<a b='x&foo x'>t</a>",
+    b"<a>" + b"c" * 60 + b"</a>",  # error-context window edges
+    b"<a><!--" + b"c" * 6000 + b"--></a>",
+    b"<a>x</a junk>",
+    b"<a b='&lt;&gt;&quot;&apos;'>t</a>",
+    b"<a>tail",
+    b"   \n\t  ",
+    b"<a><b>deep</b>",
+]
+
+
+@pytest.mark.parametrize("xml", CASES, ids=range(len(CASES)))
+def test_known_cases_agree(xml: bytes) -> None:
+    _assert_same(xml)
+
+
+@settings(max_examples=400, deadline=3000)
+@given(st.binary(max_size=300))
+def test_fuzz_binary_agrees(b: bytes) -> None:
+    _assert_same(b)
+
+
+_alpha = string.ascii_letters + string.digits + " \t\n&;#<>/='\"_:.-é※"
+
+
+@settings(max_examples=400, deadline=3000)
+@given(st.text(alphabet=_alpha, max_size=200))
+def test_fuzz_markupish_agrees(s: str) -> None:
+    _assert_same(s.encode())
+
+
+def test_golden_fixtures_agree() -> None:
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    for f in fx.rglob("*.xhtml"):
+        _assert_same(f.read_bytes())

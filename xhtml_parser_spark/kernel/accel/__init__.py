@@ -1,0 +1,118 @@
+"""Optional C-accelerated parse kernel.
+
+The pure-Python kernel in ``..parser`` is the semantic source of truth
+(golden-file byte identity, negative corpus, property fuzz). This
+package compiles a CPython extension transcribing the SAME algorithm
+-- byte-class table and entity table are GENERATED from the Python
+modules at build time, so they cannot drift -- and a differential
+property suite asserts C == Python on arbitrary inputs.
+
+Loading is strictly best-effort: no compiler, no headers, sandboxed
+filesystem, or any build error -> silently fall back to pure Python
+(set XPS_ACCEL=0 to force the fallback, XPS_ACCEL=require to raise
+instead of falling back). The .so is cached next to the source keyed
+by a content hash, so workers compile at most once per machine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+import sysconfig
+import tempfile
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _gen_tables_header() -> str:
+    """Generate C tables from the Python source-of-truth modules."""
+    from .. import chartype, entities
+
+    lines = ["/* GENERATED from kernel/chartype.py + kernel/entities.py */"]
+    lines.append("static const unsigned char XPS_CHARTYPE[256] = {")
+    lines.append(", ".join(str(b) for b in chartype.CHARTYPE))
+    lines.append("};")
+    ents = sorted(entities.ENTITIES.items())
+    lines.append(
+        "typedef struct { const char *name; int nlen; const char *val; int vlen; } xps_ent;"
+    )
+    lines.append(f"#define XPS_N_ENTITIES {len(ents)}")
+    lines.append("static const xps_ent XPS_ENTITIES[XPS_N_ENTITIES] = {")
+    for name, val in ents:
+        nv = "".join(f"\\x{b:02x}" for b in name)
+        vv = "".join(f"\\x{b:02x}" for b in val)
+        lines.append(f'  {{"{nv}", {len(name)}, "{vv}", {len(val)}}},')
+    lines.append("};")
+
+    from .. import extract
+
+    lines.append("typedef struct { const char *name; int len; } xps_tag;")
+
+    def tagset(cname: str, tags) -> None:
+        ts = sorted(tags)
+        lines.append(f"#define XPS_N_{cname} {len(ts)}")
+        lines.append(f"static const xps_tag XPS_{cname}[XPS_N_{cname}] = {{")
+        for t in ts:
+            tv = "".join(f"\\x{b:02x}" for b in t)
+            lines.append(f'  {{"{tv}", {len(t)}}},')
+        lines.append("};")
+
+    tagset("BLACKLIST", extract.BLACKLIST)
+    tagset("BLOCK", extract.BLOCK_TAGS)
+    lines.append(f"#define XPS_LINK_DENSITY_MAX {extract.LINK_DENSITY_MAX!r}")
+    return "\n".join(lines)
+
+
+def _build() -> str | None:
+    src = os.path.join(_HERE, "_cparser.c")
+    if not os.path.exists(src):
+        return None
+    with open(src, "rb") as fh:
+        digest = hashlib.md5(fh.read()).hexdigest()[:16]
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"xps_accel_{digest}_py{sys.version_info[0]}{sys.version_info[1]}"
+    )
+    so_path = os.path.join(cache_dir, "_xps_cparser.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(cache_dir, exist_ok=True)
+    hdr = os.path.join(cache_dir, "xps_tables.h")
+    with open(hdr, "w") as fh:
+        fh.write(_gen_tables_header())
+    include = sysconfig.get_paths()["include"]
+    tmp_so = so_path + f".tmp-{os.getpid()}"
+    cmd = [
+        "gcc", "-O2", "-fPIC", "-shared", "-std=c99",
+        f"-I{include}", f"-I{cache_dir}", src, "-o", tmp_so,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+        return so_path
+    except Exception:
+        return None
+
+
+def _load():
+    mode = os.environ.get("XPS_ACCEL", "1")
+    if mode == "0":
+        return None
+    try:
+        so_path = _build()
+        if so_path is None:
+            raise RuntimeError("accel build unavailable")
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_xps_cparser", so_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        if mode == "require":
+            raise
+        return None
+
+
+cparser = _load()

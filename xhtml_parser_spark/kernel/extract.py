@@ -85,6 +85,8 @@ def extract_main_text(doc: ParsedDoc) -> bytes:
     text/link text per block; blocks with link_density > LINK_DENSITY_MAX
     are dropped in the final assembly.
     """
+    if doc.c_main is not None:  # pre-assembled by the C kernel
+        return doc.c_main
     n = doc.n_nodes
     if n <= 1:
         return b""

@@ -113,6 +113,8 @@ class ParsedDoc:
         "buf",
         "n_text_nodes",
         "max_depth",
+        "c_text",
+        "c_main",
         "parent",
         "prev_sib",
         "next_sib",
@@ -157,6 +159,9 @@ class ParsedDoc:
         # stats tracked during the parse (free: level == depth)
         self.n_text_nodes = 0
         self.max_depth = 0
+        # pre-assembled outputs from the C kernel (None on the pure path)
+        self.c_text: bytes | None = None
+        self.c_main: bytes | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -170,6 +175,8 @@ class ParsedDoc:
         """Per-url deliverable: Text-node bytes concatenated in document
         order (reference read path: all_nodes(), src/document.rs:733-811).
         ``buf`` is frozen to bytes after parsing, so slices are cheap."""
+        if self.c_text is not None:
+            return self.c_text
         buf = self.buf
         ls, le, kd = self.loc_start, self.loc_end, self.kind
         return b"".join(
@@ -455,9 +462,164 @@ def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
     return to
 
 
+_CPARSER = None
+_CPARSER_TRIED = False
+
+
+def _get_cparser():
+    """Lazy accel import (the accel build reads kernel/extract.py, which
+    imports this module -- resolving it at first parse avoids the cycle)."""
+    global _CPARSER, _CPARSER_TRIED
+    if not _CPARSER_TRIED:
+        _CPARSER_TRIED = True
+        try:
+            from .accel import cparser
+
+            _CPARSER = cparser
+        except Exception:
+            _CPARSER = None
+    return _CPARSER
+
+
+# messages for C-kernel error codes (must mirror the literals used in
+# _parse below -- single formatting path via _invalid/_unexpected_end)
+_C_MSG = {
+    2: "Tag name must start with a letter or underscore",
+    3: "Attribute name must start with a letter or underscore",
+    4: "Attribute must have an '=' sign",
+    5: "Attribute value must be enclosed in quotes",
+    6: "Expected '>' after '/' in self-closing tag",
+    7: "No opening tag for closing tag",
+    8: "Expected tag name after '</'",
+    10: "Expected '>' after DOCTYPE declaration",
+}
+
+
+def _i32list(b: bytes) -> list[int]:
+    return memoryview(b).cast("i").tolist()
+
+
+def _from_c(res: tuple) -> ParsedDoc:
+    (
+        ok, code, pos, aux, buf,
+        parent_b, prev_b, next_b, fc_b, kind_b, ls_b, le_b, as_b, ae_b,
+        ans_b, ane_b, avs_b, ave_b, text, mtext, n_text, max_d,
+    ) = res
+    doc = ParsedDoc()
+    doc.buf = buf
+    doc.parent = _i32list(parent_b)
+    doc.prev_sib = _i32list(prev_b)
+    doc.next_sib = _i32list(next_b)
+    doc.first_child = _i32list(fc_b)
+    doc.kind = _i32list(kind_b)
+    doc.loc_start = _i32list(ls_b)
+    doc.loc_end = _i32list(le_b)
+    doc.attr_start = _i32list(as_b)
+    doc.attr_end = _i32list(ae_b)
+    doc.a_name_start = _i32list(ans_b)
+    doc.a_name_end = _i32list(ane_b)
+    doc.a_val_start = _i32list(avs_b)
+    doc.a_val_end = _i32list(ave_b)
+    if ok:
+        doc.c_text = text
+        doc.c_main = mtext
+        doc.n_text_nodes = n_text
+        doc.max_depth = max_d
+        return doc
+    doc.ok = False
+    e = _decode_c_error(code, pos, aux, buf)
+    doc.error_class = e.error_class
+    doc.error_pos = e.pos
+    doc.error_msg = e.message
+    return doc
+
+
+def _decode_c_error(code: int, pos: int, aux: tuple, buf: bytes) -> ParseError:
+    if code == 1:
+        return _unexpected_end()
+    if code == 9:
+        closing = _str_or_fallback(buf, aux[0], aux[1])
+        opening = _str_or_fallback(buf, aux[2], aux[3])
+        return _invalid(
+            buf,
+            f"Closing tag '{closing}' does not match opening tag '{opening}'",
+            pos,
+        )
+    if code == 12:
+        return ParseError(
+            "Unsupported raw carriage return in PCData "
+            f"at position {pos} (reference UB)",
+            pos,
+            error_class="UnsupportedCR",
+        )
+    if code == 13:
+        return ParseError(
+            "Attribute normalization overran the value range "
+            f"at position {pos} (reference UB: buffer corruption)",
+            pos,
+            error_class="AttrNormCorruption",
+        )
+    return _invalid(buf, _C_MSG[code], pos)
+
+
+def parse_texts(
+    xml: bytes,
+) -> tuple[bool, bytes, bytes, int, int, int, int, str | None, int | None, str | None]:
+    """Lightweight parse for the extraction hot path: returns
+    (ok, text, text_main, n_nodes, n_attrs, n_text_nodes, max_depth,
+    error_class, error_pos, error_msg) WITHOUT materializing the node
+    arrays as Python lists -- on the C kernel that conversion costs as
+    much as the parse itself, and parse_pages never reads the tree."""
+    cp = _get_cparser()
+    if cp is not None:
+        res = cp.parse(bytes(xml))
+        if res is not None:
+            if res[0]:
+                return (
+                    True,
+                    res[18],
+                    res[19],
+                    len(res[9]) // 4 - 1,
+                    len(res[14]) // 4,
+                    res[20],
+                    res[21],
+                    None,
+                    None,
+                    None,
+                )
+            e = _decode_c_error(res[1], res[2], res[3], res[4])
+            return (False, b"", b"", 0, 0, 0, 0, e.error_class, e.pos, e.message)
+    doc = parse_document(xml)
+    if doc.ok:
+        from .extract import extract_main_text  # local: avoids import cycle
+
+        return (
+            True,
+            doc.extracted_text(),
+            extract_main_text(doc),
+            doc.n_nodes - 1,
+            doc.n_attrs,
+            doc.n_text_nodes,
+            doc.max_depth,
+            None,
+            None,
+            None,
+        )
+    return (False, b"", b"", 0, 0, 0, 0, doc.error_class, doc.error_pos, doc.error_msg)
+
+
 def parse_document(xml: bytes) -> ParsedDoc:
     """Parse one document; malformed input becomes a row-level error,
-    never an exception (error-as-data for the Spark pipeline)."""
+    never an exception (error-as-data for the Spark pipeline).
+
+    Dispatches to the optional C kernel (kernel/accel) when it built;
+    the pure-Python path below is the semantic source of truth and the
+    permanent fallback (XPS_ACCEL=0 forces it)."""
+    cp = _get_cparser()
+    if cp is not None:
+        res = cp.parse(bytes(xml))
+        if res is not None:  # None = doc too large for the i32 kernel
+            return _from_c(res)
     doc = ParsedDoc()
     try:
         _parse(doc, xml)
@@ -468,6 +630,20 @@ def parse_document(xml: bytes) -> ParsedDoc:
         doc.error_msg = e.message
     # freeze: nothing mutates after the parse; bytes slices are cheaper
     # than bytearray slices for every downstream read
+    doc.buf = bytes(doc.buf)
+    return doc
+
+
+def parse_document_pure(xml: bytes) -> ParsedDoc:
+    """Pure-Python parse, bypassing the C kernel (differential tests)."""
+    doc = ParsedDoc()
+    try:
+        _parse(doc, xml)
+    except ParseError as e:
+        doc.ok = False
+        doc.error_class = e.error_class
+        doc.error_pos = e.pos
+        doc.error_msg = e.message
     doc.buf = bytes(doc.buf)
     return doc
 

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernel.extract import compute_depth_and_last_descendant, extract_main_text
-from ..kernel.parser import parse_document
+from ..kernel.parser import parse_document, parse_texts
 
 PARSED_SCHEMA = StructType(
     [
@@ -102,18 +102,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for j in range(n):
             html = _as_bytes(htmls[j])
             t0 = time.perf_counter_ns()
-            doc = parse_document(html)
-            if doc.ok:
-                text = doc.extracted_text()
-                text_main = extract_main_text(doc)
-                n_nodes = doc.n_nodes - 1
-                n_attrs = doc.n_attrs
-                n_text = doc.n_text_nodes
-                max_depth = doc.max_depth
-            else:
-                text = b""
-                text_main = b""
-                n_nodes = n_attrs = n_text = max_depth = 0
+            (
+                ok, text, text_main, n_nodes, n_attrs, n_text, max_depth,
+                err_class, err_pos, err_msg,
+            ) = parse_texts(html)
             dt = time.perf_counter_ns() - t0
             cols["url"].append(urls[j])
             cols["text"].append(text)
@@ -123,10 +115,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cols["n_text_nodes"].append(n_text)
             cols["max_depth"].append(max_depth)
             cols["html_bytes"].append(len(html))
-            cols["parse_ok"].append(doc.ok)
-            cols["error_class"].append(doc.error_class)
-            cols["error_pos"].append(doc.error_pos)
-            cols["error_msg"].append(doc.error_msg)
+            cols["parse_ok"].append(ok)
+            cols["error_class"].append(err_class)
+            cols["error_pos"].append(err_pos)
+            cols["error_msg"].append(err_msg)
             cols["kernel_ns"].append(dt)
         yield pd.DataFrame(cols)
 
