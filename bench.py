@@ -48,7 +48,9 @@ def main() -> None:
     entry._ensure_pkg(spark)
 
     # ---- headline: parse throughput over the synthetic corpus ----
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(500, int(120000 * sf))))
+    # sized for the C-accelerated kernel (~GB/s machine-wide): small
+    # corpora are fixed-overhead-bound and understate throughput
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(500, int(1_200_000 * sf))))
     corpus = _corpus_path(n_docs)
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         from xhtml_parser_spark.sources import synthesize_pages
@@ -64,7 +66,14 @@ def main() -> None:
     total_bytes = (
         spark.read.parquet(corpus).selectExpr("sum(length(html)) b").collect()[0]["b"]
     )
-    split = max(2 * 1024 * 1024, int(total_bytes / (2 * CPUS)))
+    # split by COMPRESSED size (what maxPartitionBytes actually sees):
+    # target ~4 task waves per core
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    split = max(1 * 1024 * 1024, int(disk_bytes / (4 * CPUS)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     pages = spark.read.parquet(corpus)
 

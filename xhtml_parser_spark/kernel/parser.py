@@ -572,7 +572,7 @@ def parse_texts(
     much as the parse itself, and parse_pages never reads the tree."""
     cp = _get_cparser()
     if cp is not None:
-        res = cp.parse(bytes(xml))
+        res = cp.parse(xml)  # accepts any buffer (memoryview slices OK)
         if res is not None:
             if res[0]:
                 return (
@@ -589,7 +589,7 @@ def parse_texts(
                 )
             e = _decode_c_error(res[1], res[2], res[3], res[4])
             return (False, b"", b"", 0, 0, 0, 0, e.error_class, e.pos, e.message)
-    doc = parse_document(xml)
+    doc = parse_document(bytes(xml))  # pure path needs real bytes
     if doc.ok:
         from .extract import extract_main_text  # local: avoids import cycle
 

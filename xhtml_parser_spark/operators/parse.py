@@ -123,14 +123,87 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(cols)
 
 
+def _parse_arrow_batches(batches):
+    """mapInArrow kernel driver: zero-copy memoryview slices into the
+    binary column's data buffer feed the C kernel directly -- no pandas
+    Series, no per-row bytes objects on the input side. The output
+    builds Arrow arrays once (one copy, unavoidable)."""
+    import pyarrow as pa
+
+    for rb in batches:
+        urls = rb.column(0)
+        htmls = rb.column(1)
+        n = rb.num_rows
+        texts: list = [None] * n
+        mains: list = [None] * n
+        n_nodes = [0] * n
+        n_attrs = [0] * n
+        n_text = [0] * n
+        max_depth = [0] * n
+        html_bytes = [0] * n
+        ok_l = [False] * n
+        err_c: list = [None] * n
+        err_p: list = [None] * n
+        err_m: list = [None] * n
+        kns = [0] * n
+        # zero-copy access to the variable-length binary payloads:
+        # buffers() = [validity, int32 offsets, data]; respect the
+        # array's slice offset
+        bufs = htmls.buffers()
+        offs = memoryview(bufs[1]).cast("i")
+        databuf = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        o0 = htmls.offset
+        nulls = htmls.is_null().to_pylist() if htmls.null_count else None
+        for j in range(n):
+            if nulls is not None and nulls[j]:
+                h: bytes | memoryview = b""
+            else:
+                h = databuf[offs[o0 + j] : offs[o0 + j + 1]]
+            t0 = time.perf_counter_ns()
+            (
+                ok, text, text_main, nn, na, nt, md, ec, ep, em
+            ) = parse_texts(h)
+            kns[j] = time.perf_counter_ns() - t0
+            texts[j] = text
+            mains[j] = text_main
+            n_nodes[j] = nn
+            n_attrs[j] = na
+            n_text[j] = nt
+            max_depth[j] = md
+            html_bytes[j] = len(h)
+            ok_l[j] = ok
+            err_c[j] = ec
+            err_p[j] = ep
+            err_m[j] = em
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array(texts, type=pa.binary()),
+                pa.array(mains, type=pa.binary()),
+                pa.array(n_nodes, type=pa.int32()),
+                pa.array(n_attrs, type=pa.int32()),
+                pa.array(n_text, type=pa.int32()),
+                pa.array(max_depth, type=pa.int32()),
+                pa.array(html_bytes, type=pa.int64()),
+                pa.array(ok_l, type=pa.bool_()),
+                pa.array(err_c, type=pa.string()),
+                pa.array(err_p, type=pa.int64()),
+                pa.array(err_m, type=pa.string()),
+                pa.array(kns, type=pa.int64()),
+            ],
+            names=[f.name for f in PARSED_SCHEMA.fields],
+        )
+
+
 def parse_pages(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) -> extracted rows. Map-side only: no shuffle.
 
     Equivalent of running Document::new + all_nodes() text concatenation
     per document (reference src/document.rs:74-140, 733-811), plus the
-    B10 boilerplate strip, as one vectorized pass.
+    B10 boilerplate strip, as one vectorized pass. Uses mapInArrow so
+    document payloads reach the kernel as zero-copy buffer slices.
     """
-    return pages.select("url", "html").mapInPandas(_parse_batches, PARSED_SCHEMA)
+    return pages.select("url", "html").mapInArrow(_parse_arrow_batches, PARSED_SCHEMA)
 
 
 def _node_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
