@@ -102,3 +102,52 @@ def _golden_text_bytes(golden: str) -> bytes:
         else:
             i += 1
     return b"".join(out)
+
+
+# -- non-default feature profiles (reference cargo features) --
+
+PROFILE_SUITES = {
+    "trim_pcdata": dict(trim_pcdata=True),
+    "keep_ws_only_pcdata": dict(keep_ws_only_pcdata=True),
+    "no_feature": dict(
+        parse_escapes=False,
+        namespace_removal=False,
+        trim_pcdata=False,
+        keep_ws_only_pcdata=False,
+    ),
+}
+
+
+@pytest.mark.parametrize("suite", sorted(PROFILE_SUITES))
+def test_golden_feature_profiles(suite: str) -> None:
+    from xhtml_parser_spark.kernel.parser import parse_document_pure
+
+    for case in _cases(suite):
+        doc = parse_document_pure(case.read_bytes(), **PROFILE_SUITES[suite])
+        assert doc.ok, f"{suite}/{case.name}: {doc.error_msg}"
+        got = debug_format(doc)
+        want = _golden(suite, case)
+        assert got == want, f"{suite}/{case.name} mismatch"
+
+
+def test_profile_semantics_units() -> None:
+    from xhtml_parser_spark.kernel.parser import parse_document_pure
+
+    # trim_pcdata: leading AND trailing ws trimmed from text
+    d = parse_document_pure(b"<a>  x  </a>", trim_pcdata=True)
+    assert d.extracted_text() == b"x"
+    # keep_ws_only_pcdata: ws-only segments become raw text nodes
+    d = parse_document_pure(b"<a>  <b/> </a>", keep_ws_only_pcdata=True)
+    assert d.extracted_text() == b"   "
+    # parse_escapes off: entities verbatim, CR/CRLF -> LF
+    d = parse_document_pure(b"<a>x&amp;y</a>", parse_escapes=False)
+    assert d.extracted_text() == b"x&amp;y"
+    d = parse_document_pure(b"<a>x\r\ny\rz</a>", parse_escapes=False)
+    assert d.extracted_text() == b"x\ny\nz"
+    # namespace_removal off: prefixes kept
+    d = parse_document_pure(b"<ns:a xml:lang='en'>t</ns:a>", namespace_removal=False)
+    from xhtml_parser_spark.kernel.document import root
+
+    r = root(d)
+    assert r.tag_name() == "ns:a"
+    assert r.get_attribute("xml:lang") == "en"

@@ -608,21 +608,36 @@ def parse_texts(
     return (False, b"", b"", 0, 0, 0, 0, doc.error_class, doc.error_pos, doc.error_msg)
 
 
-def parse_document(xml: bytes) -> ParsedDoc:
+_DEFAULT_PROFILE = (True, True, False, False)
+
+
+def parse_document(
+    xml: bytes,
+    *,
+    parse_escapes: bool = True,
+    namespace_removal: bool = True,
+    trim_pcdata: bool = False,
+    keep_ws_only_pcdata: bool = False,
+) -> ParsedDoc:
     """Parse one document; malformed input becomes a row-level error,
     never an exception (error-as-data for the Spark pipeline).
 
-    Dispatches to the optional C kernel (kernel/accel) when it built;
-    the pure-Python path below is the semantic source of truth and the
-    permanent fallback (XPS_ACCEL=0 forces it)."""
-    cp = _get_cparser()
-    if cp is not None:
-        res = cp.parse(bytes(xml))
-        if res is not None:  # None = doc too large for the i32 kernel
-            return _from_c(res)
+    The keyword flags mirror the reference's cargo feature profiles
+    (Cargo.toml:19-25; default = parse_escapes + namespace_removal).
+    The C kernel implements the default profile; other profiles run on
+    the pure-Python path (they exist for parity completeness, not the
+    extraction hot path).
+    """
+    profile = (parse_escapes, namespace_removal, trim_pcdata, keep_ws_only_pcdata)
+    if profile == _DEFAULT_PROFILE:
+        cp = _get_cparser()
+        if cp is not None:
+            res = cp.parse(bytes(xml))
+            if res is not None:  # None = doc too large for the i32 kernel
+                return _from_c(res)
     doc = ParsedDoc()
     try:
-        _parse(doc, xml)
+        _parse(doc, xml, *profile)
     except ParseError as e:
         doc.ok = False
         doc.error_class = e.error_class
@@ -634,11 +649,25 @@ def parse_document(xml: bytes) -> ParsedDoc:
     return doc
 
 
-def parse_document_pure(xml: bytes) -> ParsedDoc:
+def parse_document_pure(xml: bytes, **profile: bool) -> ParsedDoc:
     """Pure-Python parse, bypassing the C kernel (differential tests)."""
+    flags = dict(
+        parse_escapes=True,
+        namespace_removal=True,
+        trim_pcdata=False,
+        keep_ws_only_pcdata=False,
+    )
+    flags.update(profile)
     doc = ParsedDoc()
     try:
-        _parse(doc, xml)
+        _parse(
+            doc,
+            xml,
+            flags["parse_escapes"],
+            flags["namespace_removal"],
+            flags["trim_pcdata"],
+            flags["keep_ws_only_pcdata"],
+        )
     except ParseError as e:
         doc.ok = False
         doc.error_class = e.error_class
@@ -646,6 +675,31 @@ def parse_document_pure(xml: bytes) -> ParsedDoc:
         doc.error_msg = e.message
     doc.buf = bytes(doc.buf)
     return doc
+
+
+def _parse_pcdata_noescape(buf: bytearray, start: int, end: int) -> int:
+    """PCData under the non-default ``parse_escapes``-off profile:
+    entities left verbatim; CR -> LF, CRLF -> LF (reference:
+    src/parser.rs:676-728, cfg(not(parse_escapes)) branches)."""
+    to = start
+    frm = start
+    while True:
+        np_ = buf.find(13, frm, end)
+        if np_ < 0:
+            np_ = end
+        if np_ >= end:
+            if frm != to:
+                buf[to : to + (end - frm)] = buf[frm:end]
+            to += end - frm
+            break
+        if np_ > frm:
+            if frm != to:
+                buf[to : to + (np_ - frm)] = buf[frm:np_]
+            to += np_ - frm
+        buf[to] = 10  # CR (or CRLF) becomes a single LF
+        to += 1
+        frm = np_ + (2 if np_ + 1 < end and buf[np_ + 1] == 10 else 1)
+    return to
 
 
 def _remove_ns_prefix(buf: bytearray, start: int, end: int) -> int:
@@ -659,7 +713,14 @@ def _remove_ns_prefix(buf: bytearray, start: int, end: int) -> int:
     return start + n
 
 
-def _parse(doc: ParsedDoc, xml: bytes) -> None:
+def _parse(
+    doc: ParsedDoc,
+    xml: bytes,
+    parse_escapes: bool = True,
+    namespace_removal: bool = True,
+    trim_pcdata: bool = False,
+    keep_ws_only_pcdata: bool = False,
+) -> None:
     size = len(xml)
     if size > _MAX_XML_LEN:
         raise ParseError("Invalid XML: XML document is too large!", None)
@@ -728,12 +789,21 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             if i < 0:
                 break  # text not followed by '<' -> Unexpected end
             if i > start:
-                start = space_start
-                # fast path: no '&' and no CR -> the range is the text
-                if bfind(_AMP, start, i) < 0 and bfind(13, start, i) < 0:
-                    new_end = i
+                the_end = i
+                if trim_pcdata:
+                    # A13: right-trim (start stays past the leading ws)
+                    while the_end > start and chartype[buf[the_end - 1]] & 8:
+                        the_end -= 1
                 else:
-                    new_end = _parse_pcdata(buf, start, i)
+                    start = space_start
+                if parse_escapes:
+                    # fast path: no '&' and no CR -> the range is the text
+                    if bfind(_AMP, start, the_end) < 0 and bfind(13, start, the_end) < 0:
+                        new_end = the_end
+                    else:
+                        new_end = _parse_pcdata(buf, start, the_end)
+                else:
+                    new_end = _parse_pcdata_noescape(buf, start, the_end)
                 if level > 0:
                     # inlined add_node (text)
                     lv = level - 1
@@ -762,7 +832,34 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                         max_d = level + 1
                 else:
                     break  # text at level 0 -> Unexpected end
-            # ws-only segments produce NO node (keep_ws_only_pcdata off)
+            elif keep_ws_only_pcdata and i > space_start and level != 0:
+                # non-default profile: ws-only segments become raw text
+                # nodes, unprocessed (src/parser.rs:1350-1379)
+                lv = level - 1
+                parent_idx = stack_idx[lv]
+                idx = len(kind)
+                if first_child[parent_idx] == 0:
+                    first_child[parent_idx] = idx
+                    prev_sib.append(idx)
+                else:
+                    last_child_idx = stack_last[lv]
+                    next_sib[last_child_idx] = idx
+                    prev_sib[first_child[parent_idx]] = idx
+                    prev_sib.append(last_child_idx)
+                parent.append(parent_idx)
+                next_sib.append(0)
+                first_child.append(0)
+                kind.append(TEXT)
+                loc_start.append(space_start)
+                loc_end.append(i)
+                na = len(a_name_start)
+                attr_start.append(na)
+                attr_end.append(na)
+                stack_last[lv] = idx
+                n_text += 1
+                if level >= max_d:
+                    max_d = level + 1
+            # (default profile: ws-only segments produce NO node)
             i += 1
             if i >= size:
                 break
@@ -848,7 +945,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             if i < 0:
                 break
             # inlined first-colon namespace strip (src/parser.rs:865-879)
-            colon = bfind(_COLON, start, i)
+            colon = bfind(_COLON, start, i) if namespace_removal else -1
             if colon < 0:
                 name_end = i
             else:
@@ -958,7 +1055,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
             else:
                 value_end = _normalize_attr_fast(buf, value_start, i)
             # inlined first-colon namespace strip for the attribute name
-            colon = bfind(_COLON, start, name_end_raw)
+            colon = bfind(_COLON, start, name_end_raw) if namespace_removal else -1
             if colon < 0:
                 a_name_end_ = name_end_raw
             else:
@@ -994,7 +1091,7 @@ def _parse(doc: ParsedDoc, xml: bytes) -> None:
                 break
             if i == start:
                 raise _invalid(buf, "Expected tag name after '</'", i)
-            name_end = _remove_ns_prefix(buf, start, i)
+            name_end = _remove_ns_prefix(buf, start, i) if namespace_removal else i
             is_gt = buf[i] == _GT
             if level > 0:
                 open_idx = stack_idx[level - 1]
