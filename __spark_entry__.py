@@ -318,6 +318,17 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch form of the streaming
+    windowed rollup): events per (hour, event_type)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
 def q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -371,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "events_dedup": q_events_dedup,
+        "events_windowed": q_events_windowed,
         "lineage_rollup": q_lineage_rollup,
         "tpch_q1_qty": q_tpch_q1_qty,
     }
@@ -558,6 +570,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, event_id FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
         """,
         "lineage_rollup": """
             SELECT lang, count(*) AS doc_count,

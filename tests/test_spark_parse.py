@@ -103,3 +103,15 @@ def test_synth_corpus_deterministic_and_parses(spark):
         .collect()
     )
     assert hosts[0]["count"] >= 10  # ~10% of 200 on the hottest host
+
+
+def test_large_documents_through_pipeline(spark):
+    """1 MB documents must flow through Arrow batches without blowing
+    worker memory (bounded maxRecordsPerBatch) and parse correctly."""
+    df = synthesize_pages(spark, 12, min_b=1 << 19, max_b=1 << 20)
+    got = parse_pages(df).collect()
+    ok = [r for r in got if r["parse_ok"]]
+    assert len(ok) >= 10
+    for r in ok:
+        assert r["html_bytes"] >= (1 << 19) or r["n_nodes"] > 0
+        assert len(bytes(r["text"])) > 1000
