@@ -165,6 +165,7 @@ def q_xhtml_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").cast("bigint").alias("doc_id"),
         F.col("parse_ok"),
         F.col("error_class"),
+        F.col("error_pos"),  # NULL for 'Unexpected end'; 1 for '<123bad/>'
     )
 
 
@@ -329,6 +330,17 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user: the batch
+    form of stateful sessionization."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select("user_id", F.col("w.start").alias("session_start"), "cnt")
+    )
+
+
 def q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -383,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_dedup": q_events_dedup,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "lineage_rollup": q_lineage_rollup,
         "tpch_q1_qty": q_tpch_q1_qty,
     }
@@ -467,7 +480,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (doc_id % 10 NOT IN (3, 7)) AS parse_ok,
                    CASE WHEN doc_id % 10 IN (3, 7)
-                        THEN 'InvalidXml' ELSE NULL END AS error_class
+                        THEN 'InvalidXml' ELSE NULL END AS error_class,
+                   CASE WHEN doc_id % 10 = 7
+                        THEN CAST(1 AS BIGINT) ELSE NULL END AS error_pos
             FROM documents
         """,
         "xhtml_spans": """
@@ -575,6 +590,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS ws, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts)
+                              >= INTERVAL 5 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+            FROM s GROUP BY user_id, sid
         """,
         "lineage_rollup": """
             SELECT lang, count(*) AS doc_count,
