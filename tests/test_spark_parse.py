@@ -115,3 +115,24 @@ def test_large_documents_through_pipeline(spark):
     for r in ok:
         assert r["html_bytes"] >= (1 << 19) or r["n_nodes"] > 0
         assert len(bytes(r["text"])) > 1000
+
+
+def test_python_datasource_scan_parse(spark, tmp_path):
+    """The fused scan+parse Python data source must agree with the
+    standard scan -> parse_pages pipeline."""
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.sources.parse_datasource import read_parsed
+
+    p = str(tmp_path / "pages_ds")
+    synthesize_pages(spark, 80, max_b=8192).write.parquet(p)
+
+    via_ds = read_parsed(spark, p)
+    via_op = parse_pages(spark.read.parquet(p))
+    a = {r["url"]: (bytes(r["text"]), r["parse_ok"], r["n_nodes"]) for r in via_ds.collect()}
+    b = {r["url"]: (bytes(r["text"]), r["parse_ok"], r["n_nodes"]) for r in via_op.collect()}
+    assert a == b
+    assert via_ds.count() == 80
+    # projection still works through the datasource
+    errs = via_ds.where(~F.col("parse_ok")).count()
+    assert errs == sum(1 for v in a.values() if not v[1])

