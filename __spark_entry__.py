@@ -266,6 +266,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (cos >= 7/20); integer dot output for cross-engine identity."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), tau_num=7, tau_den=20)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas: exact per-label centroid accumulators."""
     _ensure_pkg(spark)
@@ -389,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "neardup_cosine": q_neardup_cosine,
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -532,6 +542,26 @@ def oracle_sql() -> dict[str, str]:
                         i -> e.q[i] * qq[i])) AS BIGINT) AS dot
             FROM e, qv WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        "neardup_cosine": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, q,
+                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na2
+              FROM e
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                     a.na2 AS na2, b.na2 AS nb2
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, dot FROM p
+            WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
         """,
         "label_centroids": """
             WITH e AS (

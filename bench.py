@@ -92,7 +92,7 @@ def main() -> None:
     # bytes never cross the JVM) -- the full-corpus extraction fast path
     from xhtml_parser_spark.sources.parse_datasource import read_parsed
 
-    ds = read_parsed(spark, corpus)
+    ds = read_parsed(spark, corpus, num_partitions=4 * CPUS)
 
     def run_ds() -> float:
         t0 = time.monotonic()

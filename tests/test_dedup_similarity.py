@@ -121,3 +121,45 @@ def test_simhash_signed_roundtrip(spark):
     df = spark.createDataFrame([(1, "x " * 100)], "doc_id long, text string")
     r = simhash64(df).collect()[0]
     assert -(1 << 63) <= r["simhash"] < (1 << 63)
+
+
+def test_neardup_cosine_exact_pairs(spark, clustered_emb):
+    """All-pairs exact path: within-cluster pairs pass tau=0.35,
+    cross-cluster (orthogonal) pairs never do; dot values match a
+    NumPy int64 reference bit-for-bit."""
+    import numpy as np
+
+    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in embedding_neardup_pairs(clustered_emb).collect()
+    }
+    rows = sorted(clustered_emb.collect(), key=lambda r: r["vec_id"])
+    q = np.rint(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000)
+    q = q.astype(np.int64)
+    na2 = (q * q).sum(1)
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            d = int(q[a] @ q[b])
+            if d > 0 and 400 * d * d >= 49 * int(na2[a]) * int(na2[b]):
+                want[(a, b)] = d
+    assert got == want
+    assert all(a < 10 and b < 10 or (a >= 10 and b >= 10) for a, b in got)
+    assert any(a < 10 for a, _ in got) and any(a >= 10 for a, _ in got)
+
+
+def test_neardup_cosine_lsh_subset_of_exact(spark, clustered_emb):
+    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"], r["dot"])
+        for r in embedding_neardup_pairs(clustered_emb).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["dot"])
+        for r in embedding_neardup_pairs(clustered_emb, n_bits=4).collect()
+    }
+    assert lsh <= exact
+    assert lsh  # tight clusters land in shared buckets -> nonzero recall

@@ -136,3 +136,18 @@ def test_python_datasource_scan_parse(spark, tmp_path):
     # projection still works through the datasource
     errs = via_ds.where(~F.col("parse_ok")).count()
     assert errs == sum(1 for v in a.values() if not v[1])
+
+
+def test_python_datasource_grouped_partitions(spark, tmp_path):
+    """num_partitions groups many files into few partitions without
+    changing results (per-task launch overhead amortization)."""
+    from xhtml_parser_spark.sources.parse_datasource import read_parsed
+
+    p = str(tmp_path / "pages_ds_grouped")
+    synthesize_pages(spark, 60, max_b=4096, partitions=12).write.parquet(p)
+
+    grouped = read_parsed(spark, p, num_partitions=3)
+    assert grouped.rdd.getNumPartitions() == 3
+    a = {r["url"]: bytes(r["text"]) for r in grouped.collect()}
+    b = {r["url"]: bytes(r["text"]) for r in read_parsed(spark, p).collect()}
+    assert a == b and len(a) == 60

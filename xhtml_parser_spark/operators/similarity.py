@@ -135,6 +135,70 @@ def label_centroid_sums(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    tau_num: int = 7,
+    tau_den: int = 20,
+    n_bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, dot) with
+    id_a < id_b and cos(a, b) >= tau_num/tau_den (exact rational
+    threshold). Output dot is the int64 dot product of the quantized
+    (round(x*1000)) vectors, so any engine reproduces it bit-for-bit.
+
+    The cosine test is evaluated in EXACT integer arithmetic --
+    ``tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2 and dot > 0`` --
+    no float reduction order anywhere.
+
+    n_bits=0: all-pairs within one group (the correctness baseline;
+    O(n^2) -- fine for oracle-scale, wrong at 10^12 docs).
+    n_bits>0: random-hyperplane LSH buckets (map-side signature), then
+    pairs only WITHIN a bucket -- the scale path: the shuffle is keyed
+    on the bucket id and each group runs one vectorized NumPy Gram
+    matrix, trading recall (cross-bucket pairs are lost) for a
+    1/2^n_bits candidate-set reduction.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    if n_bits > 0:
+        withb = emb.join(
+            hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col), id_col
+        )
+    else:
+        withb = emb.withColumn("bucket", F.lit(0).cast("bigint"))
+
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.rint(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])[order]
+            * _Q
+        ).astype(np.int64)
+        na2 = (q * q).sum(axis=1)
+        # int64 exactness bound: td2 * dot^2 <= td2 * na2_max^2 must fit
+        if int(na2.max(initial=0)) > 150_000_000 // tau_den:
+            raise ValueError("quantized norms too large for exact int64 test")
+        g = q @ q.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        d = g[ia, ib]
+        keep = (d > 0) & (td2 * d * d >= tn2 * na2[ia] * na2[ib])
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "dot": d[keep]}
+        )
+
+    return (
+        withb.select(id_col, vec_col, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, "id_a bigint, id_b bigint, dot bigint")
+    )
+
+
 def hyperplane_lsh_buckets(
     emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -28,9 +28,9 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from ..operators.parse import PARSED_SCHEMA, _parse_arrow_batches
 
 
-class _FilePartition(InputPartition):
-    def __init__(self, path: str):
-        self.path = path
+class _FilesPartition(InputPartition):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
 
 
 class ParsedPagesReader(DataSourceReader):
@@ -39,6 +39,11 @@ class ParsedPagesReader(DataSourceReader):
         if not self.path:
             raise ValueError("xps_parsed_pages requires a path")
         self.batch_rows = int(options.get("batch_rows", "256"))
+        # 0 = one partition per file. Task launch for a python data
+        # source costs ~100-200 ms (plan ship + reader pickle), so at
+        # low parallelism many single-file partitions serialize into
+        # pure overhead -- group files into ~3-4 waves per core instead.
+        self.num_partitions = int(options.get("num_partitions", "0"))
 
     def partitions(self):
         files = sorted(
@@ -48,16 +53,21 @@ class ParsedPagesReader(DataSourceReader):
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {self.path}")
-        return [_FilePartition(f) for f in files]
+        k = self.num_partitions
+        if k <= 0 or k >= len(files):
+            return [_FilesPartition([f]) for f in files]
+        # round-robin keeps partition byte-sizes even for same-sized files
+        return [_FilesPartition(files[i::k]) for i in range(k)]
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def read(self, partition: _FilesPartition) -> Iterator:
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(partition.path)
-        batches = pf.iter_batches(
-            batch_size=self.batch_rows, columns=["url", "html"]
-        )
-        yield from _parse_arrow_batches(batches)
+        for path in partition.paths:
+            pf = pq.ParquetFile(path)
+            batches = pf.iter_batches(
+                batch_size=self.batch_rows, columns=["url", "html"]
+            )
+            yield from _parse_arrow_batches(batches)
 
 
 class ParsedPagesDataSource(DataSource):
@@ -76,6 +86,9 @@ def register(spark) -> None:
     spark.dataSource.register(ParsedPagesDataSource)
 
 
-def read_parsed(spark, path: str):
+def read_parsed(spark, path: str, num_partitions: int | None = None):
     register(spark)
-    return spark.read.format("xps_parsed_pages").load(path)
+    reader = spark.read.format("xps_parsed_pages")
+    if num_partitions:
+        reader = reader.option("num_partitions", str(num_partitions))
+    return reader.load(path)
