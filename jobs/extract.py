@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--max-slices", type=int, default=None)
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="zero-IPC sink: tasks read+parse+write parquet in-process, "
+        "JVM sees only lineage rows (input-file-group commit units)",
+    )
     args = ap.parse_args()
 
     from xhtml_parser_spark.session import get_spark
@@ -40,6 +46,7 @@ def main() -> None:
         n_slices=args.slices,
         partitions=args.partitions,
         max_slices=args.max_slices,
+        fused=args.fused,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -70,7 +70,24 @@ def measure(cores: int, path: str = "mapinarrow", n_docs: int | None = None) -> 
     total_bytes = (
         spark.read.parquet(corpus).selectExpr("sum(length(html)) b").collect()[0]["b"]
     )
-    if path == "datasource":
+    if path == "fused":
+        # full fused job: read+parse+WRITE parquet inside the task; the
+        # JVM sees one lineage row per partition. This is the only mode
+        # whose wall includes a real output sink.
+        import shutil
+
+        from xhtml_parser_spark.sources.fused_extract import fused_extract_slice
+
+        outdir = f"/tmp/xps_fused_bench_{cores}"
+
+        def df_action() -> None:
+            shutil.rmtree(outdir, ignore_errors=True)
+            fused_extract_slice(
+                spark, corpus, outdir, 0, 1, num_partitions=4 * cores
+            ).collect()
+
+        df = None
+    elif path == "datasource":
         # fused scan+parse python data source, files grouped into ~4
         # task waves per core (python-datasource task launch is not free)
         from xhtml_parser_spark.sources.parse_datasource import read_parsed
@@ -90,7 +107,10 @@ def measure(cores: int, path: str = "mapinarrow", n_docs: int | None = None) -> 
 
     def once() -> float:
         t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
+        if df is None:
+            df_action()
+        else:
+            df.write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
     once()  # warm up
@@ -148,7 +168,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
-    ap.add_argument("--path", default="mapinarrow", choices=["mapinarrow", "datasource"])
+    ap.add_argument("--path", default="mapinarrow", choices=["mapinarrow", "datasource", "fused"])
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--weak", action="store_true")
     ap.add_argument("--out", default="BENCH_SCALING.json")
@@ -194,6 +214,7 @@ def main() -> None:
             ("pure_python", {"XPS_ACCEL": "0"}, "mapinarrow"),
             ("c_kernel", {}, "mapinarrow"),
             ("c_kernel_datasource", {}, "datasource"),
+            ("c_kernel_fused", {}, "fused"),
         )
         if m[0] in wanted
     )
@@ -223,11 +244,13 @@ def main() -> None:
             "mb_per_sec_4N": results[n4]["mb_per_sec"],
             "efficiency": round(eff, 3),
         }
-    # the gate is the PRODUCTION path (fused scan+parse data source with
-    # the C kernel); the other modes are reported for transparency
-    # (pure_python = fallback kernel, c_kernel = mapInArrow operator).
-    for gate_mode in ("c_kernel_datasource", "pure_python", "c_kernel"):
-        if gate_mode in summary:
+    # the gate is the PRODUCTION path (fused read+parse+write job, else
+    # the fused scan data source); the other modes are reported for
+    # transparency (pure_python = fallback kernel, c_kernel = mapInArrow).
+    gate_mode = modes[-1][0]
+    for cand in ("c_kernel_fused", "c_kernel_datasource", "pure_python"):
+        if cand in summary:
+            gate_mode = cand
             break
     summary["gate_mode"] = gate_mode
     summary["efficiency"] = summary[gate_mode]["efficiency"]

@@ -163,3 +163,55 @@ def test_parse_full_single_pass(spark, corpus_path):
     assert sorted(map(tuple, exploded), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, direct), key=lambda t: (t[0], t[1])
     )
+
+
+def test_fused_extract_matches_standard(spark, corpus_path, tmp_path):
+    """The zero-IPC fused sink (tasks read+parse+write parquet
+    in-process) must land byte-identical rows to the standard
+    scan -> mapInArrow -> JVM-write path, with reconciling lineage."""
+    out_std = str(tmp_path / "std")
+    out_f = str(tmp_path / "fused")
+    run_extract(spark, corpus_path, out_std, run_id="s", n_slices=2)
+    run_extract(spark, corpus_path, out_f, run_id="f", n_slices=2, fused=True)
+
+    def snap(out):
+        return {
+            r["url"]: (
+                bytes(r["text"]),
+                bytes(r["text_main"]),
+                r["parse_ok"],
+                r["error_class"],
+                r["n_nodes"],
+            )
+            for r in read_extracted(spark, out).collect()
+        }
+
+    assert snap(out_std) == snap(out_f)
+
+    lin = read_lineage(spark, out_f)
+    tot = lin.agg(
+        F.sum("doc_count").alias("d"), F.sum("parse_error_count").alias("e")
+    ).collect()[0]
+    assert tot["d"] == N_DOCS and tot["e"] == 3
+    assert set(lin.columns) == {
+        "run_id", "slice_id", "partition_id", "doc_count",
+        "byte_count", "parse_error_count", "wall_ms",
+    }
+
+
+def test_fused_resume_after_partial_run(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "fused_resume")
+    s1 = run_extract(
+        spark, corpus_path, out, run_id="fA", n_slices=4, max_slices=2, fused=True
+    )
+    assert len(s1["processed"]) == 2
+    assert read_extracted(spark, out).count() < N_DOCS
+
+    s2 = run_extract(spark, corpus_path, out, run_id="fB", n_slices=4, fused=True)
+    assert s2["skipped_committed"] == sorted(x["slice_id"] for x in s1["processed"])
+    ext = read_extracted(spark, out)
+    assert ext.count() == N_DOCS
+    assert ext.select("url").distinct().count() == N_DOCS
+
+    s3 = run_extract(spark, corpus_path, out, run_id="fC", n_slices=4, fused=True)
+    assert s3["processed"] == []

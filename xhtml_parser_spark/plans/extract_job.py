@@ -52,13 +52,27 @@ def run_extract(
     n_slices: int = 8,
     partitions: int | None = None,
     max_slices: int | None = None,
+    fused: bool = False,
 ) -> dict:
     """Run (or resume) the extraction. Returns a summary dict.
 
     ``max_slices`` bounds how many uncommitted slices to process in this
     invocation (used by the resume test to simulate a mid-run kill; in
     production it bounds a run's blast radius the same way).
+
+    ``fused=True`` switches to the zero-IPC sink path
+    (sources/fused_extract.py): python tasks read, parse, AND write
+    their output parquet directly; the JVM sees only lineage rows. The
+    commit unit becomes a deterministic input-file group instead of a
+    url-hash range (see that module's docstring for the trade-off);
+    manifests, resume, kill-safety and read_extracted/read_lineage are
+    identical.
     """
+    if fused:
+        return _run_extract_fused(
+            spark, input_path, output_path, run_id, n_slices, partitions,
+            max_slices,
+        )
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
     done = table.committed_slices()
@@ -107,6 +121,66 @@ def run_extract(
         "n_slices": n_slices,
         "skipped_committed": sorted(done),
         "processed": processed,
+    }
+
+
+def _run_extract_fused(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    n_slices: int,
+    partitions: int | None,
+    max_slices: int | None,
+) -> dict:
+    from ..sources.fused_extract import fused_extract_slice
+
+    table = SnapshotTable(output_path)
+    lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
+    done = table.committed_slices()
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+
+    processed = []
+    for k in range(n_slices):
+        if k in done:
+            continue
+        if max_slices is not None and len(processed) >= max_slices:
+            break
+        t0 = time.monotonic()
+        # the scan action IS the extraction: tasks write their output
+        # parquet and return one lineage row each
+        rows = fused_extract_slice(
+            spark,
+            input_path,
+            table.slice_dir(k),
+            slice_id=k,
+            n_slices=n_slices,
+            num_partitions=partitions,
+        ).collect()
+        out_bytes = sum(r["out_bytes"] for r in rows)
+        table.commit_slice_files(
+            k, run_id, meta={"out_bytes": out_bytes, "fused": True}
+        )
+        lineage = spark.createDataFrame(rows).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(k).alias("slice_id"),
+            "partition_id",
+            "doc_count",
+            "byte_count",
+            "parse_error_count",
+            "wall_ms",
+        )
+        lineage_table.write_slice(lineage, k, run_id)
+        processed.append(
+            {"slice_id": k, "wall_s": round(time.monotonic() - t0, 2)}
+        )
+
+    return {
+        "run_id": run_id,
+        "n_slices": n_slices,
+        "skipped_committed": sorted(done),
+        "processed": processed,
+        "fused": True,
     }
 
 

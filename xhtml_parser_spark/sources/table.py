@@ -69,6 +69,32 @@ class SnapshotTable:
         os.rename(tmp, self._manifest_path(slice_id))  # the atomic commit
         return manifest
 
+    def commit_slice_files(
+        self, slice_id: int, run_id: str, meta: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Commit a slice whose data files were written by executor
+        tasks directly (the fused sink path): list what landed in the
+        slice dir, then the same tmp-write + atomic-rename manifest
+        protocol as write_slice. Kill-safety is identical -- files
+        without a manifest are invisible orphans."""
+        sdir = self.slice_dir(slice_id)
+        files = sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet files landed in {sdir}")
+        manifest = {
+            "slice_id": slice_id,
+            "run_id": run_id,
+            "committed_at_unix": time.time(),
+            "files": files,
+            **(meta or {}),
+        }
+        os.makedirs(self.commits_dir, exist_ok=True)
+        tmp = self._manifest_path(slice_id) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self._manifest_path(slice_id))
+        return manifest
+
     # -- read side --
 
     def manifests(self) -> list[dict[str, Any]]:
