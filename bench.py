@@ -101,6 +101,26 @@ def main() -> None:
 
     run_ds()
     ds_sec = min(run_ds() for _ in range(3))
+
+    # full fused job: read+parse+WRITE parquet inside the task (the
+    # production sink path; the only number that includes a real sink)
+    import shutil
+
+    from xhtml_parser_spark.sources.fused_extract import fused_extract_slice
+
+    fused_out = "/tmp/xps_bench_fused_out"
+
+    def run_fused() -> float:
+        shutil.rmtree(fused_out, ignore_errors=True)
+        t0 = time.monotonic()
+        fused_extract_slice(
+            spark, corpus, fused_out, 0, 1, num_partitions=4 * CPUS
+        ).collect()
+        return time.monotonic() - t0
+
+    run_fused()
+    fused_sec = min(run_fused() for _ in range(3))
+    shutil.rmtree(fused_out, ignore_errors=True)
     best_sec = min(parse_sec, ds_sec)
     docs_per_sec = n_docs / best_sec
     mb_per_sec = total_bytes / best_sec / 1e6
@@ -109,6 +129,7 @@ def main() -> None:
     qtimes: dict[str, float] = {
         "parse_pipeline": round(parse_sec, 3),
         "parse_pipeline_datasource": round(ds_sec, 3),
+        "parse_pipeline_fused_sink": round(fused_sec, 3),
     }
     queries = entry.queries()
     for name in (
@@ -138,6 +159,8 @@ def main() -> None:
         "sf": sf,
         "extra": {
             "parse_mb_per_sec": round(mb_per_sec, 2),
+            "fused_sink_mb_per_sec": round(total_bytes / fused_sec / 1e6, 2),
+            "fused_sink_docs_per_sec": round(n_docs / fused_sec, 2),
             "corpus_docs": n_docs,
             "corpus_bytes": int(total_bytes),
             "cpus": CPUS,

@@ -215,3 +215,34 @@ def test_fused_resume_after_partial_run(spark, corpus_path, tmp_path):
 
     s3 = run_extract(spark, corpus_path, out, run_id="fC", n_slices=4, fused=True)
     assert s3["processed"] == []
+
+
+def test_fused_extract_empty_input_file(spark, tmp_path):
+    """A partition whose input split has zero rows must yield a
+    zero-count lineage row, not crash or write an empty file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtml_parser_spark.sources.fused_extract import fused_extract_slice
+
+    indir = str(tmp_path / "pages_empty")
+    os.makedirs(indir)
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())}
+    )
+    pq.write_table(empty, os.path.join(indir, "part-0.parquet"))
+    full = pa.table(
+        {
+            "url": pa.array(["http://a.test/1"]),
+            "html": pa.array([b"<r>hi</r>"], pa.binary()),
+        }
+    )
+    pq.write_table(full, os.path.join(indir, "part-1.parquet"))
+
+    out = str(tmp_path / "out_empty")
+    rows = fused_extract_slice(spark, indir, out).collect()
+    assert sorted(r["doc_count"] for r in rows) == [0, 1]
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1  # only the non-empty partition landed a file
+    got = spark.read.parquet(out).collect()
+    assert bytes(got[0]["text"]) == b"hi"

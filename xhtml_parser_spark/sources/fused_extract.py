@@ -109,6 +109,8 @@ class FusedExtractReader(DataSourceReader):
                         batch_size=self.batch_rows, columns=["url", "html"]
                     )
                 ):
+                    if rb.num_rows == 0:
+                        continue
                     # provenance column, same as the standard path's
                     # spark_partition_id() -- read_extracted() serves both
                     rb = rb.append_column(
@@ -130,6 +132,13 @@ class FusedExtractReader(DataSourceReader):
         finally:
             if writer is not None:
                 writer.close()
+        if writer is None:
+            # zero-row input split: no output file, zero-count lineage
+            # (commit_slice_files still succeeds as long as any
+            # partition in the slice landed a file)
+            yield (partition.pid, 0, 0, 0, 0,
+                   int((time.monotonic() - t0) * 1000))
+            return
         os.replace(out_tmp, out_final)  # idempotent under task retry
         wall_ms = int((time.monotonic() - t0) * 1000)
         yield (
