@@ -163,3 +163,18 @@ def test_neardup_cosine_lsh_subset_of_exact(spark, clustered_emb):
     }
     assert lsh <= exact
     assert lsh  # tight clusters land in shared buckets -> nonzero recall
+
+
+def test_ann_multi_probe_recall_dominates_single_bucket(spark, clustered_emb):
+    """Hamming-1 multi-probe must find at least the single-bucket
+    candidates and close the gap toward the exact scan."""
+    single = {r["vec_id"] for r in ann_lsh_topk(clustered_emb, query_vec_id=0, k=5).collect()}
+    probed = {
+        r["vec_id"]
+        for r in ann_lsh_topk(
+            clustered_emb, query_vec_id=0, k=5, multi_probe=1
+        ).collect()
+    }
+    brute = {r["vec_id"] for r in brute_force_topk(clustered_emb, query_vec_id=0, k=5).collect()}
+    assert len(probed & brute) >= len(single & brute)
+    assert probed <= set(range(1, 10))  # still never crosses clusters

@@ -232,19 +232,32 @@ def hyperplane_lsh_buckets(
 def ann_lsh_topk(
     emb: DataFrame, query_vec_id: int, k: int = 10, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: restrict the brute-force scan to the query's
-    bucket, then exact re-rank. Recall < 1 by construction (multi-probe
-    is a straightforward extension: OR adjacent buckets)."""
+    bucket, then exact re-rank. Recall < 1 by construction.
+
+    ``multi_probe``: also search buckets within that Hamming distance
+    of the query's bucket (each flipped sign bit is a hyperplane the
+    query sits close to, so Hamming-adjacent buckets hold the likeliest
+    missed neighbors). multi_probe=1 probes 1+n_bits buckets and
+    typically recovers most of the recall an exact scan would add, at
+    1/2^(n_bits-log2(1+n_bits)) of its cost."""
     buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
     qb = buckets.where(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
-    cand = (
-        buckets.crossJoin(F.broadcast(qb))
-        .where(F.col("bucket") == F.col("qbucket"))
-        .select(id_col)
-    )
+    cand = buckets.crossJoin(F.broadcast(qb))
+    if multi_probe <= 0:
+        cand = cand.where(F.col("bucket") == F.col("qbucket"))
+    else:
+        # popcount(bucket XOR qbucket) <= multi_probe, via bit_count
+        cand = cand.where(
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("qbucket"))
+            ) <= multi_probe
+        )
+    cand = cand.select(id_col)
     return (
         brute_force_scores(emb.join(cand, id_col, "left_semi").unionByName(
             emb.where(F.col(id_col) == query_vec_id)
