@@ -28,7 +28,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "24000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
 CORPUS = f"/tmp/xps_bench_corpus_{N_DOCS}"
 
 

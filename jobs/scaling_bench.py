@@ -207,7 +207,10 @@ def main() -> None:
     #  * C kernel via the fused scan+parse python data source: html
     #    bytes never cross the JVM, so the per-core data path is the
     #    lightest -- the production fast path.
+    known = {"pure_python", "c_kernel", "c_kernel_datasource", "c_kernel_fused"}
     wanted = set(args.modes.split(","))
+    if not wanted <= known:
+        raise SystemExit(f"unknown --modes {sorted(wanted - known)}; known: {sorted(known)}")
     modes = tuple(
         m
         for m in (

@@ -136,8 +136,8 @@ def test_neardup_cosine_exact_pairs(spark, clustered_emb):
         for r in embedding_neardup_pairs(clustered_emb).collect()
     }
     rows = sorted(clustered_emb.collect(), key=lambda r: r["vec_id"])
-    q = np.rint(np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000)
-    q = q.astype(np.int64)
+    s = np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000
+    q = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
     na2 = (q * q).sum(1)
     want = {}
     for a in range(len(rows)):
@@ -178,3 +178,28 @@ def test_ann_multi_probe_recall_dominates_single_bucket(spark, clustered_emb):
     brute = {r["vec_id"] for r in brute_force_topk(clustered_emb, query_vec_id=0, k=5).collect()}
     assert len(probed & brute) >= len(single & brute)
     assert probed <= set(range(1, 10))  # still never crosses clusters
+
+
+def test_quantization_half_away_from_zero_matches_sql(spark):
+    """x*1000 landing exactly on .5 (float32 x = odd/16, e.g. 0.0625 ->
+    62.5) must round AWAY from zero like SQL round(), not half-to-even
+    like np.rint -- the cross-engine identity of every quantized
+    operator depends on it."""
+    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(0, [0.0625, 0.0]), (1, [0.0625, 0.0]), (2, [-0.0625, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dot"]
+           for r in embedding_neardup_pairs(df).collect()}
+    # 0.0625*1000 = 62.5 -> 63 (np.rint would give 62): dot = 63*63
+    assert got == {(0, 1): 63 * 63}
+    # and the SQL side agrees
+    import duckdb
+
+    v = duckdb.sql(
+        "SELECT CAST(round(CAST(CAST(0.0625 AS FLOAT) AS DOUBLE)*1000) "
+        "AS BIGINT) x"
+    ).fetchone()[0]
+    assert v == 63

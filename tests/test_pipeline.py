@@ -246,3 +246,24 @@ def test_fused_extract_empty_input_file(spark, tmp_path):
     assert len(files) == 1  # only the non-empty partition landed a file
     got = spark.read.parquet(out).collect()
     assert bytes(got[0]["text"]) == b"hi"
+
+
+def test_reader_ignores_stray_files_in_committed_slice(spark, corpus_path, tmp_path):
+    """Readers must see exactly the manifest-listed files: a leftover
+    task-retry tmp file (or a stale part from an older run) inside a
+    committed slice dir must not contribute rows."""
+    import shutil
+
+    out = str(tmp_path / "stray")
+    run_extract(spark, corpus_path, out, run_id="r1", n_slices=2, fused=True)
+    n0 = read_extracted(spark, out).count()
+    sdir = os.path.join(out, "data", "slice=0")
+    a_part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(sdir, a_part),
+        os.path.join(sdir, a_part + ".tmp-deadbeef"),
+    )
+    shutil.copy(
+        os.path.join(sdir, a_part), os.path.join(sdir, "part-99999.parquet")
+    )
+    assert read_extracted(spark, out).count() == n0

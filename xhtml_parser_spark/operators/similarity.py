@@ -27,6 +27,17 @@ def quantized(col) -> "F.Column":
     return F.transform(col, lambda x: F.round(x * _Q).cast("bigint"))
 
 
+def _np_quantize(m):
+    """NumPy quantization matching SQL round() exactly: half away from
+    zero. np.rint rounds half to EVEN and diverges from Spark/DuckDB
+    whenever x*1000 lands exactly on .5 -- which float32 values CAN
+    produce (any x = (2k+1)/16, e.g. 0.0625 -> 62.5)."""
+    import numpy as np
+
+    s = m * _Q
+    return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+
 def dot_q(a, b) -> "F.Column":
     """Exact integer dot product of two quantized vectors."""
     return F.aggregate(
@@ -114,12 +125,9 @@ def label_centroid_sums(
 
     def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
         label = int(pdf[label_col].iloc[0])
-        # np.rint is half-to-even vs SQL round's half-away-from-zero,
-        # but float32*1000 in double can never land on exactly .5
-        # (1/2000 is not dyadic), so the quantizations agree
-        m = np.stack(
-            [np.rint(np.asarray(v, dtype=np.float64) * _Q) for v in pdf[vec_col]]
-        ).astype(np.int64)
+        m = _np_quantize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        )
         s = m.sum(axis=0)
         return pd.DataFrame(
             {
@@ -176,10 +184,9 @@ def embedding_neardup_pairs(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        q = np.rint(
+        q = _np_quantize(
             np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])[order]
-            * _Q
-        ).astype(np.int64)
+        )
         na2 = (q * q).sum(axis=1)
         # int64 exactness bound: td2 * dot^2 <= td2 * na2_max^2 must fit
         if int(na2.max(initial=0)) > 150_000_000 // tau_den:

@@ -158,8 +158,17 @@ def _run_extract_fused(
             num_partitions=partitions,
         ).collect()
         out_bytes = sum(r["out_bytes"] for r in rows)
+        # commit exactly the files this run's tasks reported -- never a
+        # directory listing, which could include stale orphans from a
+        # previous killed run with a different partition count
+        landed = [
+            f"part-{r['partition_id']:05d}.parquet"
+            for r in rows
+            if r["out_bytes"] > 0
+        ]
         table.commit_slice_files(
-            k, run_id, meta={"out_bytes": out_bytes, "fused": True}
+            k, run_id, files=landed,
+            meta={"out_bytes": out_bytes, "fused": True},
         )
         lineage = spark.createDataFrame(rows).select(
             F.lit(run_id).alias("run_id"),

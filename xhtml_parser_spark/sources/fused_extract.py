@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.parse import PARSED_SCHEMA, _parse_arrow_batches
+from ..operators.parse import _parse_arrow_batches
 
 LINEAGE_SCHEMA = StructType(
     [
@@ -80,12 +80,14 @@ class FusedExtractReader(DataSourceReader):
             for f in os.listdir(self.input)
             if f.endswith(".parquet")
         )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {self.input}")
         mine = files[self.slice_id :: self.n_slices]
         if not mine:
-            raise FileNotFoundError(
-                f"slice {self.slice_id}/{self.n_slices}: no parquet files "
-                f"under {self.input}"
-            )
+            # n_slices > file count: this slice has no input. One empty
+            # partition yields a zero-count lineage row so the slice
+            # still commits (empty) and resume proceeds past it.
+            return [_FusedPartition(0, [])]
         k = self.num_partitions
         if k <= 0 or k >= len(mine):
             return [_FusedPartition(i, [f]) for i, f in enumerate(mine)]
@@ -123,19 +125,31 @@ class FusedExtractReader(DataSourceReader):
                         )
                     writer.write_batch(rb)
                     docs += rb.num_rows
-                    in_bytes += sum(
-                        v.as_py() for v in rb.column("html_bytes")
-                    )
+                    in_bytes += pa.compute.sum(
+                        rb.column("html_bytes")
+                    ).as_py()
                     errors += rb.num_rows - pa.compute.sum(
                         pa.compute.cast(rb.column("parse_ok"), pa.int64())
                     ).as_py()
+        except BaseException:
+            # a failed attempt must not leave a finalized tmp parquet
+            # behind: close() in the cleanup writes a valid footer, and
+            # a stray *.parquet* file would otherwise sit in the slice
+            # dir forever (readers only see manifest-listed files, but
+            # disk still leaks)
+            if writer is not None:
+                writer.close()
+                writer = None
+            if os.path.exists(out_tmp):
+                os.remove(out_tmp)
+            raise
         finally:
             if writer is not None:
                 writer.close()
         if writer is None:
             # zero-row input split: no output file, zero-count lineage
-            # (commit_slice_files still succeeds as long as any
-            # partition in the slice landed a file)
+            # (the driver commits the slice with exactly the files the
+            # lineage rows report -- possibly none)
             yield (partition.pid, 0, 0, 0, 0,
                    int((time.monotonic() - t0) * 1000))
             return
@@ -190,8 +204,3 @@ def fused_extract_slice(
     if num_partitions:
         reader = reader.option("num_partitions", str(num_partitions))
     return reader.load()
-
-
-# the fused output schema equals the standard path's parse output plus
-# the provenance column, so read_extracted() serves both identically
-FUSED_OUTPUT_COLUMNS = tuple(f.name for f in PARSED_SCHEMA.fields)

@@ -46,15 +46,15 @@ class SnapshotTable:
                 out.add(int(f[len("slice-") : -len(".json")]))
         return out
 
-    def write_slice(
-        self, df: DataFrame, slice_id: int, run_id: str, meta: dict[str, Any] | None = None
+    def _commit_manifest(
+        self,
+        slice_id: int,
+        run_id: str,
+        files: list[str],
+        meta: dict[str, Any] | None,
     ) -> dict[str, Any]:
-        """Write a slice's data, then atomically commit its manifest."""
-        sdir = self.slice_dir(slice_id)
-        df.write.mode("overwrite").parquet(sdir)
-        files = sorted(
-            f for f in os.listdir(sdir) if f.endswith(".parquet")
-        )
+        """The one atomic-commit implementation: tmp-write the manifest,
+        then rename. A slice is committed IFF its manifest exists."""
         manifest = {
             "slice_id": slice_id,
             "run_id": run_id,
@@ -69,31 +69,47 @@ class SnapshotTable:
         os.rename(tmp, self._manifest_path(slice_id))  # the atomic commit
         return manifest
 
+    def write_slice(
+        self, df: DataFrame, slice_id: int, run_id: str, meta: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Write a slice's data, then atomically commit its manifest."""
+        sdir = self.slice_dir(slice_id)
+        df.write.mode("overwrite").parquet(sdir)
+        files = sorted(
+            f for f in os.listdir(sdir) if f.endswith(".parquet")
+        )
+        return self._commit_manifest(slice_id, run_id, files, meta)
+
     def commit_slice_files(
-        self, slice_id: int, run_id: str, meta: dict[str, Any] | None = None
+        self,
+        slice_id: int,
+        run_id: str,
+        files: list[str] | None = None,
+        meta: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Commit a slice whose data files were written by executor
-        tasks directly (the fused sink path): list what landed in the
-        slice dir, then the same tmp-write + atomic-rename manifest
-        protocol as write_slice. Kill-safety is identical -- files
-        without a manifest are invisible orphans."""
+        tasks directly (the fused sink path). ``files`` MUST be the
+        file names this run's tasks reported -- listing the directory
+        instead would commit stale orphans from a previous killed run
+        with a different partition count as live data. An empty list is
+        a legitimate commit (a slice whose input held zero rows).
+        Kill-safety matches write_slice: no manifest, no visibility."""
         sdir = self.slice_dir(slice_id)
-        files = sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        if not files:
-            raise FileNotFoundError(f"no parquet files landed in {sdir}")
-        manifest = {
-            "slice_id": slice_id,
-            "run_id": run_id,
-            "committed_at_unix": time.time(),
-            "files": files,
-            **(meta or {}),
-        }
-        os.makedirs(self.commits_dir, exist_ok=True)
-        tmp = self._manifest_path(slice_id) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, self._manifest_path(slice_id))
-        return manifest
+        if files is None:
+            files = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+        else:
+            missing = [
+                f for f in files
+                if not os.path.exists(os.path.join(sdir, f))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"slice {slice_id}: reported files missing on disk: "
+                    f"{missing}"
+                )
+        return self._commit_manifest(slice_id, run_id, sorted(files), meta)
 
     # -- read side --
 
@@ -107,21 +123,32 @@ class SnapshotTable:
     def read(
         self, spark: SparkSession, as_of_unix: float | None = None
     ) -> DataFrame:
-        """Read committed slices only (uncommitted orphans invisible).
+        """Read exactly the files the committed manifests list.
+
+        Reading manifest-listed files (not slice directories) is what
+        makes stray files invisible: a task retry's leftover tmp file
+        or a killed run's orphan part in an otherwise-committed slice
+        dir never reaches a reader -- the Iceberg contract.
 
         ``as_of_unix`` gives snapshot time travel: only slices whose
         manifest committed at or before that instant are visible --
         the Iceberg snapshot-id read, keyed on commit time here.
         """
-        if as_of_unix is None:
-            slices = sorted(self.committed_slices())
-        else:
-            slices = [
-                m["slice_id"]
-                for m in self.manifests()
-                if m["committed_at_unix"] <= as_of_unix
+        manifests = self.manifests()
+        if as_of_unix is not None:
+            manifests = [
+                m for m in manifests if m["committed_at_unix"] <= as_of_unix
             ]
-        dirs = [self.slice_dir(s) for s in slices]
-        if not dirs:
+        if not manifests:
             raise FileNotFoundError(f"no committed slices under {self.path}")
-        return spark.read.parquet(*dirs)
+        paths = [
+            os.path.join(self.slice_dir(m["slice_id"]), f)
+            for m in manifests
+            for f in m["files"]
+        ]
+        if not paths:
+            # every committed slice is legitimately empty
+            raise FileNotFoundError(
+                f"committed slices under {self.path} contain no files"
+            )
+        return spark.read.parquet(*paths)
