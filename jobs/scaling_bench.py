@@ -184,10 +184,11 @@ def main() -> None:
         return
 
     if args.weak:
-        # weak scaling (constant per-core input): both kernel paths
+        # weak scaling (constant per-core input) across the C-kernel paths
         res = {
             "mapinarrow": measure_weak(args.n, N_DOCS, "mapinarrow"),
             "datasource": measure_weak(args.n, N_DOCS, "datasource"),
+            "fused": measure_weak(args.n, N_DOCS, "fused"),
         }
         with open(os.path.join(REPO, "BENCH_WEAK_SCALING.json"), "w") as fh:
             json.dump(res, fh, indent=2)
