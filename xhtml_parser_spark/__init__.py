@@ -19,3 +19,36 @@ Layers:
 """
 
 __version__ = "0.1.0"
+
+# Kernel API (pure Python, no Spark dependency): the reference-shaped
+# per-document surface -- ParsedDoc/Node navigation over a packed DOM.
+from .kernel import Attribute, Node, ParsedDoc, parse_document  # noqa: E402,F401
+
+# Spark-dependent names resolve lazily (PEP 562) so the kernel stays
+# importable in environments without pyspark on the path.
+_LAZY = {
+    "parse_pages": ("xhtml_parser_spark.operators", "parse_pages"),
+    "parse_nodes": ("xhtml_parser_spark.operators", "parse_nodes"),
+    "parse_attrs": ("xhtml_parser_spark.operators", "parse_attrs"),
+    "parse_full": ("xhtml_parser_spark.operators", "parse_full"),
+    "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
+    "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
+    "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
+    "read_parsed": ("xhtml_parser_spark.sources.parse_datasource", "read_parsed"),
+    "SnapshotTable": ("xhtml_parser_spark.sources.table", "SnapshotTable"),
+    "synthesize_pages": ("xhtml_parser_spark.sources", "synthesize_pages"),
+    "get_spark": ("xhtml_parser_spark.session", "get_spark"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
