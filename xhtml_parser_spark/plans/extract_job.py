@@ -53,12 +53,18 @@ def run_extract(
     partitions: int | None = None,
     max_slices: int | None = None,
     fused: bool = False,
+    layout: str = "range",
 ) -> dict:
     """Run (or resume) the extraction. Returns a summary dict.
 
     ``max_slices`` bounds how many uncommitted slices to process in this
     invocation (used by the resume test to simulate a mid-run kill; in
     production it bounds a run's blast radius the same way).
+
+    ``layout`` ("range" default, per north_rule) range-partitions each
+    slice by xxhash64(url) so output partitions hold contiguous hash
+    ranges; "hash" uses plain hash partitioning (skips the range
+    partitioner's sampling job).
 
     ``fused=True`` switches to the zero-IPC sink path
     (sources/fused_extract.py): python tasks read, parse, AND write
@@ -88,7 +94,18 @@ def run_extract(
             break
         t0 = time.monotonic()
         slice_df = pages.where(F.pmod(F.xxhash64("url"), F.lit(n_slices)) == k)
-        sliced = slice_df.repartition(partitions, F.xxhash64("url"))  # B3
+        # B3: range-partition by url hash (north_rule) -- contiguous
+        # hash ranges per output partition give a deterministic, nearly
+        # uniform layout that downstream range reads can prune; the
+        # range partitioner's sampling pass is cheap relative to the
+        # parse. layout="hash" keeps plain hash partitioning (no
+        # sampling job) for latency-sensitive small slices.
+        if layout == "range":
+            sliced = slice_df.repartitionByRange(
+                partitions, F.xxhash64("url")
+            )
+        else:
+            sliced = slice_df.repartition(partitions, F.xxhash64("url"))
         parsed = parse_pages(sliced).withColumn(
             "partition_id", F.spark_partition_id()
         )
