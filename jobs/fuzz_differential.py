@@ -141,9 +141,28 @@ def main() -> None:
     ]
     for p in procs:
         p.start()
-    total, failures = 0, []
-    for _ in procs:
-        n, d, xml = q.get()
+    total, failures, expected = 0, [], len(procs)
+    # Don't block forever on q.get(): a worker that SEGFAULTS inside the
+    # C kernel (the most severe divergence class) dies before putting a
+    # result. Poll the queue and the process table together.
+    import queue as _queue
+
+    got = 0
+    while got < expected:
+        try:
+            n, d, xml = q.get(timeout=2)
+        except _queue.Empty:
+            dead = [p for p in procs if not p.is_alive() and p.exitcode not in (0, None)]
+            if dead and q.empty():
+                failures.append(
+                    (f"worker crashed with exitcode {dead[0].exitcode} "
+                     f"(likely a C-kernel segfault)", None)
+                )
+                expected -= len(dead)
+                for p in dead:
+                    procs.remove(p)
+            continue
+        got += 1
         total += n
         if d is not None:
             failures.append((d, xml))

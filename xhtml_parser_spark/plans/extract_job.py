@@ -74,6 +74,8 @@ def run_extract(
     manifests, resume, kill-safety and read_extracted/read_lineage are
     identical.
     """
+    if layout not in ("range", "hash"):
+        raise ValueError(f"layout must be 'range' or 'hash', got {layout!r}")
     if fused:
         return _run_extract_fused(
             spark, input_path, output_path, run_id, n_slices, partitions,
@@ -150,7 +152,7 @@ def _run_extract_fused(
     partitions: int | None,
     max_slices: int | None,
 ) -> dict:
-    from ..sources.fused_extract import fused_extract_slice
+    from ..sources.fused_extract import fused_extract_slice, part_file_name
 
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
@@ -179,7 +181,7 @@ def _run_extract_fused(
         # directory listing, which could include stale orphans from a
         # previous killed run with a different partition count
         landed = [
-            f"part-{r['partition_id']:05d}.parquet"
+            part_file_name(r["partition_id"])
             for r in rows
             if r["out_bytes"] > 0
         ]

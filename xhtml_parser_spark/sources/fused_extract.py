@@ -57,6 +57,13 @@ LINEAGE_SCHEMA = StructType(
 )
 
 
+def part_file_name(pid: int) -> str:
+    """Deterministic per-partition output name -- the single source of
+    truth shared by the task writer and the driver's manifest commit
+    (a retried/speculative task overwrites the same name atomically)."""
+    return f"part-{pid:05d}.parquet"
+
+
 class _FusedPartition(InputPartition):
     def __init__(self, pid: int, paths: list[str]):
         self.pid = pid
@@ -98,7 +105,7 @@ class FusedExtractReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         t0 = time.monotonic()
-        out_final = os.path.join(self.output, f"part-{partition.pid:05d}.parquet")
+        out_final = os.path.join(self.output, part_file_name(partition.pid))
         out_tmp = out_final + f".tmp-{uuid.uuid4().hex}"
         os.makedirs(self.output, exist_ok=True)
         writer: pq.ParquetWriter | None = None
@@ -136,9 +143,14 @@ class FusedExtractReader(DataSourceReader):
             # behind: close() in the cleanup writes a valid footer, and
             # a stray *.parquet* file would otherwise sit in the slice
             # dir forever (readers only see manifest-listed files, but
-            # disk still leaks)
+            # disk still leaks). close() itself can raise (footer flush
+            # on a full disk) -- suppress it so the tmp removal always
+            # runs and the ORIGINAL exception propagates.
             if writer is not None:
-                writer.close()
+                try:
+                    writer.close()
+                except Exception:
+                    pass
                 writer = None
             if os.path.exists(out_tmp):
                 os.remove(out_tmp)
