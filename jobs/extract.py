@@ -32,6 +32,13 @@ def main() -> None:
         help="zero-IPC sink: tasks read+parse+write parquet in-process, "
         "JVM sees only lineage rows (input-file-group commit units)",
     )
+    ap.add_argument(
+        "--layout",
+        choices=["range", "hash"],
+        default="range",
+        help="standard-path output layout: range-partition by url hash "
+        "(default, north-rule literal) or plain hash partitioning",
+    )
     args = ap.parse_args()
 
     from xhtml_parser_spark.session import get_spark
@@ -47,6 +54,7 @@ def main() -> None:
         partitions=args.partitions,
         max_slices=args.max_slices,
         fused=args.fused,
+        layout=args.layout,
     )
     print(json.dumps(summary))
     spark.stop()
