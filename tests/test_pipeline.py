@@ -267,3 +267,29 @@ def test_reader_ignores_stray_files_in_committed_slice(spark, corpus_path, tmp_p
         os.path.join(sdir, a_part), os.path.join(sdir, "part-99999.parquet")
     )
     assert read_extracted(spark, out).count() == n0
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_resume_heals_missing_lineage(spark, corpus_path, tmp_path, fused):
+    """kill -9 between a slice's data commit and its lineage commit
+    leaves a data slice with no lineage; resume must rebuild the
+    missing lineage from the committed files (found by the 600k-doc
+    backfill rehearsal)."""
+    out = str(tmp_path / f"heal_{fused}")
+    run_extract(spark, corpus_path, out, run_id="h1", n_slices=2, fused=fused)
+    # simulate the crash window: drop slice 0's lineage manifest
+    os.remove(os.path.join(out, "_lineage", "_commits", "slice-0.json"))
+    lin = read_lineage(spark, out)
+    partial = lin.agg(F.sum("doc_count").alias("d")).collect()[0]["d"]
+    assert partial < N_DOCS
+
+    s = run_extract(spark, corpus_path, out, run_id="h2", n_slices=2, fused=fused)
+    assert s["healed_lineage"] == [0]
+    assert s["processed"] == []
+    lin = read_lineage(spark, out)
+    tot = lin.agg(F.sum("doc_count").alias("d")).collect()[0]
+    assert tot["d"] == N_DOCS
+    healed_runs = {
+        r["run_id"] for r in lin.where(F.col("slice_id") == 0).collect()
+    }
+    assert healed_runs == {"h2"}

@@ -43,6 +43,60 @@ LINEAGE_COLS = (
     "wall_ms",
 )
 
+_LINEAGE_SCHEMA = (
+    "run_id string, slice_id int, partition_id int, doc_count bigint, "
+    "byte_count bigint, parse_error_count bigint, wall_ms bigint"
+)
+
+
+def _slice_lineage_df(
+    spark: SparkSession, table: SnapshotTable, k: int, run_id: str
+) -> DataFrame:
+    """Lineage rows derived from slice k's COMMITTED (manifest-listed)
+    files -- the counts provably describe what landed. Works for both
+    the standard and fused outputs (both carry partition_id,
+    html_bytes, parse_ok, kernel_ns)."""
+    manifest = next(m for m in table.manifests() if m["slice_id"] == k)
+    files = [os.path.join(table.slice_dir(k), f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], _LINEAGE_SCHEMA)
+    written = spark.read.parquet(*files)
+    return written.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("html_bytes").alias("byte_count"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+            "parse_error_count"
+        ),
+        (F.sum("kernel_ns") / F.lit(1e6)).cast("bigint").alias("wall_ms"),
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(k).cast("int").alias("slice_id"),
+        "partition_id",
+        "doc_count",
+        "byte_count",
+        "parse_error_count",
+        "wall_ms",
+    )
+
+
+def _heal_missing_lineage(
+    spark: SparkSession,
+    table: SnapshotTable,
+    lineage_table: SnapshotTable,
+    run_id: str,
+) -> list[int]:
+    """Close the crash window between a slice's data commit and its
+    lineage commit: a kill -9 there leaves a committed data slice with
+    no lineage slice, and resume would otherwise skip it forever
+    (found by jobs/backfill_rehearsal.py). Rebuild the missing lineage
+    from the committed files and commit it under this run's id."""
+    missing = table.committed_slices() - lineage_table.committed_slices()
+    for k in sorted(missing):
+        lineage_table.write_slice(
+            _slice_lineage_df(spark, table, k, run_id), k, run_id
+        )
+    return sorted(missing)
+
 
 def run_extract(
     spark: SparkSession,
@@ -84,6 +138,7 @@ def run_extract(
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
     done = table.committed_slices()
+    healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
 
     pages = spark.read.parquet(input_path).select("url", "html")
@@ -112,25 +167,11 @@ def run_extract(
             "partition_id", F.spark_partition_id()
         )
         table.write_slice(parsed, k, run_id)
-        # lineage from the committed files (counts describe what landed)
-        written = spark.read.parquet(table.slice_dir(k))
-        lineage = written.groupBy("partition_id").agg(
-            F.count("*").alias("doc_count"),
-            F.sum("html_bytes").alias("byte_count"),
-            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
-                "parse_error_count"
-            ),
-            (F.sum("kernel_ns") / F.lit(1e6)).cast("bigint").alias("wall_ms"),
-        ).select(
-            F.lit(run_id).alias("run_id"),
-            F.lit(k).alias("slice_id"),
-            "partition_id",
-            "doc_count",
-            "byte_count",
-            "parse_error_count",
-            "wall_ms",
+        # lineage from the committed (manifest-listed) files -- counts
+        # describe what landed; no double parse
+        lineage_table.write_slice(
+            _slice_lineage_df(spark, table, k, run_id), k, run_id
         )
-        lineage_table.write_slice(lineage, k, run_id)
         processed.append(
             {"slice_id": k, "wall_s": round(time.monotonic() - t0, 2)}
         )
@@ -139,6 +180,7 @@ def run_extract(
         "run_id": run_id,
         "n_slices": n_slices,
         "skipped_committed": sorted(done),
+        "healed_lineage": healed,
         "processed": processed,
     }
 
@@ -157,6 +199,7 @@ def _run_extract_fused(
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
     done = table.committed_slices()
+    healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
 
     processed = []
@@ -207,6 +250,7 @@ def _run_extract_fused(
         "run_id": run_id,
         "n_slices": n_slices,
         "skipped_committed": sorted(done),
+        "healed_lineage": healed,
         "processed": processed,
         "fused": True,
     }
