@@ -130,8 +130,21 @@ def main() -> None:
         "contributing_run_ids": runs,
         "exactly_once": ok,
     }
-    with open(os.path.join(REPO, "BENCH_REHEARSAL.json"), "w") as fh:
-        json.dump(report, fh, indent=2)
+    # one report file, keyed by mode, so fused and standard runs
+    # accumulate instead of overwriting each other
+    path = os.path.join(REPO, "BENCH_REHEARSAL.json")
+    existing = {}
+    if os.path.exists(path):
+        try:
+            existing = json.load(open(path))
+        except Exception:
+            existing = {}
+    if "metric" in existing and ("fused" not in existing and "standard" not in existing):
+        existing = {}
+    existing["metric"] = "kill9_resume_exactly_once"
+    existing[report["mode"]] = {k: v for k, v in report.items() if k not in ("metric", "mode")}
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=2)
     print(json.dumps(report))
     if not ok:
         raise SystemExit(1)
