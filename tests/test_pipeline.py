@@ -293,3 +293,31 @@ def test_resume_heals_missing_lineage(spark, corpus_path, tmp_path, fused):
         r["run_id"] for r in lin.where(F.col("slice_id") == 0).collect()
     }
     assert healed_runs == {"h2"}
+    # the healed lineage slice must share one parquet schema with the
+    # live slices: selecting partition_id used to fail with a parquet
+    # column-type mismatch when the fused path wrote it as BIGINT while
+    # the heal wrote INT
+    pids = [r["partition_id"] for r in lin.select("partition_id").collect()]
+    assert all(isinstance(p, int) for p in pids)
+    assert dict(lin.dtypes)["partition_id"] == "int"
+    assert dict(lin.dtypes)["slice_id"] == "int"
+
+
+def test_resume_mode_mismatch_rejected(spark, corpus_path, tmp_path):
+    """Resuming a partially-committed table in the other mode (or with a
+    different n_slices) re-keys slice membership -- duplicated and
+    missing documents with exactly-once-looking summaries. Must raise."""
+    out = str(tmp_path / "mode_guard")
+    run_extract(
+        spark, corpus_path, out, run_id="m1", n_slices=4, max_slices=1,
+        fused=True,
+    )
+    with pytest.raises(ValueError, match="fused"):
+        run_extract(spark, corpus_path, out, run_id="m2", n_slices=4)
+    with pytest.raises(ValueError, match="n_slices"):
+        run_extract(
+            spark, corpus_path, out, run_id="m3", n_slices=8, fused=True
+        )
+    # same mode + same n_slices resumes fine
+    s = run_extract(spark, corpus_path, out, run_id="m4", n_slices=4, fused=True)
+    assert s["skipped_committed"] == [0]

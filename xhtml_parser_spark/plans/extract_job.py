@@ -55,7 +55,15 @@ def _slice_lineage_df(
     """Lineage rows derived from slice k's COMMITTED (manifest-listed)
     files -- the counts provably describe what landed. Works for both
     the standard and fused outputs (both carry partition_id,
-    html_bytes, parse_ok, kernel_ns)."""
+    html_bytes, parse_ok, kernel_ns).
+
+    ``wall_ms`` here is sum(kernel_ns)/1e6 -- kernel CPU time, the only
+    timing the committed files carry. Fused-direct lineage rows instead
+    record real task wall-clock (sources/fused_extract.py), so rows
+    written by this heal/standard path and rows written by a live fused
+    run measure different things; both are upper-bounded views of the
+    same work and the column keeps one name so readers aggregate it
+    uniformly."""
     manifest = next(m for m in table.manifests() if m["slice_id"] == k)
     files = [os.path.join(table.slice_dir(k), f) for f in manifest["files"]]
     if not files:
@@ -98,6 +106,33 @@ def _heal_missing_lineage(
     return sorted(missing)
 
 
+def _check_resume_mode(table: SnapshotTable, fused: bool, n_slices: int) -> None:
+    """Refuse to resume a partially-committed table in the other mode.
+
+    Standard slices are url-hash classes; fused slices are input-file
+    groups. Mixing them (or changing n_slices, which re-keys the slice
+    membership in both modes) silently duplicates and drops documents
+    while the summaries still look exactly-once. Manifests record the
+    mode and slice count at commit time; a mismatch is a hard error.
+    """
+    for m in table.manifests():
+        committed_fused = bool(m.get("fused", False))
+        if committed_fused != fused:
+            raise ValueError(
+                f"slice {m['slice_id']} was committed with fused="
+                f"{committed_fused}; resuming with fused={fused} would "
+                "re-key slice membership (duplicate/missing documents). "
+                "Use a fresh output path or the original mode."
+            )
+        committed_n = m.get("n_slices")
+        if committed_n is not None and committed_n != n_slices:
+            raise ValueError(
+                f"slice {m['slice_id']} was committed with n_slices="
+                f"{committed_n}; resuming with n_slices={n_slices} would "
+                "re-key slice membership (duplicate/missing documents)."
+            )
+
+
 def run_extract(
     spark: SparkSession,
     input_path: str,
@@ -137,6 +172,7 @@ def run_extract(
         )
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
+    _check_resume_mode(table, fused=False, n_slices=n_slices)
     done = table.committed_slices()
     healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
@@ -166,7 +202,9 @@ def run_extract(
         parsed = parse_pages(sliced).withColumn(
             "partition_id", F.spark_partition_id()
         )
-        table.write_slice(parsed, k, run_id)
+        table.write_slice(
+            parsed, k, run_id, meta={"fused": False, "n_slices": n_slices}
+        )
         # lineage from the committed (manifest-listed) files -- counts
         # describe what landed; no double parse
         lineage_table.write_slice(
@@ -198,6 +236,7 @@ def _run_extract_fused(
 
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
+    _check_resume_mode(table, fused=True, n_slices=n_slices)
     done = table.committed_slices()
     healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
@@ -230,16 +269,20 @@ def _run_extract_fused(
         ]
         table.commit_slice_files(
             k, run_id, files=landed,
-            meta={"out_bytes": out_bytes, "fused": True},
+            meta={"out_bytes": out_bytes, "fused": True, "n_slices": n_slices},
         )
+        # explicit _LINEAGE_SCHEMA-compatible types: createDataFrame(rows)
+        # infers partition_id/slice_id as BIGINT, but the standard path and
+        # the crash-window heal write them as INT -- a lineage table mixing
+        # both fails at read time with a parquet column-type mismatch
         lineage = spark.createDataFrame(rows).select(
             F.lit(run_id).alias("run_id"),
-            F.lit(k).alias("slice_id"),
-            "partition_id",
-            "doc_count",
-            "byte_count",
-            "parse_error_count",
-            "wall_ms",
+            F.lit(k).cast("int").alias("slice_id"),
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+            F.col("byte_count").cast("bigint").alias("byte_count"),
+            F.col("parse_error_count").cast("bigint").alias("parse_error_count"),
+            F.col("wall_ms").cast("bigint").alias("wall_ms"),
         )
         lineage_table.write_slice(lineage, k, run_id)
         processed.append(

@@ -19,6 +19,15 @@ duplicating. Visibility is governed by the SnapshotTable manifest
 (written by the driver AFTER the scan action completes), so a killed
 run leaves invisible orphans, same as the standard path.
 
+Deployment requirement: driver and executors must share one
+filesystem for input and output paths (local[N], NFS, or a FUSE-mounted
+object store). partitions() lists the input dir on the driver, tasks
+os.replace() their output into the slice dir, and the driver's
+commit_slice_files() stats those files before committing -- that
+existence check fails loudly (FileNotFoundError) if the paths are not
+actually shared, rather than committing phantom files. On HDFS/S3
+without a shared mount, use the standard (non-fused) path.
+
 Used by plans.extract_job.run_extract(fused=True); the commit unit is
 a deterministic file group (files[slice_id::n_slices]) rather than a
 url-hash range -- the natural unit for crawl-archive backfills where
