@@ -236,9 +236,13 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs; integer intersection/union sizes only (the
+    float jac = inter/uni is derived) so the oracle hash is exact."""
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5)
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5
+    ).select("a", "b", "inter", "uni")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +274,24 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline
     (cos >= 7/20); integer dot output for cross-engine identity."""
     _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import (
+        embedding_neardup_pairs_exact,
+    )
+
+    return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
+
+
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: hyperplane-LSH buckets
+    (integer-deterministic), pairs only within a bucket. Fully
+    oracle-checkable because bucket signs come from exact int64 dot
+    products."""
+    _ensure_pkg(spark)
     from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), tau_num=7, tau_den=20)
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), tau_num=7, tau_den=20, n_bits=8
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "neardup_cosine": q_neardup_cosine,
+        "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -412,6 +432,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WS_ONLY = "'^[ \\t\\n]*$'"  # regex literal for parser-whitespace-only text
+
+# Quantized embeddings + hyperplane-LSH buckets, replaying
+# operators/similarity.py::hyperplane_lsh_buckets in pure SQL: bucket
+# bit b = sign of the EXACT int64 dot product of the quantized vector
+# with the deterministic ±1 plane h_b[i] = ±1 from index arithmetic.
+_BUCKET_CTE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+), bk AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                  ELSE 0 END) AS bucket
+  FROM (
+    SELECT vec_id, t.b AS b,
+           list_sum(list_transform(range(1, len(q) + 1),
+               i -> q[i] * CASE WHEN (((i - 1) * 2654435761 + t.b * 40503)
+                                      >> 8) & 1 = 1
+                                THEN 1 ELSE -1 END)) AS s
+    FROM e CROSS JOIN range(8) t(b)
+  ) GROUP BY vec_id
+)
+"""
 
 _SHINGLE_CTE = """
 WITH w AS (
@@ -518,6 +564,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "minhash_sig": _SHINGLE_CTE + f"SELECT doc_id, {mh} FROM s",
+        # band j of a 4-hash LSH is minhash j alone, so two docs share a
+        # bucket iff any h_j matches; the verify step is exact Jaccard
+        # on distinct shingle sets, jac >= 0.5 <=> 2*inter >= uni.
+        "lsh_pairs": _SHINGLE_CTE + f"""
+            , sig AS (
+              SELECT doc_id, list_distinct(sh) AS shs, {mh} FROM s
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+                   CAST(len(list_distinct(list_concat(a.shs, b.shs)))
+                        AS BIGINT) AS uni
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id
+             AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+            WHERE 2 * len(list_intersect(a.shs, b.shs))
+                  >= len(list_distinct(list_concat(a.shs, b.shs)))
+        """,
+        # simhash bit b = sign of sum(count * ±1) where ±1 is bit b of
+        # md5(word)'s first 8 bytes as a little-endian u64 -- exactly
+        # DuckDB's md5_number_upper(). Bit 63 contributes INT64_MIN in
+        # the signed (two's-complement) output.
+        "simhash": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                         coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS wd
+              FROM documents
+            ), h AS (
+              SELECT doc_id, wd, count(*) AS c, md5_number_upper(wd) AS hv
+              FROM w GROUP BY doc_id, wd
+            ), b AS (
+              SELECT doc_id, t.b AS b,
+                     sum(CASE WHEN (hv >> t.b) & 1 = 1 THEN c ELSE -c END) AS acc
+              FROM h CROSS JOIN range(64) t(b)
+              GROUP BY doc_id, t.b
+            ), s AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0 THEN
+                           CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                           END
+                         ELSE 0 END) AS simhash
+              FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
         "ann_scores": """
             WITH e AS (
               SELECT vec_id,
@@ -542,6 +635,37 @@ def oracle_sql() -> dict[str, str]:
                         i -> e.q[i] * qq[i])) AS BIGINT) AS dot
             FROM e, qv WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        "ann_lsh_topk": _BUCKET_CTE + """
+            , qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+            qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+            cand AS (
+              SELECT bk.vec_id FROM bk, qb
+              WHERE bk.bucket = qb.qbucket AND bk.vec_id <> 0
+            )
+            SELECT e.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> e.q[i] * qq[i])) AS BIGINT) AS dot
+            FROM e JOIN cand USING (vec_id), qv
+            ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        "neardup_lsh": _BUCKET_CTE + """
+            , n AS (
+              SELECT e.vec_id, q,
+                     CAST(list_sum(list_transform(q, x -> x * x))
+                          AS BIGINT) AS na2,
+                     bucket
+              FROM e JOIN bk ON e.vec_id = bk.vec_id
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                     a.na2 AS na2, b.na2 AS nb2
+              FROM n a JOIN n b
+                ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+            )
+            SELECT id_a, id_b, dot FROM p
+            WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
         """,
         "neardup_cosine": """
             WITH e AS (
@@ -651,7 +775,4 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        # lsh_pairs, simhash, ann_lsh_topk: non-SQL-expressible /
-        # float-order-dependent -> rows-only checks (pytest covers them
-        # differentially).
     }

@@ -123,17 +123,60 @@ def test_simhash_signed_roundtrip(spark):
     assert -(1 << 63) <= r["simhash"] < (1 << 63)
 
 
+def _simhash_ref(t: str | None) -> int:
+    """Slow per-word reference of the simhash spec (tokens = [ \\t\\n]+
+    split; word hash = md5 first 8 bytes, little-endian u64; bit b set
+    iff sum(count * ±1_b) > 0; two's-complement int64)."""
+    import hashlib
+    import re
+
+    words = [w for w in re.split(r"[ \t\n]+", t or "") if w]
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    acc = [0] * 64
+    for w, c in counts.items():
+        hv = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        for b in range(64):
+            acc[b] += c if (hv >> b) & 1 else -c
+    h = 0
+    for b in range(64):
+        if acc[b] > 0:
+            h |= 1 << b
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_simhash_vectorized_matches_reference(spark):
+    """The NumPy-vectorized batch kernel is differentially checked
+    against the per-word reference on edge-heavy inputs."""
+    texts = [
+        None, "", " \t\n ", "x", "x x x", "a b c d e f g",
+        "the quick brown fox " * 40,
+        "word\nnewline\ttab  multi   space",
+        "\rcarriage stays in token\r", "héllo wörld ünïcode",
+        "dup dup dup unique", BASE, BASE.replace("lazy", "sleepy"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_ref(t), f"doc {i}: {t!r}"
+
+
 def test_neardup_cosine_exact_pairs(spark, clustered_emb):
     """All-pairs exact path: within-cluster pairs pass tau=0.35,
     cross-cluster (orthogonal) pairs never do; dot values match a
     NumPy int64 reference bit-for-bit."""
     import numpy as np
 
-    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+    from xhtml_parser_spark.operators.similarity import (
+        embedding_neardup_pairs_exact,
+    )
 
     got = {
         (r["id_a"], r["id_b"]): r["dot"]
-        for r in embedding_neardup_pairs(clustered_emb).collect()
+        for r in embedding_neardup_pairs_exact(clustered_emb).collect()
     }
     rows = sorted(clustered_emb.collect(), key=lambda r: r["vec_id"])
     s = np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000
@@ -151,11 +194,14 @@ def test_neardup_cosine_exact_pairs(spark, clustered_emb):
 
 
 def test_neardup_cosine_lsh_subset_of_exact(spark, clustered_emb):
-    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+    from xhtml_parser_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_exact,
+    )
 
     exact = {
         (r["id_a"], r["id_b"], r["dot"])
-        for r in embedding_neardup_pairs(clustered_emb).collect()
+        for r in embedding_neardup_pairs_exact(clustered_emb).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"], r["dot"])
@@ -185,14 +231,16 @@ def test_quantization_half_away_from_zero_matches_sql(spark):
     62.5) must round AWAY from zero like SQL round(), not half-to-even
     like np.rint -- the cross-engine identity of every quantized
     operator depends on it."""
-    from xhtml_parser_spark.operators.similarity import embedding_neardup_pairs
+    from xhtml_parser_spark.operators.similarity import (
+        embedding_neardup_pairs_exact,
+    )
 
     df = spark.createDataFrame(
         [(0, [0.0625, 0.0]), (1, [0.0625, 0.0]), (2, [-0.0625, 0.0])],
         "vec_id long, embedding array<float>",
     )
     got = {(r["id_a"], r["id_b"]): r["dot"]
-           for r in embedding_neardup_pairs(df).collect()}
+           for r in embedding_neardup_pairs_exact(df).collect()}
     # 0.0625*1000 = 62.5 -> 63 (np.rint would give 62): dot = 63*63
     assert got == {(0, 1): 63 * 63}
     # and the SQL side agrees

@@ -66,6 +66,23 @@ def test_ann_query_vector_is_broadcast(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_lsh_signature_stage_computed_once(spark):
+    """The minhash/shingle signature pass must be persisted before the
+    DAG fans out (bucket self-join + two verify joins): every consumer
+    branch has to read the cache, not recompute the mapInPandas stage.
+    Without the persist this operator shingles the corpus four times."""
+    from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z") for i in range(8)], "doc_id long, text string"
+    )
+    plan = _plan(lsh_candidate_pairs(df))
+    # 4 consumers (b2 twice via the self-join, sha, shb) -> >= 4 cache
+    # scans; any raw MapInPandas outside an InMemoryRelation block would
+    # drop the InMemoryTableScan count below that
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
 def test_events_window_single_shuffle(spark):
     import __spark_entry__ as entry
 

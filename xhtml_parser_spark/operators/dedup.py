@@ -126,8 +126,18 @@ def lsh_candidate_pairs(
     band-explode -> bucket self-join (single-member buckets pruned
     map-side) -> distinct candidate pairs -> exact shingle Jaccard via
     array_intersect/array_union -> threshold filter.
-    Output (a, b, jac) with a < b.
+    Output (a, b, inter, uni, jac) with a < b; ``inter``/``uni`` are the
+    exact distinct-shingle intersection/union sizes (integer, so any
+    engine reproduces them bit-for-bit) and jac = inter/uni.
+
+    The signature stage (shingling + n_hashes md5 minhashes per doc,
+    the expensive pass) is persisted before the DAG fans out: the
+    bucket self-join consumes it twice and the verify joins twice more,
+    which without the persist means four full shingling passes over the
+    corpus -- the difference between one and four corpus scans at
+    10^12 documents.
     """
+    from pyspark import StorageLevel
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     schema = StructType(
@@ -136,7 +146,9 @@ def lsh_candidate_pairs(
         + [StructField("sh", ArrayType(StringType()))]
     )
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sigs = src.mapInPandas(_minhash_batches(n_hashes, True), schema)
+    sigs = src.mapInPandas(_minhash_batches(n_hashes, True), schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         F.col("doc_id").alias("id"),
         F.explode(
@@ -162,13 +174,11 @@ def lsh_candidate_pairs(
     return (
         pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
-        .withColumn(
-            "jac",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
-        )
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("bigint"))
+        .withColumn("uni", F.size(F.array_union("sha", "shb")).cast("bigint"))
+        .withColumn("jac", F.col("inter") / F.col("uni"))
         .where(F.col("jac") >= jaccard_min)
-        .select("a", "b", F.round("jac", 6).alias("jac"))
+        .select("a", "b", "inter", "uni", "jac")
     )
 
 
@@ -178,34 +188,55 @@ _SIMHASH_SCHEMA = StructType(
 
 
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized SimHash: per Arrow batch, one md5 per UNIQUE word
+    (C-speed hashlib over the batch vocabulary), then pure NumPy --
+    unpackbits -> ±1 sign matrix, one reduceat per document, packbits
+    back to a signed int64. No per-word Python bit loop (the previous
+    row-at-a-time version was the slowest query in BENCH_r01)."""
     import hashlib
+    import re
 
+    import numpy as np
+
+    split = re.compile(r"[ \t\n]+").split
     for pdf in batches:
         ids = pdf["doc_id"].tolist()
         texts = pdf["text"].tolist()
-        out_h = []
-        for t in texts:
-            t = t or ""
-            counts: dict[str, int] = {}
-            for w in t.split():
-                counts[w] = counts.get(w, 0) + 1
-            acc = [0] * 64
-            for w, c in counts.items():
-                hv = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for b in range(64):
-                    acc[b] += c if (hv >> b) & 1 else -c
-            h = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    h |= 1 << b
-            # store as signed 64-bit
-            out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
-        yield pd.DataFrame({"doc_id": ids, "simhash": out_h})
+        docs_words = [
+            [w for w in split(t or "") if w] for t in texts
+        ]
+        lens = np.array([len(ws) for ws in docs_words], dtype=np.int64)
+        out = np.zeros(len(ids), dtype=np.int64)
+        flat = [w for ws in docs_words for w in ws]
+        if flat:
+            vocab, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            dig = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in vocab)
+            bits = np.unpackbits(
+                np.frombuffer(dig, np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            )
+            signs = bits.astype(np.int32) * 2 - 1  # (n_vocab, 64) of ±1
+            occ = signs[inv]  # (n_occurrences, 64); doc-major order
+            nz = np.flatnonzero(lens)
+            # occurrences are emitted doc by doc, so each document's
+            # rows are contiguous: one reduceat replaces the per-word
+            # accumulation loop
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            acc = np.add.reduceat(occ, starts, axis=0)
+            hb = np.packbits(acc > 0, axis=1, bitorder="little")
+            out[nz] = hb.view("<u8").reshape(-1).view(np.int64)
+        yield pd.DataFrame({"doc_id": ids, "simhash": out})
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word unigrams (md5-derived bit vectors,
-    count-weighted). Near-dup candidates downstream: join on any of the
-    four 16-bit prefix words, verify Hamming distance <= k."""
+    """64-bit SimHash over word unigrams (tokens = ``[ \\t\\n]+`` split,
+    like every text op here), count-weighted. Bit b of the hash is the
+    sign of sum(count * (±1 from bit b of the word's md5 first-8-bytes,
+    little-endian u64)) -- little-endian so DuckDB's md5_number_upper()
+    reproduces the word hash exactly and the whole operator is
+    SQL-oracle-checkable. Stored as signed int64 (two's complement).
+
+    Near-dup candidates downstream: join on any of the four 16-bit
+    prefix words, verify Hamming distance <= k. Map-side only."""
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return src.mapInPandas(_simhash_batches, _SIMHASH_SCHEMA)

@@ -147,7 +147,7 @@ def embedding_neardup_pairs(
     emb: DataFrame,
     tau_num: int = 7,
     tau_den: int = 20,
-    n_bits: int = 0,
+    n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -160,13 +160,18 @@ def embedding_neardup_pairs(
     ``tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2 and dot > 0`` --
     no float reduction order anywhere.
 
-    n_bits=0: all-pairs within one group (the correctness baseline;
-    O(n^2) -- fine for oracle-scale, wrong at 10^12 docs).
-    n_bits>0: random-hyperplane LSH buckets (map-side signature), then
-    pairs only WITHIN a bucket -- the scale path: the shuffle is keyed
-    on the bucket id and each group runs one vectorized NumPy Gram
-    matrix, trading recall (cross-bucket pairs are lost) for a
-    1/2^n_bits candidate-set reduction.
+    Default n_bits=8: random-hyperplane LSH buckets (map-side
+    signature), then pairs only WITHIN a bucket -- the scale path: the
+    shuffle is keyed on the bucket id and each group runs one
+    vectorized NumPy Gram matrix, trading recall (cross-bucket pairs
+    are lost) for a 1/2^n_bits candidate-set reduction. Buckets are
+    integer-deterministic (hyperplane_lsh_buckets), so even this path
+    is SQL-oracle-checkable.
+
+    n_bits=0 routes EVERY row into one task's O(n^2) Gram matrix --
+    never at scale; use embedding_neardup_pairs_exact, which exists so
+    the recall baseline is an explicit choice rather than a default
+    footgun.
     """
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
@@ -206,34 +211,77 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_exact(
+    emb: DataFrame,
+    tau_num: int = 7,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL-pairs exact near-dup baseline: single-group O(n^2) Gram
+    matrix in ONE task. The 100%-recall oracle reference for
+    embedding_neardup_pairs -- correct at test scale, never at 10^12
+    rows (no partitioning by construction)."""
+    return embedding_neardup_pairs(
+        emb, tau_num=tau_num, tau_den=tau_den, n_bits=0,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _plane_matrix(dim: int, n_bits: int):
+    """Deterministic ±1 hyperplane matrix (dim x n_bits): entry (i, b)
+    is +1 iff bit 8 of (i*2654435761 + b*40503) is set -- pure index
+    arithmetic, no RNG state, so any engine replays it exactly."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    b = np.arange(n_bits, dtype=np.int64)[None, :]
+    return np.where(((i * 2654435761 + b * 40503) >> 8) & 1 == 1, 1, -1).astype(
+        np.int64
+    )
+
+
 def hyperplane_lsh_buckets(
     emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign bits of dot products with
-    n_bits fixed pseudo-hyperplanes (deterministic, derived from index
-    arithmetic -- no RNG state). Map-side only. Output (vec_id, bucket).
+    """Random-hyperplane LSH: bucket = sign bits of EXACT integer dot
+    products of the quantized (round(x*1000) int64) vector with n_bits
+    deterministic ±1 pseudo-hyperplanes. Integer arithmetic makes the
+    bucket reduction-order-independent, so any engine (and the DuckDB
+    oracle) reproduces it bit-for-bit -- a float sum's sign could flip
+    with summation order for near-orthogonal vectors.
+
+    Map-side only: one Arrow-batched NumPy pass (quantize -> one matmul
+    -> packbits); no driver-side action, no per-bit array scans. Output
+    (id_col, bucket).
 
     At scale: ANN = self-join within buckets (shuffle keyed on a
     16-bit-ish bucket id instead of all-pairs).
     """
-    dim_probe = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1)
-    dim = dim_probe.collect()[0]["d"]
-    v = F.col(vec_col)
-    bucket = F.lit(0).cast("bigint")
-    for b in range(n_bits):
-        # pseudo-hyperplane h_b[i] = +1 if (i*2654435761 + b*40503) odd else -1
-        plane = [1 if ((i * 2654435761 + b * 40503) >> 8) & 1 else -1 for i in range(dim)]
-        s = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(p)) for p in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        bucket = bucket + F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        planes = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _np_quantize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            if planes is None or planes.shape[0] != m.shape[1]:
+                planes = _plane_matrix(m.shape[1], n_bits)
+            s = m @ planes  # (rows, n_bits) exact int64
+            bucket = (
+                (s > 0).astype(np.int64) << np.arange(n_bits, dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} {id_type}, bucket bigint"
+    )
 
 
 def ann_lsh_topk(
@@ -250,7 +298,13 @@ def ann_lsh_topk(
     missed neighbors). multi_probe=1 probes 1+n_bits buckets and
     typically recovers most of the recall an exact scan would add, at
     1/2^(n_bits-log2(1+n_bits)) of its cost."""
-    buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    # consumed twice (query-bucket lookup + candidate filter): persist
+    # so the signature pass scans the corpus once, not twice
+    buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     qb = buckets.where(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
@@ -264,7 +318,11 @@ def ann_lsh_topk(
                 F.col("bucket").bitwiseXOR(F.col("qbucket"))
             ) <= multi_probe
         )
-    cand = cand.select(id_col)
+    # the query's own bucket always matches; it must not enter the
+    # candidate set or the unionByName below would carry the query row
+    # twice and the broadcast one-row query side would duplicate every
+    # score (caught by the ann_lsh_topk SQL oracle)
+    cand = cand.where(F.col(id_col) != query_vec_id).select(id_col)
     return (
         brute_force_scores(emb.join(cand, id_col, "left_semi").unionByName(
             emb.where(F.col(id_col) == query_vec_id)
