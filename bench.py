@@ -136,11 +136,16 @@ def main() -> None:
         "xhtml_roundtrip",
         "xhtml_stats",
         "xhtml_main_text",
+        "xhtml_spans",
+        "xhtml_attrs",
         "dedup_exact",
         "minhash_sig",
+        "lsh_pairs",
         "simhash",
         "ann_scores",
         "ann_topk",
+        "ann_lsh_topk",
+        "neardup_lsh",
         "text_quality",
         "fingerprint",
         "events_dedup",

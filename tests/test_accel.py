@@ -10,7 +10,10 @@ import string
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from xhtml_parser_spark.kernel.extract import extract_main_text
+from xhtml_parser_spark.kernel.extract import (
+    compute_depth_and_last_descendant,
+    extract_main_text,
+)
 from xhtml_parser_spark.kernel.parser import (
     _get_cparser,
     parse_document,
@@ -44,6 +47,10 @@ def _assert_same(xml: bytes) -> None:
         assert a.max_depth == b.max_depth
         assert a.extracted_text() == b.extracted_text()
         assert extract_main_text(a) == extract_main_text(b)
+        # C-side packed depth/last_descendant vs the Python derivation
+        depth, last_desc = compute_depth_and_last_descendant(b)
+        assert memoryview(a.c_depth_b).cast("i").tolist() == depth
+        assert memoryview(a.c_last_desc_b).cast("i").tolist() == last_desc
     else:
         assert a.error_class == b.error_class, (a.error_msg, b.error_msg)
         assert a.error_pos == b.error_pos, (a.error_msg, b.error_msg)

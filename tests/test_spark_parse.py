@@ -82,6 +82,106 @@ def test_parse_nodes_and_attrs(spark):
     ]
 
 
+def test_columnar_nodes_attrs_match_row_reference(spark):
+    """The Arrow columnar kernels (packed C arrays -> vectorized span
+    gathers) must match a per-node row-built reference on EVERY column,
+    over the fixture corpus plus edge docs: malformed rows interleaved
+    (skipped), unicode tag names, attr-free docs, multi-root siblings."""
+    import datetime as dt
+
+    from xhtml_parser_spark.kernel.extract import (
+        compute_depth_and_last_descendant,
+    )
+
+    docs = [(f"f{i}", f.read_bytes()) for i, f in enumerate(
+        sorted((FIXTURES / "simple_test" / "test_case").glob("*.xhtml"))
+    )]
+    docs += [
+        ("e1", b"<root><child>dangling"),          # skipped (parse error)
+        ("e2", "<résumé a='v'>t</résumé>".encode()),
+        ("e3", b"<a>x</a><b>y</b>"),               # multi-root siblings
+        ("e4", b"<solo/>"),                        # no attrs, no text
+        ("e5", b"<a b='x &amp; y' b='dup'><c/>tail</a>"),
+    ]
+    ts = dt.datetime(2025, 8, 8)
+    df = spark.createDataFrame(
+        [(u, ts, h, None, "en") for u, h in docs], PAGES_SCHEMA
+    )
+
+    want_nodes = []
+    want_attrs = []
+    for u, h in docs:
+        doc = parse_document(h)
+        if not doc.ok:
+            continue
+        depth, last_desc = compute_depth_and_last_descendant(doc)
+        buf = doc.buf
+        for i in range(1, doc.n_nodes):
+            k = doc.kind[i]
+            s, e = doc.loc_start[i], doc.loc_end[i]
+            want_nodes.append((
+                u, i, doc.parent[i], k,
+                bytes(buf[s:e]).decode("utf-8", errors="replace") if k == 1 else None,
+                depth[i],
+                bytes(buf[s:e]) if k != 1 else None,
+                s, last_desc[i], doc.attr_start[i], doc.attr_end[i],
+            ))
+            for a in range(doc.attr_start[i], doc.attr_end[i]):
+                want_attrs.append((
+                    u, i, a,
+                    bytes(buf[doc.a_name_start[a]:doc.a_name_end[a]]).decode(
+                        "utf-8", errors="replace"),
+                    bytes(buf[doc.a_val_start[a]:doc.a_val_end[a]]),
+                ))
+
+    got_nodes = sorted(
+        (r["url"], r["node_id"], r["parent_id"], r["kind"], r["tag"],
+         r["depth"], None if r["text"] is None else bytes(r["text"]),
+         r["span_start"], r["last_descendant"], r["attr_start"], r["attr_end"])
+        for r in parse_nodes(df).collect()
+    )
+    assert got_nodes == sorted(want_nodes)
+    got_attrs = sorted(
+        (r["url"], r["node_id"], r["attr_idx"], r["name"], bytes(r["value"]))
+        for r in parse_attrs(df).collect()
+    )
+    assert got_attrs == sorted(want_attrs)
+
+
+def test_columnar_kernel_pure_fallback_matches_c(monkeypatch):
+    """With the C kernel disabled, the columnar batch kernels must fall
+    back to the pure-Python parser and emit identical Arrow batches
+    (exercised directly -- worker processes cache the accel module, so
+    an env flip through Spark would not reliably hit the fallback)."""
+    import pyarrow as pa
+
+    from xhtml_parser_spark.kernel import parser as kparser
+    from xhtml_parser_spark.operators.parse import (
+        _attrs_arrow_batches,
+        _nodes_arrow_batches,
+    )
+
+    htmls = [
+        b"<root a='1' b='2'><c>T</c><d/></root>",
+        b"<bad<",
+        "<u v='€'>é</u>".encode(),
+    ]
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([f"u{i}" for i in range(len(htmls))]),
+         pa.array(htmls, type=pa.binary())],
+        names=["url", "html"],
+    )
+
+    def run_all(gen):
+        return [b.to_pydict() for b in gen(iter([rb]))]
+
+    with_c = (run_all(_nodes_arrow_batches), run_all(_attrs_arrow_batches))
+    monkeypatch.setattr(kparser, "_get_cparser", lambda: None)
+    without_c = (run_all(_nodes_arrow_batches), run_all(_attrs_arrow_batches))
+    assert with_c == without_c
+    assert with_c[0][0]["tag"].count(None) == 2  # one text node per doc
+
+
 def test_synth_corpus_deterministic_and_parses(spark):
     df = synthesize_pages(spark, 200, max_b=8192)
     parsed = parse_pages(df)

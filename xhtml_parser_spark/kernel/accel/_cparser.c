@@ -71,6 +71,7 @@ typedef struct {
     uint8_t *buf;
     int64_t size;
     iv parent, prev_sib, next_sib, first_child, kind, loc_s, loc_e, at_s, at_e;
+    iv depth;
     iv a_ns, a_ne, a_vs, a_ve;
     int64_t n_text, max_d;
     int err_code;
@@ -333,7 +334,8 @@ static inline int64_t ns_strip(uint8_t *buf, int64_t start, int64_t end) {
         !iv_push(&c->first_child, 0) || !iv_push(&c->kind, (K)) ||        \
         !iv_push(&c->loc_s, (int32_t)(S)) || !iv_push(&c->loc_e, (int32_t)(E)) || \
         !iv_push(&c->at_s, (int32_t)c->a_ns.n) ||                         \
-        !iv_push(&c->at_e, (int32_t)c->a_ns.n)) goto nomem;               \
+        !iv_push(&c->at_e, (int32_t)c->a_ns.n) ||                         \
+        !iv_push(&c->depth, (int32_t)(level + 1))) goto nomem;            \
     new_idx = idx;                                                        \
 } while (0)
 
@@ -675,6 +677,28 @@ static PyObject *iv_to_bytes(iv *v) {
     return PyBytes_FromStringAndSize((const char *)v->d, v->n * 4);
 }
 
+/* last_descendant[k] = largest j that is a descendant of k, via the
+ * stack-free monotonic pass over the depth array (transcribes
+ * kernel/extract.py::compute_depth_and_last_descendant). */
+static PyObject *compute_last_desc(ctx_t *c) {
+    Py_ssize_t n = c->kind.n;
+    const int32_t *depth = c->depth.d;
+    int32_t *ld = (int32_t *)malloc((size_t)n * 4);
+    int32_t *stk = (int32_t *)malloc((size_t)n * 4);
+    if (!ld || !stk) { free(ld); free(stk); return PyErr_NoMemory(); }
+    for (Py_ssize_t i = 0; i < n; i++) ld[i] = (int32_t)i;
+    Py_ssize_t sp = 0;
+    for (Py_ssize_t i = 1; i < n; i++) {
+        int32_t d = depth[i];
+        while (sp && depth[stk[sp - 1]] >= d) ld[stk[--sp]] = (int32_t)(i - 1);
+        stk[sp++] = (int32_t)i;
+    }
+    while (sp) ld[stk[--sp]] = (int32_t)(n - 1);
+    PyObject *b = PyBytes_FromStringAndSize((const char *)ld, n * 4);
+    free(ld); free(stk);
+    return b;
+}
+
 static PyObject *py_parse(PyObject *self, PyObject *args) {
     Py_buffer in;
     if (!PyArg_ParseTuple(args, "y*", &in)) return NULL;
@@ -702,7 +726,8 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
                 iv_init(&c.next_sib, est) && iv_init(&c.first_child, est) &&
                 iv_init(&c.kind, est) && iv_init(&c.loc_s, est) &&
                 iv_init(&c.loc_e, est) && iv_init(&c.at_s, est) &&
-                iv_init(&c.at_e, est) && iv_init(&c.a_ns, 16) &&
+                iv_init(&c.at_e, est) && iv_init(&c.depth, est) &&
+                iv_init(&c.a_ns, 16) &&
                 iv_init(&c.a_ne, 16) && iv_init(&c.a_vs, 16) && iv_init(&c.a_ve, 16);
     PyObject *result = NULL;
     if (!okmem) { PyErr_NoMemory(); goto done; }
@@ -711,6 +736,7 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
     iv_push(&c.parent, 0); iv_push(&c.prev_sib, 0); iv_push(&c.next_sib, 0);
     iv_push(&c.first_child, 0); iv_push(&c.kind, K_HEAD);
     iv_push(&c.loc_s, 0); iv_push(&c.loc_e, 0); iv_push(&c.at_s, 0); iv_push(&c.at_e, 0);
+    iv_push(&c.depth, 0);
 
     int rc = do_parse(&c);
     if (rc != 0 && c.err_code == E_NOMEM) { PyErr_NoMemory(); goto done; }
@@ -723,9 +749,17 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
         Py_DECREF(Py_None); Py_DECREF(Py_None);
         if (extract_texts(&c, &text, &mtext) != 0) { Py_DECREF(buf_obj); goto done; }
     }
+    PyObject *ld_obj;
+    if (rc == 0) {
+        ld_obj = compute_last_desc(&c);
+        if (!ld_obj) { Py_DECREF(buf_obj); Py_DECREF(text); Py_DECREF(mtext); goto done; }
+    } else {
+        ld_obj = PyBytes_FromStringAndSize(NULL, 0);
+        if (!ld_obj) { Py_DECREF(buf_obj); Py_DECREF(text); Py_DECREF(mtext); goto done; }
+    }
 
     result = Py_BuildValue(
-        "(iiL(LLLL)NNNNNNNNNNNNNNNNLL)",
+        "(iiL(LLLL)NNNNNNNNNNNNNNNNLLNN)",
         rc == 0 ? 1 : 0,
         c.err_code,
         (long long)c.err_pos,
@@ -739,12 +773,14 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
         iv_to_bytes(&c.a_ns), iv_to_bytes(&c.a_ne),
         iv_to_bytes(&c.a_vs), iv_to_bytes(&c.a_ve),
         text, mtext,
-        (long long)c.n_text, (long long)c.max_d);
+        (long long)c.n_text, (long long)c.max_d,
+        iv_to_bytes(&c.depth), ld_obj);
 
 done:
     free(c.buf);
     free(c.parent.d); free(c.prev_sib.d); free(c.next_sib.d); free(c.first_child.d);
     free(c.kind.d); free(c.loc_s.d); free(c.loc_e.d); free(c.at_s.d); free(c.at_e.d);
+    free(c.depth.d);
     free(c.a_ns.d); free(c.a_ne.d); free(c.a_vs.d); free(c.a_ve.d);
     return result;
 }

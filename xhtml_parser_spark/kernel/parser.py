@@ -115,6 +115,8 @@ class ParsedDoc:
         "max_depth",
         "c_text",
         "c_main",
+        "c_depth_b",
+        "c_last_desc_b",
         "parent",
         "prev_sib",
         "next_sib",
@@ -162,6 +164,10 @@ class ParsedDoc:
         # pre-assembled outputs from the C kernel (None on the pure path)
         self.c_text: bytes | None = None
         self.c_main: bytes | None = None
+        # packed int32 depth / last_descendant arrays from the C kernel
+        # (None on the pure path; extract.py recomputes them in Python)
+        self.c_depth_b: bytes | None = None
+        self.c_last_desc_b: bytes | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -504,6 +510,7 @@ def _from_c(res: tuple) -> ParsedDoc:
         ok, code, pos, aux, buf,
         parent_b, prev_b, next_b, fc_b, kind_b, ls_b, le_b, as_b, ae_b,
         ans_b, ane_b, avs_b, ave_b, text, mtext, n_text, max_d,
+        depth_b, last_desc_b,
     ) = res
     doc = ParsedDoc()
     doc.buf = buf
@@ -523,6 +530,8 @@ def _from_c(res: tuple) -> ParsedDoc:
     if ok:
         doc.c_text = text
         doc.c_main = mtext
+        doc.c_depth_b = depth_b
+        doc.c_last_desc_b = last_desc_b
         doc.n_text_nodes = n_text
         doc.max_depth = max_d
         return doc

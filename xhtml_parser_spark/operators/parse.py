@@ -206,79 +206,278 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInArrow(_parse_arrow_batches, PARSED_SCHEMA)
 
 
-def _node_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        out: dict[str, list] = {k.name: [] for k in NODES_SCHEMA.fields}
-        for j in range(len(urls)):
-            doc = parse_document(_as_bytes(htmls[j]))
-            if not doc.ok:
+def _html_views(rb):
+    """Zero-copy per-row memoryview slices of the batch's html column
+    (buffers() = [validity, int32 offsets, data]; respects the array's
+    slice offset). Returns a callable j -> memoryview|bytes."""
+    htmls = rb.column(1)
+    bufs = htmls.buffers()
+    offs = memoryview(bufs[1]).cast("i")
+    databuf = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    o0 = htmls.offset
+    nulls = htmls.is_null().to_pylist() if htmls.null_count else None
+
+    def get(j):
+        if nulls is not None and nulls[j]:
+            return b""
+        return databuf[offs[o0 + j] : offs[o0 + j + 1]]
+
+    return get
+
+
+def _doc_packed(cp, html):
+    """One document's packed DOM as (buf, int32 arrays incl. head):
+    (buf_u8, parent, kind, ls, le, depth, last_desc, at_s, at_e,
+    a_ns, a_ne, a_vs, a_ve) or None when the parse failed.
+
+    C path: ten np.frombuffer views over the kernel's packed byte
+    arrays -- no per-node Python. Pure path (accel unavailable or doc
+    over the i32 cap): list->ndarray conversions, still no per-node
+    loop in the operator itself."""
+    import numpy as np
+
+    res = cp.parse(html) if cp is not None else None
+    if res is not None:
+        if not res[0]:
+            return None
+        i32 = np.int32
+        return (
+            np.frombuffer(res[4], np.uint8),
+            np.frombuffer(res[5], i32),
+            np.frombuffer(res[9], i32),
+            np.frombuffer(res[10], i32),
+            np.frombuffer(res[11], i32),
+            np.frombuffer(res[22], i32),
+            np.frombuffer(res[23], i32),
+            np.frombuffer(res[12], i32),
+            np.frombuffer(res[13], i32),
+            np.frombuffer(res[14], i32),
+            np.frombuffer(res[15], i32),
+            np.frombuffer(res[16], i32),
+            np.frombuffer(res[17], i32),
+        )
+    doc = parse_document(bytes(html))
+    if not doc.ok:
+        return None
+    depth, last_desc = compute_depth_and_last_descendant(doc)
+
+    def a(v):
+        return np.array(v, dtype=np.int32)
+
+    return (
+        np.frombuffer(doc.buf, np.uint8),
+        a(doc.parent), a(doc.kind), a(doc.loc_start), a(doc.loc_end),
+        a(depth), a(last_desc), a(doc.attr_start), a(doc.attr_end),
+        a(doc.a_name_start), a(doc.a_name_end),
+        a(doc.a_val_start), a(doc.a_val_end),
+    )
+
+
+def _gather_spans(bigbuf, starts, ends):
+    """Vectorized variable-length gather: bytes of bigbuf[s:e] for each
+    span, concatenated, plus int64 value offsets (len n+1)."""
+    import numpy as np
+
+    lens = (ends - starts).astype(np.int64)
+    off = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    if total == 0:
+        return np.empty(0, np.uint8), off
+    idx = np.repeat(starts.astype(np.int64) - off[:-1], lens) + np.arange(total)
+    return bigbuf[idx], off
+
+
+def _binary_from_spans(pa, bigbuf, starts, ends, mask=None):
+    """Arrow binary array over gathered span bytes; ``mask`` marks the
+    VALID slots (None slots get zero length)."""
+    import numpy as np
+
+    if mask is not None:
+        starts = np.where(mask, starts, 0)
+        ends = np.where(mask, ends, 0)
+    data, off = _gather_spans(bigbuf, starts, ends)
+    if off[-1] > np.iinfo(np.int32).max:
+        raise ValueError("batch span payload exceeds 2 GiB; lower batch size")
+    buffers = [
+        None if mask is None else pa.py_buffer(np.packbits(mask, bitorder="little")),
+        pa.py_buffer(off.astype(np.int32)),
+        pa.py_buffer(data),
+    ]
+    return pa.Array.from_buffers(pa.binary(), len(starts), buffers)
+
+
+def _string_from_spans(pa, bigbuf, starts, ends, mask=None):
+    """Arrow utf8 array over gathered span bytes. Fast path assumes the
+    gathered bytes are valid UTF-8 (one strict decode proves it);
+    malformed names fall back to per-value decode with errors=replace,
+    matching the row-at-a-time semantics exactly."""
+    import numpy as np
+
+    if mask is not None:
+        starts = np.where(mask, starts, 0)
+        ends = np.where(mask, ends, 0)
+    data, off = _gather_spans(bigbuf, starts, ends)
+    if off[-1] > np.iinfo(np.int32).max:
+        raise ValueError("batch span payload exceeds 2 GiB; lower batch size")
+    raw = data.tobytes()
+    try:
+        raw.decode("utf-8")
+    except UnicodeDecodeError:
+        vals = [
+            raw[off[i] : off[i + 1]].decode("utf-8", errors="replace")
+            if (mask is None or mask[i])
+            else None
+            for i in range(len(starts))
+        ]
+        return pa.array(vals, type=pa.string())
+    buffers = [
+        None if mask is None else pa.py_buffer(np.packbits(mask, bitorder="little")),
+        pa.py_buffer(off.astype(np.int32)),
+        pa.py_buffer(data),
+    ]
+    return pa.Array.from_buffers(pa.utf8(), len(starts), buffers)
+
+
+def _nodes_arrow_batches(batches):
+    """Columnar exploded-DOM kernel: per document, ten frombuffer views
+    over the C kernel's packed arrays; per batch, one concatenate + two
+    vectorized span gathers build the Arrow columns. No per-node Python
+    loop anywhere (the r01 hot-path flaw for node-level analytics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernel.parser import _get_cparser
+
+    cp = _get_cparser()
+    for rb in batches:
+        urls = rb.column(0)
+        get_html = _html_views(rb)
+        doc_idx: list = []
+        cols = {k: [] for k in (
+            "node_id", "parent", "kind", "ls", "le", "depth", "ld",
+            "at_s", "at_e", "gls", "gle",
+        )}
+        chunks: list = []
+        base = 0
+        for j in range(rb.num_rows):
+            packed = _doc_packed(cp, get_html(j))
+            if packed is None:
                 continue
-            depth, last_desc = compute_depth_and_last_descendant(doc)
-            buf = doc.buf
-            url = urls[j]
-            for i in range(1, doc.n_nodes):
-                k = doc.kind[i]
-                s, e = doc.loc_start[i], doc.loc_end[i]
-                out["url"].append(url)
-                out["node_id"].append(i)
-                out["parent_id"].append(doc.parent[i])
-                out["kind"].append(k)
-                if k == 1:  # ELEMENT
-                    out["tag"].append(
-                        bytes(buf[s:e]).decode("utf-8", errors="replace")
-                    )
-                    out["text"].append(None)
-                else:
-                    out["tag"].append(None)
-                    out["text"].append(bytes(buf[s:e]))
-                out["depth"].append(depth[i])
-                out["span_start"].append(s)
-                out["last_descendant"].append(last_desc[i])
-                out["attr_start"].append(doc.attr_start[i])
-                out["attr_end"].append(doc.attr_end[i])
-        yield pd.DataFrame(out)
+            buf, parent, kind, ls, le, depth, ld, at_s, at_e = packed[:9]
+            n = len(kind)
+            if n <= 1:
+                continue
+            doc_idx.append(np.full(n - 1, j, dtype=np.int64))
+            cols["node_id"].append(np.arange(1, n, dtype=np.int32))
+            cols["parent"].append(parent[1:])
+            cols["kind"].append(kind[1:])
+            cols["ls"].append(ls[1:])
+            cols["le"].append(le[1:])
+            cols["depth"].append(depth[1:])
+            cols["ld"].append(ld[1:])
+            cols["at_s"].append(at_s[1:])
+            cols["at_e"].append(at_e[1:])
+            cols["gls"].append(ls[1:].astype(np.int64) + base)
+            cols["gle"].append(le[1:].astype(np.int64) + base)
+            chunks.append(buf)
+            base += len(buf)
+        if not doc_idx:
+            continue
+        cat = {k: np.concatenate(v) for k, v in cols.items()}
+        bigbuf = np.concatenate(chunks)
+        elem = cat["kind"] == 1
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls.take(pa.array(np.concatenate(doc_idx))),
+                pa.array(cat["node_id"], type=pa.int32()),
+                pa.array(cat["parent"], type=pa.int32()),
+                pa.array(cat["kind"].astype(np.int8), type=pa.int8()),
+                _string_from_spans(pa, bigbuf, cat["gls"], cat["gle"], elem),
+                pa.array(cat["depth"], type=pa.int32()),
+                _binary_from_spans(pa, bigbuf, cat["gls"], cat["gle"], ~elem),
+                pa.array(cat["ls"].astype(np.int64), type=pa.int64()),
+                pa.array(cat["ld"], type=pa.int32()),
+                pa.array(cat["at_s"], type=pa.int32()),
+                pa.array(cat["at_e"], type=pa.int32()),
+            ],
+            names=[f.name for f in NODES_SCHEMA.fields],
+        )
 
 
 def parse_nodes(pages: DataFrame) -> DataFrame:
     """Exploded document-order node table: the relational form of the
     packed DOM (descendants of k = node_id BETWEEN k+1 AND
-    last_descendant; children of k = parent_id = k)."""
-    return pages.select("url", "html").mapInPandas(_node_batches, NODES_SCHEMA)
+    last_descendant; children of k = parent_id = k). Map-side only;
+    emitted as Arrow columns straight from the C kernel's packed
+    arrays (mirrors reference all_nodes iteration,
+    src/document.rs:733-811, as a columnar scan)."""
+    return pages.select("url", "html").mapInArrow(_nodes_arrow_batches, NODES_SCHEMA)
 
 
-def _attr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        out: dict[str, list] = {k.name: [] for k in ATTRS_SCHEMA.fields}
-        for j in range(len(urls)):
-            doc = parse_document(_as_bytes(htmls[j]))
-            if not doc.ok:
+def _attrs_arrow_batches(batches):
+    """Columnar exploded-attribute kernel (mirrors reference attribute
+    iteration, src/attribute.rs:201-293): per document the node
+    ownership is one np.repeat over the packed attr-range arrays; names
+    and values are vectorized span gathers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernel.parser import _get_cparser
+
+    cp = _get_cparser()
+    for rb in batches:
+        urls = rb.column(0)
+        get_html = _html_views(rb)
+        doc_idx: list = []
+        node_ids: list = []
+        attr_idx: list = []
+        spans = {k: [] for k in ("ns", "ne", "vs", "ve")}
+        chunks: list = []
+        base = 0
+        for j in range(rb.num_rows):
+            packed = _doc_packed(cp, get_html(j))
+            if packed is None:
                 continue
-            buf = doc.buf
-            url = urls[j]
-            for i in range(1, doc.n_nodes):
-                for a in range(doc.attr_start[i], doc.attr_end[i]):
-                    out["url"].append(url)
-                    out["node_id"].append(i)
-                    out["attr_idx"].append(a)
-                    out["name"].append(
-                        bytes(buf[doc.a_name_start[a] : doc.a_name_end[a]]).decode(
-                            "utf-8", errors="replace"
-                        )
-                    )
-                    out["value"].append(
-                        bytes(buf[doc.a_val_start[a] : doc.a_val_end[a]])
-                    )
-        yield pd.DataFrame(out)
+            buf, _parent, kind, _ls, _le, _d, _ld, at_s, at_e = packed[:9]
+            a_ns, a_ne, a_vs, a_ve = packed[9:]
+            na = len(a_ns)
+            if na == 0:
+                continue
+            n = len(kind)
+            counts = (at_e[1:] - at_s[1:]).astype(np.int64)
+            node_ids.append(
+                np.repeat(np.arange(1, n, dtype=np.int32), counts)
+            )
+            attr_idx.append(np.arange(na, dtype=np.int32))
+            doc_idx.append(np.full(na, j, dtype=np.int64))
+            spans["ns"].append(a_ns.astype(np.int64) + base)
+            spans["ne"].append(a_ne.astype(np.int64) + base)
+            spans["vs"].append(a_vs.astype(np.int64) + base)
+            spans["ve"].append(a_ve.astype(np.int64) + base)
+            chunks.append(buf)
+            base += len(buf)
+        if not doc_idx:
+            continue
+        bigbuf = np.concatenate(chunks)
+        cat = {k: np.concatenate(v) for k, v in spans.items()}
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls.take(pa.array(np.concatenate(doc_idx))),
+                pa.array(np.concatenate(node_ids), type=pa.int32()),
+                pa.array(np.concatenate(attr_idx), type=pa.int32()),
+                _string_from_spans(pa, bigbuf, cat["ns"], cat["ne"]),
+                _binary_from_spans(pa, bigbuf, cat["vs"], cat["ve"]),
+            ],
+            names=[f.name for f in ATTRS_SCHEMA.fields],
+        )
 
 
 def parse_attrs(pages: DataFrame) -> DataFrame:
     """Exploded attribute table (duplicate names kept; first-wins
-    semantics are a MIN(attr_idx) aggregation on the read side)."""
-    return pages.select("url", "html").mapInPandas(_attr_batches, ATTRS_SCHEMA)
+    semantics are a MIN(attr_idx) aggregation on the read side).
+    Map-side only, columnar straight from the packed attr arrays."""
+    return pages.select("url", "html").mapInArrow(_attrs_arrow_batches, ATTRS_SCHEMA)
 
 
 FULL_SCHEMA = StructType(
