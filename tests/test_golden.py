@@ -32,7 +32,7 @@ def _golden(suite: str, case: pathlib.Path) -> str:
 
 ALL_CASES = [
     (suite, case)
-    for suite in ("simple_test", "namespace_removal", "parse_escapes")
+    for suite in ("simple_test", "namespace_removal", "parse_escapes", "speed_test")
     for case in _cases(suite)
 ]
 
