@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from xhtml_parser_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    decode_audio_meta,
     decode_image_meta,
     extract_features,
     frame_sample,
@@ -41,6 +42,53 @@ def media_df(spark):
         (5, "video", make_rawvid([b"f0", b"f1", b"f2", b"f3", b"f4"]), "video/x-raw"),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _wav(ch: int, sr: int, bits: int, n_samples: int) -> bytes:
+    byte_rate = sr * ch * bits // 8
+    block = ch * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, byte_rate, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ogg(ch: int, sr: int, total_samples: int) -> bytes:
+    ident = b"\x01vorbis" + struct.pack("<IB I", 0, ch, sr) + b"\x00" * 9
+    first = (
+        b"OggS" + b"\x00\x02" + struct.pack("<q", 0)
+        + b"\x00" * 12 + bytes([1, len(ident)]) + ident
+    )
+    last = (
+        b"OggS" + b"\x00\x04" + struct.pack("<q", total_samples)
+        + b"\x00" * 12 + bytes([1, 0])
+    )
+    return first + b"\x00" * 10 + last
+
+
+def test_audio_meta(spark):
+    rows = [
+        (1, "audio", _wav(2, 44100, 16, 44100 * 3), "audio/wav"),   # 3 s stereo
+        (2, "audio", _wav(1, 8000, 8, 4000), "audio/wav"),          # 0.5 s mono
+        (3, "audio", _ogg(2, 48000, 96000), "audio/ogg"),           # 2 s
+        (4, "audio", b"\xffnot audio at all", "application/octet-stream"),
+        (5, "audio", b"RIFF\x00\x00\x00\x00WAVEjunk", "audio/wav"), # truncated
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["channels"], r1["sample_rate"],
+            r1["bits_per_sample"], r1["duration_ms"], r1["valid"]) == (
+        "wav", 2, 44100, 16, 3000, "ok")
+    r2 = got[2]
+    assert (r2["format"], r2["channels"], r2["sample_rate"],
+            r2["duration_ms"], r2["valid"]) == ("wav", 1, 8000, 500, "ok")
+    r3 = got[3]
+    assert (r3["format"], r3["channels"], r3["sample_rate"],
+            r3["duration_ms"], r3["valid"]) == ("ogg", 2, 48000, 2000, "ok")
+    assert got[4]["valid"] == "unknown-format"
+    assert got[5]["valid"] == "truncated"
 
 
 def test_image_meta(spark, media_df):

@@ -9,6 +9,9 @@ libraries exist in this container:
   * ``decode_image_meta`` parses real magic bytes + container headers
     (PNG/JPEG/GIF dimensions) with pure byte arithmetic -- no library
     needed, genuinely functional.
+  * ``decode_audio_meta`` likewise: RIFF/WAVE chunk walk (channels,
+    rate, bits, duration from data size / byte rate) and Ogg-Vorbis
+    identification header + last-page granule position.
   * ``extract_features`` produces a deterministic fake embedding
     (byte-histogram, documented as a stand-in) so downstream
     similarity/dedup plumbing is exercised end-to-end.
@@ -106,6 +109,91 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     """media(media_id, payload, ...) -> typed image metadata. Map-side."""
     return media.select("media_id", "payload").mapInPandas(
         _image_meta_batches, IMAGE_META_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("valid", StringType()),  # ok | unknown-format | truncated
+    ]
+)
+
+
+def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
+    """Header-only audio metadata: RIFF/WAVE fmt+data chunk walk, and
+    Ogg-Vorbis identification header + last-page granule position.
+    Pure byte arithmetic, no codec (mirrors _sniff_image)."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ch = sr = bits = byte_rate = 0
+        data_size = -1
+        p = 12
+        while p + 8 <= len(b):
+            cid = b[p : p + 4]
+            (csz,) = struct.unpack("<I", b[p + 4 : p + 8])
+            if cid == b"fmt " and p + 24 <= len(b):
+                _fmt, ch, sr, byte_rate, _ba, bits = struct.unpack(
+                    "<HHIIHH", b[p + 8 : p + 24]
+                )
+            elif cid == b"data":
+                data_size = csz
+            p += 8 + csz + (csz & 1)  # chunks are word-aligned
+        if ch and sr and byte_rate and data_size >= 0:
+            dur = data_size * 1000 // byte_rate
+            return "wav", ch, sr, bits, dur, "ok"
+        return "wav", ch, sr, bits, 0, "truncated"
+    if len(b) >= 58 and b[:4] == b"OggS":
+        # first page: 27-byte header + segment table, then the Vorbis
+        # identification packet \x01vorbis + version u32 + ch u8 + sr u32
+        nseg = b[26]
+        p = 27 + nseg
+        if p + 16 <= len(b) and b[p : p + 7] == b"\x01vorbis":
+            ch = b[p + 11]
+            (sr,) = struct.unpack("<I", b[p + 12 : p + 16])
+            # duration: granule position (total pcm samples) of the
+            # LAST page -- scan from the tail for the final capture
+            # pattern with a plausible header
+            q = b.rfind(b"OggS")
+            dur = 0
+            valid = "truncated"
+            if q >= 0 and q + 14 <= len(b) and sr:
+                (granule,) = struct.unpack("<q", b[q + 6 : q + 14])
+                if granule >= 0:
+                    dur = granule * 1000 // sr
+                    valid = "ok"
+            return "ogg", ch, sr, 0, dur, valid
+        return "ogg", 0, 0, 0, 0, "truncated"
+    return "unknown", 0, 0, 0, 0, "unknown-format"
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            fmt, ch, sr, bits, dur, valid = _sniff_audio(b)
+            out["media_id"].append(int(mid))
+            out["format"].append(fmt)
+            out["channels"].append(ch)
+            out["sample_rate"].append(sr)
+            out["bits_per_sample"].append(bits)
+            out["duration_ms"].append(dur)
+            out["n_bytes"].append(len(b))
+            out["valid"].append(valid)
+        yield pd.DataFrame(out)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) -> typed audio metadata (WAV/OGG
+    header math -- genuinely functional, no codec needed). Map-side."""
+    return media.select("media_id", "payload").mapInPandas(
+        _audio_meta_batches, AUDIO_META_SCHEMA
     )
 
 
