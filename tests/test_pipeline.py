@@ -148,21 +148,39 @@ def test_parse_full_single_pass(spark, corpus_path):
     for r in rows.values():
         assert len(r["nodes"]) == r["n_nodes"]
         assert len(r["attrs"]) == r["n_attrs"]
-    # exploding the nested form equals the dedicated exploded operator
+    # exploding the nested form equals the dedicated exploded operator,
+    # on EVERY node column
+    ncols = ["node_id", "parent_id", "kind", "tag", "depth", "text",
+             "span_start", "last_descendant"]
     exploded = (
         full.select("url", F.explode("nodes").alias("n"))
-        .select("url", "n.node_id", "n.parent_id", "n.kind", "n.tag")
+        .select("url", *[f"n.{c}" for c in ncols])
         .collect()
     )
-    direct = (
-        parse_nodes(pages)
-        .select("url", "node_id", "parent_id", "kind", "tag")
+    direct = parse_nodes(pages).select("url", *ncols).collect()
+
+    def norm(r):
+        return tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                     for v in r)
+
+    assert sorted(map(norm, exploded)) == sorted(map(norm, direct))
+    # and the nested attrs equal parse_attrs (attr_idx is positional)
+    from xhtml_parser_spark.operators.parse import parse_attrs, parse_pages
+
+    a_exploded = (
+        full.select("url", F.explode("attrs").alias("a"))
+        .select("url", "a.node_id", "a.name", "a.value")
         .collect()
     )
-    key = lambda r: (r["url"], r["node_id"])  # noqa: E731
-    assert sorted(map(tuple, exploded), key=lambda t: (t[0], t[1])) == sorted(
-        map(tuple, direct), key=lambda t: (t[0], t[1])
-    )
+    a_direct = parse_attrs(pages).select("url", "node_id", "name", "value").collect()
+    assert sorted(map(norm, a_exploded)) == sorted(map(norm, a_direct))
+    # scalar text columns equal parse_pages byte-for-byte
+    pp = {r["url"]: r for r in parse_pages(pages).where(F.col("parse_ok")).collect()}
+    assert set(pp) == set(rows)
+    for u, r in rows.items():
+        assert bytes(r["text"]) == bytes(pp[u]["text"])
+        assert bytes(r["text_main"]) == bytes(pp[u]["text_main"])
+        assert r["max_depth"] == pp[u]["max_depth"]
 
 
 def test_fused_extract_matches_standard(spark, corpus_path, tmp_path):

@@ -516,71 +516,190 @@ FULL_SCHEMA = StructType(
 )
 
 
-def _full_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        cols: dict[str, list] = {f.name: [] for f in FULL_SCHEMA.fields}
-        for j in range(len(urls)):
-            html = _as_bytes(htmls[j])
+def _full_arrow_batches(batches):
+    """Columnar parse-once-emit-everything kernel: scalar extract
+    columns exactly as _parse_arrow_batches, plus the whole DOM as
+    list<struct> columns assembled from the packed arrays with the same
+    vectorized span gathers as the exploded kernels -- per-doc work is
+    a handful of frombuffer views, never a per-node loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernel.extract import extract_main_text as _emt
+    from ..kernel.parser import _decode_c_error, _get_cparser
+
+    cp = _get_cparser()
+    for rb in batches:
+        urls = rb.column(0)
+        get_html = _html_views(rb)
+        n_rows = rb.num_rows
+        texts: list = [None] * n_rows
+        mains: list = [None] * n_rows
+        n_nodes_c = [0] * n_rows
+        n_attrs_c = [0] * n_rows
+        n_text_c = [0] * n_rows
+        max_d_c = [0] * n_rows
+        html_bytes = [0] * n_rows
+        ok_l = [False] * n_rows
+        err_c: list = [None] * n_rows
+        err_p: list = [None] * n_rows
+        err_m: list = [None] * n_rows
+        kns = [0] * n_rows
+
+        node_counts = np.zeros(n_rows, dtype=np.int32)
+        attr_counts = np.zeros(n_rows, dtype=np.int32)
+        ncols = {k: [] for k in ("node_id", "parent", "kind", "ls", "le",
+                                 "depth", "ld", "gls", "gle")}
+        acols = {k: [] for k in ("node_id", "ns", "ne", "vs", "ve")}
+        chunks: list = []
+        base = 0
+        for j in range(n_rows):
+            h = get_html(j)
+            html_bytes[j] = len(h)
             t0 = time.perf_counter_ns()
-            doc = parse_document(html)
-            nodes_out = []
-            attrs_out = []
-            if doc.ok:
-                text = doc.extracted_text()
-                text_main = extract_main_text(doc)
-                depth, last_desc = compute_depth_and_last_descendant(doc)
-                buf = doc.buf
-                for i in range(1, doc.n_nodes):
-                    k = doc.kind[i]
-                    s, e = doc.loc_start[i], doc.loc_end[i]
-                    nodes_out.append(
-                        (
-                            i,
-                            doc.parent[i],
-                            k,
-                            buf[s:e].decode("utf-8", errors="replace")
-                            if k == 1
-                            else None,
-                            bytes(buf[s:e]) if k == 2 else None,
-                            depth[i],
-                            s,
-                            last_desc[i],
-                        )
-                    )
-                    for a in range(doc.attr_start[i], doc.attr_end[i]):
-                        attrs_out.append(
-                            (
-                                i,
-                                buf[doc.a_name_start[a] : doc.a_name_end[a]].decode(
-                                    "utf-8", errors="replace"
-                                ),
-                                bytes(buf[doc.a_val_start[a] : doc.a_val_end[a]]),
-                            )
-                        )
-                stats = (doc.n_nodes - 1, doc.n_attrs, doc.n_text_nodes, doc.max_depth)
+            res = cp.parse(h) if cp is not None else None
+            if res is not None and not res[0]:
+                kns[j] = time.perf_counter_ns() - t0
+                e = _decode_c_error(res[1], res[2], res[3], res[4])
+                texts[j] = b""
+                mains[j] = b""
+                err_c[j], err_p[j], err_m[j] = e.error_class, e.pos, e.message
+                continue
+            if res is not None:
+                buf = np.frombuffer(res[4], np.uint8)
+                i32 = np.int32
+                parent = np.frombuffer(res[5], i32)
+                kind = np.frombuffer(res[9], i32)
+                ls = np.frombuffer(res[10], i32)
+                le = np.frombuffer(res[11], i32)
+                at_s = np.frombuffer(res[12], i32)
+                at_e = np.frombuffer(res[13], i32)
+                a_ns = np.frombuffer(res[14], i32)
+                a_ne = np.frombuffer(res[15], i32)
+                a_vs = np.frombuffer(res[16], i32)
+                a_ve = np.frombuffer(res[17], i32)
+                depth = np.frombuffer(res[22], i32)
+                ld = np.frombuffer(res[23], i32)
+                texts[j] = res[18]
+                mains[j] = res[19]
+                n_text_c[j] = res[20]
+                max_d_c[j] = res[21]
             else:
-                text = b""
-                text_main = b""
-                stats = (0, 0, 0, 0)
-            dt = time.perf_counter_ns() - t0
-            cols["url"].append(urls[j])
-            cols["text"].append(text)
-            cols["text_main"].append(text_main)
-            cols["n_nodes"].append(stats[0])
-            cols["n_attrs"].append(stats[1])
-            cols["n_text_nodes"].append(stats[2])
-            cols["max_depth"].append(stats[3])
-            cols["html_bytes"].append(len(html))
-            cols["parse_ok"].append(doc.ok)
-            cols["error_class"].append(doc.error_class)
-            cols["error_pos"].append(doc.error_pos)
-            cols["error_msg"].append(doc.error_msg)
-            cols["kernel_ns"].append(dt)
-            cols["nodes"].append(nodes_out)
-            cols["attrs"].append(attrs_out)
-        yield pd.DataFrame(cols)
+                doc = parse_document(bytes(h))
+                if not doc.ok:
+                    kns[j] = time.perf_counter_ns() - t0
+                    texts[j] = b""
+                    mains[j] = b""
+                    err_c[j] = doc.error_class
+                    err_p[j] = doc.error_pos
+                    err_m[j] = doc.error_msg
+                    continue
+                dpy, ldpy = compute_depth_and_last_descendant(doc)
+                buf = np.frombuffer(doc.buf, np.uint8)
+                a = lambda v: np.array(v, dtype=np.int32)  # noqa: E731
+                parent, kind = a(doc.parent), a(doc.kind)
+                ls, le = a(doc.loc_start), a(doc.loc_end)
+                at_s, at_e = a(doc.attr_start), a(doc.attr_end)
+                a_ns, a_ne = a(doc.a_name_start), a(doc.a_name_end)
+                a_vs, a_ve = a(doc.a_val_start), a(doc.a_val_end)
+                depth, ld = a(dpy), a(ldpy)
+                texts[j] = doc.extracted_text()
+                mains[j] = _emt(doc)
+                n_text_c[j] = doc.n_text_nodes
+                max_d_c[j] = doc.max_depth
+            kns[j] = time.perf_counter_ns() - t0
+            ok_l[j] = True
+            n = len(kind)
+            n_nodes_c[j] = n - 1
+            n_attrs_c[j] = len(a_ns)
+            node_counts[j] = n - 1
+            attr_counts[j] = len(a_ns)
+            if n > 1:
+                ncols["node_id"].append(np.arange(1, n, dtype=np.int32))
+                ncols["parent"].append(parent[1:])
+                ncols["kind"].append(kind[1:])
+                ncols["ls"].append(ls[1:])
+                ncols["le"].append(le[1:])
+                ncols["depth"].append(depth[1:])
+                ncols["ld"].append(ld[1:])
+                ncols["gls"].append(ls[1:].astype(np.int64) + base)
+                ncols["gle"].append(le[1:].astype(np.int64) + base)
+            if len(a_ns):
+                counts = (at_e[1:] - at_s[1:]).astype(np.int64)
+                acols["node_id"].append(
+                    np.repeat(np.arange(1, n, dtype=np.int32), counts)
+                )
+                acols["ns"].append(a_ns.astype(np.int64) + base)
+                acols["ne"].append(a_ne.astype(np.int64) + base)
+                acols["vs"].append(a_vs.astype(np.int64) + base)
+                acols["ve"].append(a_ve.astype(np.int64) + base)
+            if n > 1 or len(a_ns):
+                chunks.append(buf)
+                base += len(buf)
+
+        def _cat(d, k, dtype):
+            return (np.concatenate(d[k]) if d[k]
+                    else np.empty(0, dtype=dtype))
+
+        bigbuf = (np.concatenate(chunks) if chunks
+                  else np.empty(0, np.uint8))
+        kind_all = _cat(ncols, "kind", np.int32)
+        elem = kind_all == 1
+        # old row semantics: text only for kind==2 (TEXT), tag for ELEMENT
+        text_mask = kind_all == 2
+        gls, gle = _cat(ncols, "gls", np.int64), _cat(ncols, "gle", np.int64)
+        node_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(_cat(ncols, "node_id", np.int32), type=pa.int32()),
+                pa.array(_cat(ncols, "parent", np.int32), type=pa.int32()),
+                pa.array(kind_all.astype(np.int8), type=pa.int8()),
+                _string_from_spans(pa, bigbuf, gls, gle, elem),
+                _binary_from_spans(pa, bigbuf, gls, gle, text_mask),
+                pa.array(_cat(ncols, "depth", np.int32), type=pa.int32()),
+                pa.array(_cat(ncols, "ls", np.int32).astype(np.int64),
+                         type=pa.int64()),
+                pa.array(_cat(ncols, "ld", np.int32), type=pa.int32()),
+            ],
+            names=["node_id", "parent_id", "kind", "tag", "text",
+                   "depth", "span_start", "last_descendant"],
+        )
+        node_off = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(node_counts, out=node_off[1:])
+        nodes_arr = pa.ListArray.from_arrays(pa.array(node_off), node_struct)
+        attr_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(_cat(acols, "node_id", np.int32), type=pa.int32()),
+                _string_from_spans(pa, bigbuf, _cat(acols, "ns", np.int64),
+                                   _cat(acols, "ne", np.int64)),
+                _binary_from_spans(pa, bigbuf, _cat(acols, "vs", np.int64),
+                                   _cat(acols, "ve", np.int64)),
+            ],
+            names=["node_id", "name", "value"],
+        )
+        attr_off = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(attr_counts, out=attr_off[1:])
+        attrs_arr = pa.ListArray.from_arrays(pa.array(attr_off), attr_struct)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array(texts, type=pa.binary()),
+                pa.array(mains, type=pa.binary()),
+                pa.array(n_nodes_c, type=pa.int32()),
+                pa.array(n_attrs_c, type=pa.int32()),
+                pa.array(n_text_c, type=pa.int32()),
+                pa.array(max_d_c, type=pa.int32()),
+                pa.array(html_bytes, type=pa.int64()),
+                pa.array(ok_l, type=pa.bool_()),
+                pa.array(err_c, type=pa.string()),
+                pa.array(err_p, type=pa.int64()),
+                pa.array(err_m, type=pa.string()),
+                pa.array(kns, type=pa.int64()),
+                nodes_arr,
+                attrs_arr,
+            ],
+            names=[f.name for f in FULL_SCHEMA.fields],
+        )
 
 
 def parse_full(pages: DataFrame) -> DataFrame:
@@ -589,4 +708,4 @@ def parse_full(pages: DataFrame) -> DataFrame:
     consumers want both text and structure -- re-parsing per output
     (parse_pages + parse_nodes + parse_attrs) triples the kernel cost.
     Explode downstream: ``select(url, explode(nodes))``."""
-    return pages.select("url", "html").mapInPandas(_full_batches, FULL_SCHEMA)
+    return pages.select("url", "html").mapInArrow(_full_arrow_batches, FULL_SCHEMA)
