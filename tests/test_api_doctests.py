@@ -8,6 +8,7 @@ import pytest
 from xhtml_parser_spark.kernel import parse_document
 from xhtml_parser_spark.kernel.document import (
     all_nodes,
+    all_nodes_reversed,
     get_node,
     is_empty,
     last_descendant,
@@ -16,6 +17,31 @@ from xhtml_parser_spark.kernel.document import (
     previous_seq_node,
     root,
 )
+
+
+def test_reverse_iteration_matches_forward():
+    """DoubleEnded parity (reference src/document.rs:813-830,
+    src/node.rs:795-811, src/attribute.rs:201-293): reversed iteration
+    yields exactly the forward sequence backwards."""
+    doc = parse_document(
+        b"<root a='1' b='2'><c>T</c><d><e/>tail</d><f/>x</root>"
+    )
+    fwd = [n.idx for n in all_nodes(doc)]
+    assert [n.idx for n in all_nodes_reversed(doc)] == fwd[::-1]
+    r = root(doc)
+    assert [n.idx for n in r.children_reversed()] == [
+        n.idx for n in r.children()
+    ][::-1]
+    assert [n.idx for n in r.descendants_reversed()] == [
+        n.idx for n in r.descendants()
+    ][::-1]
+    assert [a.name() for a in r.attributes_reversed()] == ["b", "a"]
+    # leaf / empty edges
+    leaf = r.first_child()  # <c>
+    assert list(leaf.first_child().children_reversed()) == []
+    d2 = parse_document(b"<only/>")
+    assert [n.idx for n in all_nodes_reversed(d2)] == [1]
+    assert list(root(d2).children_reversed()) == []
 
 
 def test_document_new_doctest():

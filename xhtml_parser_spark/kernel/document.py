@@ -190,6 +190,33 @@ class Node:
         for i in range(self.idx + 1, last + 1):
             yield Node(self.doc, i)
 
+    def children_reversed(self) -> Iterator["Node"]:
+        """Back-to-front child iteration (the reference's NodeChildren
+        DoubleEndedIterator next_back, src/node.rs:769-811): start at
+        the O(1) last child, walk prev_sibling until the first child."""
+        lc = self.last_child()
+        fc = self.doc.first_child[self.idx]
+        while lc is not None:
+            yield lc
+            if lc.idx == fc:
+                return
+            lc = lc.prev_sibling()
+
+    def descendants_reversed(self) -> Iterator["Node"]:
+        """Back-to-front descendant iteration (Nodes::descendants as a
+        DoubleEndedIterator consumed via rev(), src/document.rs:733-830):
+        document order is the index order, so this is last..idx+1."""
+        last = last_descendant(self.doc, self.idx)
+        if last is None:
+            return
+        for i in range(last, self.idx, -1):
+            yield Node(self.doc, i)
+
+    def attributes_reversed(self) -> list[Attribute]:
+        """Back-to-front attribute iteration (Attributes as a
+        DoubleEndedIterator, src/attribute.rs:201-293)."""
+        return list(reversed(self.attributes()))
+
 
 def root(doc: ParsedDoc) -> Optional[Node]:
     """Reference: src/document.rs:145-159."""
@@ -230,6 +257,14 @@ def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
     """Document-order iteration (src/document.rs:733-811): node indices
     ARE document order, so this is just 1..=last."""
     for i in range(1, doc.n_nodes):
+        yield Node(doc, i)
+
+
+def all_nodes_reversed(doc: ParsedDoc) -> Iterator[Node]:
+    """Reverse document-order iteration (the reference's Nodes
+    DoubleEndedIterator next_back, src/document.rs:813-830; gated off
+    only under its forward_only memory feature)."""
+    for i in range(doc.n_nodes - 1, 0, -1):
         yield Node(doc, i)
 
 
