@@ -223,6 +223,38 @@ def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north_rule): synthesize a deterministic PDF
+    per document, run the pure-Python PDF text extractor, and require
+    the extracted text to reproduce the source exactly -- the PDF
+    analogue of xhtml_roundtrip."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.pdf import pdf_text, synthesize_pdfs
+
+    docs = _docs(spark, sf_dir)
+    extracted = pdf_text(synthesize_pdfs(docs))
+    return extracted.select(
+        "doc_id", F.col("text").alias("extracted"), "parse_ok"
+    )
+
+
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded PDF layout runs -> per-document run count and last
+    baseline y (the generator places line k at y = 720 - 14k, so the
+    oracle can predict positions exactly; y values are small exact
+    integers in double space)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.pdf import pdf_text_runs, synthesize_pdfs
+
+    docs = _docs(spark, sf_dir)
+    runs = pdf_text_runs(synthesize_pdfs(docs))
+    return runs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.min("y").cast("bigint").alias("min_y"),
+        F.max("x").cast("bigint").alias("max_x"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.dedup import exact_dedup
 
@@ -410,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_parse_errors": q_xhtml_parse_errors,
         "xhtml_spans": q_xhtml_spans,
         "xhtml_attrs": q_xhtml_attrs,
+        "pdf_roundtrip": q_pdf_roundtrip,
+        "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
@@ -558,6 +592,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + len(string_split(coalesce(text, ''), chr(10)))
                         AS BIGINT)
             FROM documents
+        """,
+        "pdf_roundtrip": """
+            SELECT doc_id, coalesce(text, '') AS extracted,
+                   TRUE AS parse_ok
+            FROM documents
+        """,
+        # generator layout: line k at (x=72, y=720-14k), one run per
+        # line -> n_runs = line count, min_y = 720-14*(n-1), max_x = 72
+        "pdf_layout": """
+            WITH l AS (
+              SELECT doc_id,
+                     len(string_split(coalesce(text, ''), chr(10))) AS n
+              FROM documents
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_runs,
+                   CAST(720 - 14 * (n - 1) AS BIGINT) AS min_y,
+                   CAST(72 AS BIGINT) AS max_x
+            FROM l
         """,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id

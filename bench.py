@@ -138,6 +138,7 @@ def main() -> None:
         "xhtml_main_text",
         "xhtml_spans",
         "xhtml_attrs",
+        "pdf_roundtrip",
         "dedup_exact",
         "minhash_sig",
         "lsh_pairs",
