@@ -264,7 +264,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
+    # testdata documents.parquet is one tiny split; fan the CPU-bound
+    # signature pass across the cores (n_partitions is a no-op choice
+    # at real scale where the scan has enough splits)
+    return minhash_signatures(
+        _docs(spark, sf_dir), n_hashes=4,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +279,8 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
-        _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5
+        _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
     ).select("a", "b", "inter", "uni")
 
 
@@ -281,7 +288,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import simhash64
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash64(
+        _docs(spark, sf_dir),
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_ann_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,9 +525,12 @@ def oracle_sql() -> dict[str, str]:
     # NB: DuckDB regexes receive backslash escapes through regular
     # string literals unchanged ('\t' is passed to RE2 verbatim).
     stop_list = "['the','a','of','and','to','in','is','it','that','for']"
+    # minhash j = min over shingles of the j-th 32-bit word of
+    # md5(shingle), rendered as 8 lowercase hex chars (one md5 yields
+    # four independent minhashes; operators/dedup.py::_minhash_batches)
     mh = ", ".join(
-        "list_aggregate(list_transform(sh, x -> md5('%d:' || x)), 'min') AS h%d"
-        % (j, j)
+        "list_aggregate(list_transform(sh, x -> substr(md5(x), %d, 8)),"
+        " 'min') AS h%d" % (1 + 8 * j, j)
         for j in range(4)
     )
     lang_counts = {
