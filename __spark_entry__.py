@@ -370,6 +370,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xhtml_parser_spark.operators.textops import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: messy URLs synthesized deterministically
+    from doc_id (mixed case, default port, tracking params, fragment,
+    unsorted query) -> normalized form; the oracle rebuilds the same
+    URLs and replays the normalization with identical RE2 regexes."""
+    from xhtml_parser_spark.functions.urls import normalize_url, url_host
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://Host-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("?utm_source=x&b=2&a=1&gclid=zz"),
+        ).when(F.col("doc_id") % 3 == 1, F.lit("?z=9&ref=tw"))
+        .otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("norm_url"),
+        url_host(url).alias("host"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational pipeline operators (window dedup B9, lineage agg B7, pushdown)
 # ---------------------------------------------------------------------------
@@ -467,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "url_normalize": q_url_normalize,
         "events_dedup": q_events_dedup,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
@@ -799,6 +834,80 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(coalesce(text, '')),
                        '[ \\t\\n]+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "repetition": """
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 x -> x <> '') AS lines,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM l)
+              GROUP BY doc_id, w
+            ), ws AS (
+              SELECT doc_id, max(c) AS top_word_cnt, sum(c) AS n_words
+              FROM wc GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(len(l.lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(l.lines)) AS BIGINT)
+                       AS n_distinct_lines,
+                   CAST(coalesce(ws.top_word_cnt, 0) AS BIGINT)
+                       AS top_word_cnt,
+                   CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words
+            FROM l LEFT JOIN ws ON l.doc_id = ws.doc_id
+        """,
+        "url_normalize": """
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://Host-' || (doc_id % 7) ||
+                     '.Example.COM:443/Path/' || doc_id ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=x&b=2&a=1&gclid=zz'
+                          WHEN doc_id % 3 = 1 THEN '?z=9&ref=tw'
+                          ELSE '' END || '#frag' AS url
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     regexp_replace(url, '#.*$', '') AS nf,
+                     lower(regexp_extract(url,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
+              FROM u
+            ), q AS (
+              SELECT doc_id, scheme, nf,
+                     regexp_replace(nf,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM p
+            ), r AS (
+              SELECT doc_id, scheme, nf, rest,
+                     lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                     regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+                     regexp_extract(nf, '\\?(.*)$', 1) AS query
+              FROM q
+            ), n AS (
+              SELECT doc_id, scheme,
+                     CASE WHEN scheme = 'http'
+                          THEN regexp_replace(hostport, ':80$', '')
+                          WHEN scheme = 'https'
+                          THEN regexp_replace(hostport, ':443$', '')
+                          ELSE hostport END AS host,
+                     hostport, path,
+                     array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         x -> x <> '' AND NOT regexp_matches(x,
+                             '^(utm_[^=]*|gclid|fbclid|msclkid|ref)=')
+                     )), '&') AS qs
+              FROM r
+            )
+            SELECT doc_id,
+                   scheme || '://' || host || path ||
+                   CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                       AS norm_url,
+                   hostport AS host
+            FROM n
         """,
         "events_dedup": """
             SELECT user_id, event_type, event_id FROM events

@@ -1,0 +1,60 @@
+"""URL canonicalization + repetition-signal operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.functions.urls import normalize_url, url_host
+from xhtml_parser_spark.operators.textops import repetition_signals
+
+
+def _norm(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+
+
+def test_normalize_url_cases(spark):
+    got = _norm(spark, [
+        "HTTPS://Ex.COM:443/A/B?b=2&a=1#frag",
+        "http://ex.com:80/x",
+        "http://ex.com:8080/x",          # non-default port kept
+        "https://ex.com/?utm_source=a&utm_medium=b&gclid=1&fbclid=2&ref=x",
+        "https://ex.com/p?keep=1&utm_x=2&z=0",
+        "ftp://Ex.Com:21/f",             # unknown scheme: port kept
+        "not a url at all",
+        "",
+    ])
+    assert got == [
+        "https://ex.com/A/B?a=1&b=2",
+        "http://ex.com/x",
+        "http://ex.com:8080/x",
+        "https://ex.com/",
+        "https://ex.com/p?keep=1&z=0",
+        "ftp://ex.com:21/f",
+        "://not a url at all",            # degenerate, but total function
+        "://",
+    ]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://A.B.C:443/x?q=1",), ("http://plain/x",)], "url string"
+    )
+    assert [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()] == [
+        "a.b.c:443", "plain",
+    ]
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "spam spam spam spam ham"),          # top word 4/5
+        (1, "a\nb\na\na\n"),                     # 4 lines, 2 distinct
+        (2, ""),                                  # empty
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert (got[0]["top_word_cnt"], got[0]["n_words"]) == (4, 5)
+    assert (got[1]["n_lines"], got[1]["n_distinct_lines"]) == (4, 2)
+    assert (got[2]["n_lines"], got[2]["top_word_cnt"], got[2]["n_words"]) == (0, 0, 0)
+    assert (got[3]["top_word_cnt"], got[3]["n_words"]) == (1, 4)

@@ -72,6 +72,52 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, all exact integers:
+    (doc_id, n_lines, n_distinct_lines, top_word_cnt, n_words).
+    Downstream filters divide: duplicate-line fraction =
+    1 - n_distinct_lines/n_lines; top-word fraction =
+    top_word_cnt/n_words (repetitious machine text scores high on
+    both).
+
+    Line stats are per-row array built-ins (codegen); the word mode
+    needs a per-doc argmax, expressed relationally (explode ->
+    two-level aggregate with map-side partial aggregation) rather than
+    as an interpreted O(words^2) higher-order expression."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    line_stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("n_distinct_lines"),
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_word_cnt"),
+            F.sum("c").cast("bigint").alias("n_words"),
+        )
+    )
+    return (
+        line_stats.join(word_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_distinct_lines",
+            F.coalesce("top_word_cnt", F.lit(0)).cast("bigint").alias("top_word_cnt"),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace-normalized md5 document fingerprint (doc_id, fp)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
