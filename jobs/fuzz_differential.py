@@ -99,6 +99,17 @@ def _diff(xml: bytes) -> str | None:
             return "extracted_text"
         if extract_main_text(a) != extract_main_text(b):
             return "main_text"
+        # round-2 C outputs: packed depth/last_descendant arrays vs the
+        # Python derivation
+        from xhtml_parser_spark.kernel.extract import (
+            compute_depth_and_last_descendant,
+        )
+
+        depth, last_desc = compute_depth_and_last_descendant(b)
+        if memoryview(a.c_depth_b).cast("i").tolist() != depth:
+            return "depth"
+        if memoryview(a.c_last_desc_b).cast("i").tolist() != last_desc:
+            return "last_descendant"
     else:
         if (a.error_class, a.error_pos, a.error_msg) != (
             b.error_class, b.error_pos, b.error_msg

@@ -59,6 +59,12 @@ def get_spark(
         # parse stage is map-side: feed it splits small enough that one
         # task's HTML fits comfortably in a python worker
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        # vectorized parquet batches are ROW-count sized; at the default
+        # 4096 rows a binary html column of ~30 KB/row asks for >100 MB
+        # of contiguous column-vector per task and 32 concurrent tasks
+        # OOM the reservation (seen as FAILED_READ_FILE on the 18.5 GB
+        # rehearsal corpus). 256 rows caps it at ~8-32 MB per task.
+        .config("spark.sql.parquet.columnarReaderBatchSize", str(ARROW_BATCH_ROWS))
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
