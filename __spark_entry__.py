@@ -223,6 +223,48 @@ def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath-lite node location over the exploded DOM, relational form
+    (child steps = equi-joins, '//' = descendant-range join, '[k]' =
+    per-context row_number). One <div><p>line</p></div> per text line,
+    so the oracle predicts both the descendant count and the positional
+    hit exactly."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import parse_nodes
+    from xhtml_parser_spark.operators.xpath import xpath_nodes
+
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(
+                lines,
+                lambda x: F.concat(F.lit("<div><p>"), esc(x), F.lit("</p></div>")),
+            ),
+            "",
+        ),
+        F.lit("</body></html>"),
+    )
+    nodes = parse_nodes(_pages_from_docs(docs, html)).persist()
+    all_p = (
+        xpath_nodes(nodes, "html//p")
+        .groupBy(F.col("url").cast("bigint").alias("doc_id"))
+        .agg(F.count("*").alias("n_p"))
+    )
+    div2 = (
+        xpath_nodes(nodes, "html/body/div[2]/p")
+        .groupBy(F.col("url").cast("bigint").alias("doc_id"))
+        .agg(F.count("*").alias("n_div2_p"))
+    )
+    return all_p.join(div2, "doc_id", "left").select(
+        "doc_id",
+        "n_p",
+        F.coalesce("n_div2_p", F.lit(0)).cast("bigint").alias("n_div2_p"),
+    )
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north_rule): synthesize a deterministic PDF
     per document, run the pure-Python PDF text extractor, and require
@@ -485,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_parse_errors": q_xhtml_parse_errors,
         "xhtml_spans": q_xhtml_spans,
         "xhtml_attrs": q_xhtml_attrs,
+        "xpath_lite": q_xpath_lite,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
@@ -640,6 +683,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + len(string_split(coalesce(text, ''), chr(10)))
                         AS BIGINT)
             FROM documents
+        """,
+        "xpath_lite": """
+            WITH l AS (
+              SELECT doc_id,
+                     len(string_split(coalesce(text, ''), chr(10))) AS n
+              FROM documents
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_p,
+                   CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_div2_p
+            FROM l
         """,
         "pdf_roundtrip": """
             SELECT doc_id, coalesce(text, '') AS extracted,

@@ -1,0 +1,94 @@
+"""XPath-lite node location: kernel selector semantics + the
+relational operator differentially against it on real fixture docs."""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+
+import pytest
+
+from xhtml_parser_spark.kernel import parse_document
+from xhtml_parser_spark.kernel.document import select_path
+from xhtml_parser_spark.operators.parse import parse_nodes
+from xhtml_parser_spark.operators.xpath import xpath_nodes
+from xhtml_parser_spark.sources import PAGES_SCHEMA
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+DOC = (
+    b"<html><body>"
+    b"<div class='a'><p>one</p><p>two</p></div>"
+    b"<div class='b'><p>three</p><span><p>deep</p></span></div>"
+    b"<p>stray</p>"
+    b"</body></html>"
+)
+
+
+def _ids(doc, path):
+    return [n.idx for n in select_path(doc, path)]
+
+
+def test_select_path_child_steps():
+    doc = parse_document(DOC)
+    assert len(_ids(doc, "html")) == 1
+    assert len(_ids(doc, "html/body/div")) == 2
+    assert len(_ids(doc, "html/body/div/p")) == 3  # deep p not a child
+    assert len(_ids(doc, "/html/body/p")) == 1     # leading slash ok
+    assert _ids(doc, "nosuch") == []
+
+
+def test_select_path_descendant_and_wildcard():
+    doc = parse_document(DOC)
+    assert len(_ids(doc, "//p")) == 5
+    assert len(_ids(doc, "html//p")) == 5
+    assert len(_ids(doc, "html/body/div//p")) == 4
+    assert len(_ids(doc, "html/body/*")) == 3      # div, div, p
+    assert len(_ids(doc, "//div/*")) == 4          # p p p span
+    # dedup across overlapping contexts: //div//p where divs nest
+    nested = parse_document(b"<r><div><div><p>x</p></div></div></r>")
+    assert len(_ids(nested, "//div//p")) == 1
+
+
+def test_select_path_positional():
+    doc = parse_document(DOC)
+    two = select_path(doc, "html/body/div[1]/p[2]")
+    assert len(two) == 1
+    assert two[0].first_child().text() == "two"
+    assert _ids(doc, "html/body/div[2]/p") != []
+    assert _ids(doc, "html/body/div[3]") == []
+    # positional on descendant axis: first p under EACH div
+    firsts = select_path(doc, "//div/p[1]")
+    assert [n.first_child().text() for n in firsts] == ["one", "three"]
+
+
+PATHS = [
+    "html", "html/body", "html/body/*", "//p", "//a", "html//div",
+    "//div/p[1]", "html/body/div[2]//p", "*/*", "//span", "//p[1]",
+]
+
+
+def test_relational_xpath_matches_kernel(spark):
+    """xpath_nodes over parse_nodes == kernel select_path, per path,
+    per fixture document."""
+    rows = []
+    ts = datetime.datetime(2025, 8, 8)
+    for f in sorted((FIXTURES / "simple_test" / "test_case").glob("*.xhtml")):
+        if f.stat().st_size > 100_000:
+            continue  # keep the differential fast; big docs add no new shapes
+        rows.append((f.name, ts, f.read_bytes(), None, "en"))
+    rows.append(("synthetic", ts, DOC, None, "en"))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    nodes = parse_nodes(df)
+    nodes.persist()
+    try:
+        docs = {u: parse_document(h) for u, _, h, _, _ in rows}
+        for path in PATHS:
+            got = {}
+            for r in xpath_nodes(nodes, path).select("url", "node_id").collect():
+                got.setdefault(r["url"], set()).add(r["node_id"])
+            for u, doc in docs.items():
+                want = set(n.idx for n in select_path(doc, path)) if doc.ok else set()
+                assert got.get(u, set()) == want, (path, u)
+    finally:
+        nodes.unpersist()

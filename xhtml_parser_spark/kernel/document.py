@@ -253,6 +253,76 @@ def previous_seq_node(doc: ParsedDoc, current: int) -> Optional[Node]:
     return Node(doc, prev) if prev > 0 else None
 
 
+def _path_segments(path: str) -> list[tuple[str, str, int | None]]:
+    """Parse an XPath-lite path into (axis, name, index) segments.
+
+    Grammar: segments joined by '/'; a segment is ``name``, ``*``, or
+    ``name[k]`` (k = 1-based position among the axis' same-name
+    matches); an EMPTY segment (i.e. '//') switches the next segment to
+    the descendant axis. Leading '/' is optional (paths are rooted at
+    the context node either way).
+    """
+    segs: list[tuple[str, str, int | None]] = []
+    axis = "child"
+    parts = path.split("/")
+    if parts and parts[0] == "":
+        parts = parts[1:]  # tolerate a leading '/'
+    for raw in parts:
+        if raw == "":
+            axis = "descendant"
+            continue
+        name, idx = raw, None
+        if raw.endswith("]") and "[" in raw:
+            name, _, tail = raw.partition("[")
+            idx = int(tail[:-1])
+        segs.append((axis, name, idx))
+        axis = "child"
+    return segs
+
+
+def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
+    """XPath-lite node location (north_star): ALL nodes matching a
+    ``a/b//c[2]``-style path, document order, duplicates removed.
+
+    Generalizes the reference's get_child/get_sibling ``child::name[1]``
+    scans (src/node.rs:575-668) to full result sets, '*' wildcards,
+    1-based positional predicates, and '//' descendant steps (which
+    exploit the contiguous descendant-range invariant,
+    src/document.rs:539-583). Elements only -- text nodes have no name.
+    """
+    if isinstance(start, ParsedDoc):
+        r = root(start)
+        ctx: list[Node] = [Node(start, 0)] if r is not None else []
+    else:
+        ctx = [start]
+    for axis, name, idx in _path_segments(path):
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for node in ctx:
+            if axis == "child":
+                cands = list(node.children())
+            elif node.idx == 0:
+                # descendant axis from the document: every node (the
+                # synthetic head has no last_descendant of its own)
+                cands = list(all_nodes(node.doc))
+            else:
+                cands = list(node.descendants())
+            matched = [
+                c
+                for c in cands
+                if c.is_element() and (name == "*" or c.tag_name() == name)
+            ]
+            if idx is not None:
+                matched = matched[idx - 1 : idx] if idx >= 1 else []
+            for m in matched:
+                if m.idx not in seen:
+                    seen.add(m.idx)
+                    nxt.append(m)
+        nxt.sort(key=lambda n: n.idx)
+        ctx = nxt
+    return ctx
+
+
 def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
     """Document-order iteration (src/document.rs:733-811): node indices
     ARE document order, so this is just 1..=last."""

@@ -1,0 +1,85 @@
+"""Relational XPath-lite over the exploded nodes table (north_star
+"XPath-lite node location", Spark-first form).
+
+The kernel-side selector (kernel/document.py::select_path) walks one
+in-memory document; this operator runs the SAME path semantics over
+the ``parse_nodes`` table as pure DataFrame algebra, so path queries
+distribute across 10^12 documents:
+
+  * child step      -> equi-join nodes.parent_id = ctx.node_id
+  * ``//`` step     -> RANGE join on the contiguous descendant
+                       invariant: ctx.node_id < node_id <=
+                       ctx.last_descendant (reference
+                       src/document.rs:539-583) -- no recursion, no
+                       per-document work
+  * ``[k]``         -> row_number over (url, context node) in document
+                       order, exactly the kernel's per-context 1-based
+                       position
+  * node-set union  -> dropDuplicates per step, like XPath
+
+Every join carries the url key, so with the nodes table hash- or
+range-partitioned by url the steps are co-partitioned shuffles; the
+nodes input is consumed once per path segment -- persist it when
+running many paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..kernel.document import _path_segments
+
+_HEAD_LAST = (1 << 31) - 1
+
+
+def xpath_nodes(nodes: DataFrame, path: str) -> DataFrame:
+    """All node rows matching an ``a/b//c[2]``-style path, per url.
+
+    ``nodes`` must have the parse_nodes schema (url, node_id,
+    parent_id, kind, tag, last_descendant, ...). Returns the matching
+    rows with their full columns; differentially tested against the
+    kernel selector on the fixture corpus.
+    """
+    ctx = (
+        nodes.select("url")
+        .distinct()
+        .withColumn("ctx_id", F.lit(0))
+        .withColumn("ctx_last", F.lit(_HEAD_LAST))
+    )
+    for axis, name, idx in _path_segments(path):
+        n = nodes.alias("n")
+        c = ctx.alias("c")
+        if axis == "child":
+            joined = n.join(
+                c,
+                (F.col("n.url") == F.col("c.url"))
+                & (F.col("n.parent_id") == F.col("c.ctx_id")),
+            )
+        else:
+            joined = n.join(
+                c,
+                (F.col("n.url") == F.col("c.url"))
+                & (F.col("n.node_id") > F.col("c.ctx_id"))
+                & (F.col("n.node_id") <= F.col("c.ctx_last")),
+            )
+        m = joined.where(F.col("n.kind") == 1)
+        if name != "*":
+            m = m.where(F.col("n.tag") == name)
+        if idx is not None:
+            w = Window.partitionBy(F.col("n.url"), F.col("c.ctx_id")).orderBy(
+                F.col("n.node_id")
+            )
+            m = m.withColumn("_rn", F.row_number().over(w)).where(
+                F.col("_rn") == F.lit(idx)
+            )
+        ctx = m.select(
+            F.col("n.url").alias("url"),
+            F.col("n.node_id").alias("ctx_id"),
+            F.col("n.last_descendant").alias("ctx_last"),
+        ).dropDuplicates(["url", "ctx_id"])
+    return nodes.join(
+        ctx.select("url", F.col("ctx_id").alias("node_id")),
+        ["url", "node_id"],
+    )
