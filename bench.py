@@ -139,6 +139,8 @@ def main() -> None:
         "xhtml_spans",
         "xhtml_attrs",
         "pdf_roundtrip",
+        "xpath_lite",
+        "repetition",
         "dedup_exact",
         "minhash_sig",
         "lsh_pairs",
