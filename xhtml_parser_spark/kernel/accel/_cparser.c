@@ -137,11 +137,16 @@ static inline int utf8_enc(uint32_t v, uint8_t *out) {
 }
 
 /* translate_sequence (parser.py:_translate_sequence): returns 1 + new
- * (from, to) on success, 0 on invalid escape. */
-static int xlat_seq(ctx_t *c, int64_t from, int64_t to, int64_t *nf, int64_t *nt) {
+ * (from, to) on success, 0 on invalid escape. semi = caller-memoized
+ * next-';' position at/after from (-1 none, -2 compute here) -- same
+ * result, linear instead of quadratic on ';'-sparse entity-dense text. */
+static int xlat_seq(ctx_t *c, int64_t from, int64_t to, int64_t *nf, int64_t *nt,
+                    int64_t semi) {
     uint8_t *buf = c->buf;
     if (from >= c->size) return 0;
-    int64_t end = find_b(buf, c->size, from, ';');  /* document-global scan */
+    int64_t end = (semi == -2)
+        ? find_b(buf, c->size, from, ';')  /* document-global scan */
+        : semi;
     if (end < 0) return 0;
     int number = buf[from] == '#';
     if (number) from++;
@@ -187,9 +192,16 @@ static int xlat_seq(ctx_t *c, int64_t from, int64_t to, int64_t *nf, int64_t *nt
 static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos) {
     uint8_t *buf = c->buf;
     int64_t to = start, frm = start;
+    /* memoized scan frontiers (parser.py:_parse_pcdata): '&', '\r' and
+     * the document-global ';' positions are monotone and the buffer at
+     * or beyond the read cursor is immutable within this call, so each
+     * is found once instead of once per iteration (the rescans were
+     * quadratic: 0.9 MB/s on entity-dense megabyte text spans).
+     * -2 = stale (recompute), -1 = known absent. */
+    int64_t na = -2, nr = -2, semi = -2;
     for (;;) {
-        int64_t na = find_b_end(buf, frm, end, '&');
-        int64_t nr = find_b_end(buf, frm, end, '\r');
+        if (na != -1 && na < frm) na = find_b_end(buf, frm, end, '&');
+        if (nr != -1 && nr < frm) nr = find_b_end(buf, frm, end, '\r');
         int64_t np = (na < 0) ? nr : (nr < 0 ? na : (na < nr ? na : nr));
         if (np < 0) np = end;
         if (np >= end) {
@@ -203,7 +215,9 @@ static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos) {
         }
         if (buf[np] == '&') {
             int64_t nf, nt;
-            if (xlat_seq(c, np + 1, to, &nf, &nt)) { frm = nf; to = nt; }
+            if (semi != -1 && semi < np + 1)
+                semi = find_b(buf, c->size, np + 1, ';');
+            if (xlat_seq(c, np + 1, to, &nf, &nt, semi)) { frm = nf; to = nt; }
             else {
                 if (frm != to) buf[to] = '&';
                 frm = np + 1; to += 1;
@@ -249,7 +263,7 @@ static int64_t norm_attr(ctx_t *c, int64_t start, int64_t end) {
             }
             if (buf[np] == '&') {
                 int64_t nf, nt;
-                if (!xlat_seq(c, np + 1, to, &nf, &nt)) goto quirk;
+                if (!xlat_seq(c, np + 1, to, &nf, &nt, -2)) goto quirk;
                 frm = nf; to = nt;
                 space_added = 0;
             } else {
@@ -288,7 +302,7 @@ quirk:
             if (to > end) goto corrupt;
             if (buf[np] == '&') {
                 int64_t nf, nt;
-                if (xlat_seq(c, np + 1, to, &nf, &nt)) { frm = nf; to = nt; }
+                if (xlat_seq(c, np + 1, to, &nf, &nt, -2)) { frm = nf; to = nt; }
                 else frm += 1;  /* the stale-from quirk: NOT np+1 */
                 space_added = 0;
             } else {

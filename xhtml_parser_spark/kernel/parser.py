@@ -251,17 +251,24 @@ def _hexadecimal(s: bytes) -> int | None:
     return acc
 
 
-def _translate_sequence(buf: bytearray, frm: int, to: int) -> tuple[int, int] | None:
+def _translate_sequence(
+    buf: bytearray, frm: int, to: int, semi: int | None = None
+) -> tuple[int, int] | None:
     """Decode one '&...;' escape, writing UTF-8 bytes at ``to``.
 
     Reference: src/parser.rs:611-647. The ';' scan is document-global
     (not bounded by the enclosing text/attribute range). Returns
     (position after ';', position after written bytes) or None when
     the sequence is invalid (caller keeps the '&' verbatim).
+
+    ``semi``: caller-memoized position of the next ';' at/after ``frm``
+    (-1 = none) -- identical result, linear instead of quadratic when a
+    long ';'-free stretch follows many '&'s (the scan otherwise re-runs
+    to document end per '&').
     """
     if frm >= len(buf):
         return None
-    end = buf.find(_SEMI, frm)
+    end = buf.find(_SEMI, frm) if semi is None else semi
     if end < 0:
         return None
     number = buf[frm] == _HASH
@@ -299,13 +306,24 @@ def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
     rewriting never touches -- writes land strictly below the read
     cursor, mirroring the reference's forward-only rewrite).
 
+    The '&', '\\r', and document-global ';' scan results are memoized
+    across iterations (positions are monotone and the buffer ahead of
+    the read cursor is immutable within this call), turning the
+    worst-case quadratic rescans -- measured 0.9 MB/s on entity-dense
+    megabyte text spans -- into one linear pass. Byte-identical output.
+
     Raw CR (the other PARSE_PCDATA byte) is reference UB -> UnsupportedCR.
     """
     to = start
     frm = start
+    na: int | None = None
+    nr: int | None = None
+    semi: int | None = None
     while True:
-        na = buf.find(_AMP, frm, end)
-        nr = buf.find(13, frm, end)
+        if na is None or 0 <= na < frm:
+            na = buf.find(_AMP, frm, end)
+        if nr is None or 0 <= nr < frm:
+            nr = buf.find(13, frm, end)
         if na < 0:
             np_ = nr
         elif nr < 0:
@@ -324,7 +342,9 @@ def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
                 buf[to : to + (np_ - frm)] = buf[frm:np_]
             to += np_ - frm
         if buf[np_] == _AMP:
-            r = _translate_sequence(buf, np_ + 1, to)
+            if semi is None or 0 <= semi < np_ + 1:
+                semi = buf.find(_SEMI, np_ + 1)  # document-global, like ref
+            r = _translate_sequence(buf, np_ + 1, to, semi)
             if r is not None:
                 frm, to = r
             else:
