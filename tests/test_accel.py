@@ -81,6 +81,11 @@ CASES = [
     b"<root>x</root></extra>",
     b"<>x</>",
     b"<a>x\ry</a>",
+    # entity-dense long span + ';'-free '&' runs: exercises the memoized
+    # '&'/CR/';' scan frontiers (the 0.9 MB/s quadratic regression)
+    b"<a>" + b"x &amp; y &lt;z&gt; " * 800 + b"</a>",
+    b"<a>" + b"& no semis here " * 400 + b"&#65;</a>",
+    b"<a b='" + b"&amp;" * 200 + b"'>t</a>",
     b"<A A='' A='00000000&'></A>",
     b"<a b='x&foo x'>t</a>",
     b"<a>" + b"c" * 60 + b"</a>",  # error-context window edges

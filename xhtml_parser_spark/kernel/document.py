@@ -320,7 +320,9 @@ def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
                     nxt.append(m)
         nxt.sort(key=lambda n: n.idx)
         ctx = nxt
-    return ctx
+    # an empty path leaves the synthetic head/context in ctx; a path
+    # can only ever select real nodes
+    return [n for n in ctx if n.idx != 0]
 
 
 def all_nodes(doc: ParsedDoc) -> Iterator[Node]:
