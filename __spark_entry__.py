@@ -952,7 +952,7 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string(list_sort(list_filter(
                          string_split(query, '&'),
                          x -> x <> '' AND NOT regexp_matches(x,
-                             '^(utm_[^=]*|gclid|fbclid|msclkid|ref)=')
+                             '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)')
                      )), '&') AS qs
               FROM r
             )

@@ -102,6 +102,12 @@ def test_columnar_nodes_attrs_match_row_reference(spark):
         ("e3", b"<a>x</a><b>y</b>"),               # multi-root siblings
         ("e4", b"<solo/>"),                        # no attrs, no text
         ("e5", b"<a b='x &amp; y' b='dup'><c/>tail</a>"),
+        # invalid-UTF-8 tag tails that CONCATENATE into a valid sequence
+        # across the batch gather: the fast-path whole-buffer decode
+        # passes but value boundaries split a multibyte char -- must
+        # fall back to per-value errors='replace'
+        ("e6", b"<a\xc3>x</a\xc3>"),
+        ("e7", b"<\xa9b c\xc3='v\xff'>y</\xa9b>"),
     ]
     ts = dt.datetime(2025, 8, 8)
     df = spark.createDataFrame(

@@ -20,6 +20,8 @@ def test_normalize_url_cases(spark):
         "http://ex.com:8080/x",          # non-default port kept
         "https://ex.com/?utm_source=a&utm_medium=b&gclid=1&fbclid=2&ref=x",
         "https://ex.com/p?keep=1&utm_x=2&z=0",
+        "https://ex.com/p?fbclid",            # valueless tracker stripped
+        "https://ex.com/p?fbclid2=x&refx=1",  # near-miss names kept
         "ftp://Ex.Com:21/f",             # unknown scheme: port kept
         "not a url at all",
         "",
@@ -30,6 +32,8 @@ def test_normalize_url_cases(spark):
         "http://ex.com:8080/x",
         "https://ex.com/",
         "https://ex.com/p?keep=1&z=0",
+        "https://ex.com/p",
+        "https://ex.com/p?fbclid2=x&refx=1",
         "ftp://ex.com:21/f",
         "://not a url at all",            # degenerate, but total function
         "://",

@@ -50,6 +50,16 @@ def test_select_path_descendant_and_wildcard():
     assert len(_ids(nested, "//div//p")) == 1
 
 
+def test_select_path_multiroot_true_subtree():
+    """'html//p' on a multi-root document must not leak the sibling
+    root's subtree: descendant steps use the TRUE contiguous range,
+    not Node API's reference-parity root special case."""
+    doc = parse_document(b"<html><p>a</p></html><extra><p>b</p></extra>")
+    assert _ids(doc, "html//p") == [2]
+    assert _ids(doc, "//p") == [2, 5]
+    assert _ids(doc, "extra//p") == [5]
+
+
 def test_select_path_positional():
     doc = parse_document(DOC)
     two = select_path(doc, "html/body/div[1]/p[2]")
@@ -78,6 +88,12 @@ def test_relational_xpath_matches_kernel(spark):
             continue  # keep the differential fast; big docs add no new shapes
         rows.append((f.name, ts, f.read_bytes(), None, "en"))
     rows.append(("synthetic", ts, DOC, None, "en"))
+    # multi-root quirk doc: html's TRUE subtree ends before the sibling
+    # root; both selectors must keep html//p out of <extra>'s subtree
+    rows.append(
+        ("multiroot", ts, b"<html><p>a</p></html><extra><p>b</p></extra>",
+         None, "en")
+    )
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     nodes = parse_nodes(df)
     nodes.persist()

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+# (=|$): trackers emitted WITHOUT a value ('?fbclid' after redirect
+# truncation) must strip identically, or dedup keys split on a tracker
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 

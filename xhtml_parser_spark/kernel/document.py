@@ -280,6 +280,17 @@ def _path_segments(path: str) -> list[tuple[str, str, int | None]]:
     return segs
 
 
+def _true_last_descendants(doc: ParsedDoc) -> list[int]:
+    """TRUE largest-descendant index per node (contiguity invariant),
+    via the depth-based derivation the exploded nodes table uses --
+    immune to both the reference's root special case AND the multi-root
+    sibling quirk (a second root's prev/next links land on the head, so
+    sibling climbing cannot see the subtree boundary)."""
+    from .extract import compute_depth_and_last_descendant
+
+    return compute_depth_and_last_descendant(doc)[1]
+
+
 def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
     """XPath-lite node location (north_star): ALL nodes matching a
     ``a/b//c[2]``-style path, document order, duplicates removed.
@@ -289,24 +300,49 @@ def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
     1-based positional predicates, and '//' descendant steps (which
     exploit the contiguous descendant-range invariant,
     src/document.rs:539-583). Elements only -- text nodes have no name.
+
+    Descendant steps use the TRUE contiguous subtree range (the same
+    one the exploded nodes table carries), NOT Node.descendants() --
+    that API keeps the reference's root special-case (root's
+    last_descendant = n-1 even beside multi-root siblings,
+    src/document.rs:545-547), which would pull a sibling root's
+    subtree into ``html//p`` on multi-root documents and diverge from
+    the relational operator.
     """
     if isinstance(start, ParsedDoc):
         r = root(start)
         ctx: list[Node] = [Node(start, 0)] if r is not None else []
     else:
         ctx = [start]
+    true_last: list[int] | None = None
     for axis, name, idx in _path_segments(path):
         nxt: list[Node] = []
         seen: set[int] = set()
         for node in ctx:
             if axis == "child":
-                cands = list(node.children())
+                if node.idx == 0:
+                    # root-level children via the parent array: the
+                    # multi-root quirk parks the second root's sibling
+                    # links on the HEAD, so the sibling-chain walk
+                    # stops after the first root (the relational
+                    # operator joins on parent_id and sees them all)
+                    d = node.doc
+                    cands = [
+                        Node(d, i)
+                        for i in range(1, d.n_nodes)
+                        if d.parent[i] == 0
+                    ]
+                else:
+                    cands = list(node.children())
             elif node.idx == 0:
                 # descendant axis from the document: every node (the
                 # synthetic head has no last_descendant of its own)
                 cands = list(all_nodes(node.doc))
             else:
-                cands = list(node.descendants())
+                if true_last is None:
+                    true_last = _true_last_descendants(node.doc)
+                last = true_last[node.idx]
+                cands = [Node(node.doc, i) for i in range(node.idx + 1, last + 1)]
             matched = [
                 c
                 for c in cands

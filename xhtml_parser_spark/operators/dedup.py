@@ -151,6 +151,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -167,6 +168,13 @@ def lsh_candidate_pairs(
     which without the persist means four full shingling passes over the
     corpus -- the difference between one and four corpus scans at
     10^12 documents.
+
+    The cache is necessarily left live (the returned DataFrame reads
+    it lazily); a long-lived session issuing MANY of these should
+    release it afterwards -- ``spark.catalog.clearCache()`` or find it
+    via ``spark.sparkContext._jsc`` storage -- or pass
+    ``persist_signatures=False`` to trade the extra shingling passes
+    for zero cache footprint.
     """
     from pyspark import StorageLevel
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
@@ -179,9 +187,9 @@ def lsh_candidate_pairs(
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if n_partitions:
         src = src.repartition(n_partitions)
-    sigs = src.mapInPandas(_minhash_batches(n_hashes, True), schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = src.mapInPandas(_minhash_batches(n_hashes, True), schema)
+    if persist_signatures:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         F.col("doc_id").alias("id"),
         F.explode(

@@ -137,7 +137,9 @@ def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
         while p + 8 <= len(b):
             cid = b[p : p + 4]
             (csz,) = struct.unpack("<I", b[p + 4 : p + 8])
-            if cid == b"fmt " and p + 24 <= len(b):
+            # the chunk's own declared size must cover the 16 fmt bytes,
+            # or we'd read the NEXT chunk's header as format fields
+            if cid == b"fmt " and csz >= 16 and p + 24 <= len(b):
                 _fmt, ch, sr, byte_rate, _ba, bits = struct.unpack(
                     "<HHIIHH", b[p + 8 : p + 24]
                 )
@@ -157,16 +159,20 @@ def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
             ch = b[p + 11]
             (sr,) = struct.unpack("<I", b[p + 12 : p + 16])
             # duration: granule position (total pcm samples) of the
-            # LAST page -- scan from the tail for the final capture
-            # pattern with a plausible header
-            q = b.rfind(b"OggS")
+            # LAST page. 'OggS' can false-sync inside packet bytes, so
+            # scan back until a candidate looks like a real page header:
+            # stream_structure_version byte == 0 and a sane granule
             dur = 0
             valid = "truncated"
-            if q >= 0 and q + 14 <= len(b) and sr:
-                (granule,) = struct.unpack("<q", b[q + 6 : q + 14])
-                if granule >= 0:
-                    dur = granule * 1000 // sr
-                    valid = "ok"
+            q = b.rfind(b"OggS")
+            while q > 0:
+                if q + 14 <= len(b) and b[q + 4] == 0:
+                    (granule,) = struct.unpack("<q", b[q + 6 : q + 14])
+                    if granule >= 0 and sr:
+                        dur = granule * 1000 // sr
+                        valid = "ok"
+                        break
+                q = b.rfind(b"OggS", 0, q)
             return "ogg", ch, sr, 0, dur, valid
         return "ogg", 0, 0, 0, 0, "truncated"
     return "unknown", 0, 0, 0, 0, "unknown-format"

@@ -225,7 +225,17 @@ def _html_views(rb):
     return get
 
 
-def _doc_packed(cp, html):
+# index map of the C kernel's result tuple (kernel/accel/_cparser.c
+# py_parse Py_BuildValue order) -- the SINGLE place these positions are
+# written down; _doc_packed and _full_arrow_batches both read from it
+_R_OK, _R_BUF = 0, 4
+_R_PARENT, _R_KIND, _R_LS, _R_LE, _R_ATS, _R_ATE = 5, 9, 10, 11, 12, 13
+_R_ANS, _R_ANE, _R_AVS, _R_AVE = 14, 15, 16, 17
+_R_TEXT, _R_MTEXT, _R_NTEXT, _R_MAXD = 18, 19, 20, 21
+_R_DEPTH, _R_LASTD = 22, 23
+
+
+def _doc_packed(cp, html, res=None):
     """One document's packed DOM as (buf, int32 arrays incl. head):
     (buf_u8, parent, kind, ls, le, depth, last_desc, at_s, at_e,
     a_ns, a_ne, a_vs, a_ve) or None when the parse failed.
@@ -233,28 +243,31 @@ def _doc_packed(cp, html):
     C path: ten np.frombuffer views over the kernel's packed byte
     arrays -- no per-node Python. Pure path (accel unavailable or doc
     over the i32 cap): list->ndarray conversions, still no per-node
-    loop in the operator itself."""
+    loop in the operator itself. ``res`` = an already-obtained
+    cp.parse() tuple, so callers that need the scalar fields too parse
+    exactly once."""
     import numpy as np
 
-    res = cp.parse(html) if cp is not None else None
+    if res is None:
+        res = cp.parse(html) if cp is not None else None
     if res is not None:
-        if not res[0]:
+        if not res[_R_OK]:
             return None
         i32 = np.int32
         return (
-            np.frombuffer(res[4], np.uint8),
-            np.frombuffer(res[5], i32),
-            np.frombuffer(res[9], i32),
-            np.frombuffer(res[10], i32),
-            np.frombuffer(res[11], i32),
-            np.frombuffer(res[22], i32),
-            np.frombuffer(res[23], i32),
-            np.frombuffer(res[12], i32),
-            np.frombuffer(res[13], i32),
-            np.frombuffer(res[14], i32),
-            np.frombuffer(res[15], i32),
-            np.frombuffer(res[16], i32),
-            np.frombuffer(res[17], i32),
+            np.frombuffer(res[_R_BUF], np.uint8),
+            np.frombuffer(res[_R_PARENT], i32),
+            np.frombuffer(res[_R_KIND], i32),
+            np.frombuffer(res[_R_LS], i32),
+            np.frombuffer(res[_R_LE], i32),
+            np.frombuffer(res[_R_DEPTH], i32),
+            np.frombuffer(res[_R_LASTD], i32),
+            np.frombuffer(res[_R_ATS], i32),
+            np.frombuffer(res[_R_ATE], i32),
+            np.frombuffer(res[_R_ANS], i32),
+            np.frombuffer(res[_R_ANE], i32),
+            np.frombuffer(res[_R_AVS], i32),
+            np.frombuffer(res[_R_AVE], i32),
         )
     doc = parse_document(bytes(html))
     if not doc.ok:
@@ -321,9 +334,22 @@ def _string_from_spans(pa, bigbuf, starts, ends, mask=None):
     if off[-1] > np.iinfo(np.int32).max:
         raise ValueError("batch span payload exceeds 2 GiB; lower batch size")
     raw = data.tobytes()
+    # the fast path needs every VALUE to be valid UTF-8, which the
+    # whole-buffer decode alone does not prove: an invalid tail of one
+    # value can concatenate with the next value's head into a valid
+    # sequence. Whole-buffer validity + no value boundary landing on a
+    # continuation byte == every piece is individually valid.
+    ok = True
     try:
         raw.decode("utf-8")
     except UnicodeDecodeError:
+        ok = False
+    if ok and len(data):
+        inner = off[1:-1]
+        b = inner[inner < off[-1]]
+        if len(b) and bool(((data[b] & 0xC0) == 0x80).any()):
+            ok = False
+    if not ok:
         vals = [
             raw[off[i] : off[i + 1]].decode("utf-8", errors="replace")
             if (mask is None or mask[i])
@@ -558,32 +584,20 @@ def _full_arrow_batches(batches):
             html_bytes[j] = len(h)
             t0 = time.perf_counter_ns()
             res = cp.parse(h) if cp is not None else None
-            if res is not None and not res[0]:
+            if res is not None and not res[_R_OK]:
                 kns[j] = time.perf_counter_ns() - t0
-                e = _decode_c_error(res[1], res[2], res[3], res[4])
+                e = _decode_c_error(res[1], res[2], res[3], res[_R_BUF])
                 texts[j] = b""
                 mains[j] = b""
                 err_c[j], err_p[j], err_m[j] = e.error_class, e.pos, e.message
                 continue
             if res is not None:
-                buf = np.frombuffer(res[4], np.uint8)
-                i32 = np.int32
-                parent = np.frombuffer(res[5], i32)
-                kind = np.frombuffer(res[9], i32)
-                ls = np.frombuffer(res[10], i32)
-                le = np.frombuffer(res[11], i32)
-                at_s = np.frombuffer(res[12], i32)
-                at_e = np.frombuffer(res[13], i32)
-                a_ns = np.frombuffer(res[14], i32)
-                a_ne = np.frombuffer(res[15], i32)
-                a_vs = np.frombuffer(res[16], i32)
-                a_ve = np.frombuffer(res[17], i32)
-                depth = np.frombuffer(res[22], i32)
-                ld = np.frombuffer(res[23], i32)
-                texts[j] = res[18]
-                mains[j] = res[19]
-                n_text_c[j] = res[20]
-                max_d_c[j] = res[21]
+                (buf, parent, kind, ls, le, depth, ld, at_s, at_e,
+                 a_ns, a_ne, a_vs, a_ve) = _doc_packed(cp, h, res)
+                texts[j] = res[_R_TEXT]
+                mains[j] = res[_R_MTEXT]
+                n_text_c[j] = res[_R_NTEXT]
+                max_d_c[j] = res[_R_MAXD]
             else:
                 doc = parse_document(bytes(h))
                 if not doc.ok:

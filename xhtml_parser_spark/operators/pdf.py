@@ -238,11 +238,22 @@ def _tokenize_content(b: bytes):
                 if cc == b"(":
                     s, i = _read_pdf_string(b, i)
                     arr.append(("str", s))
+                elif cc == b"<":
+                    # hex strings appear in TJ kerning arrays too
+                    j = b.find(b">", i + 1)
+                    if j < 0:
+                        i = n
+                        break
+                    hx = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1 : j])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    arr.append(("str", bytes.fromhex(hx.decode())))
+                    i = j + 1
                 elif cc in b" \t\r\n":
                     i += 1
                 else:
                     j = i
-                    while j < n and b[j : j + 1] not in b" \t\r\n]()":
+                    while j < n and b[j : j + 1] not in b" \t\r\n]()<":
                         j += 1
                     tok = b[i:j]
                     if _NUM_RE.match(tok):

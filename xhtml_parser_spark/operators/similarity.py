@@ -288,6 +288,7 @@ def ann_lsh_topk(
     emb: DataFrame, query_vec_id: int, k: int = 10, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     multi_probe: int = 0,
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """LSH-bucketed ANN: restrict the brute-force scan to the query's
     bucket, then exact re-rank. Recall < 1 by construction.
@@ -301,10 +302,13 @@ def ann_lsh_topk(
     from pyspark import StorageLevel
 
     # consumed twice (query-bucket lookup + candidate filter): persist
-    # so the signature pass scans the corpus once, not twice
-    buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # so the signature pass scans the corpus once, not twice. As with
+    # lsh_candidate_pairs, the cache stays live behind the returned
+    # DataFrame -- clearCache()/persist_buckets=False for sessions
+    # issuing many of these.
+    buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
+    if persist_buckets:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     qb = buckets.where(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
