@@ -83,6 +83,51 @@ def test_lsh_signature_stage_computed_once(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan
 
 
+def test_bucketed_join_has_no_exchange(spark, pages_path, tmp_path):
+    """Tables bucketed on the join key co-join with ZERO Exchange: the
+    repeated nodes-x-attrs (and extracted-x-lineage) joins of a crawl
+    pipeline must not re-shuffle the corpus each time."""
+    from xhtml_parser_spark.operators import parse_attrs, parse_nodes
+    from xhtml_parser_spark.plans.bucketed import write_bucketed
+
+    pages = spark.read.parquet(pages_path)
+    write_bucketed(
+        parse_nodes(pages), "t_nodes_b", str(tmp_path / "nodes"),
+        ["url"], n_buckets=4, sort_cols=["url"],
+    )
+    write_bucketed(
+        parse_attrs(pages), "t_attrs_b", str(tmp_path / "attrs"),
+        ["url"], n_buckets=4, sort_cols=["url"],
+    )
+    try:
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),  # force SMJ
+        ]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            joined = (
+                spark.table("t_nodes_b")
+                .join(spark.table("t_attrs_b"), "url")
+                .groupBy("url")
+                .count()
+            )
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan, plan
+            # the join itself must not shuffle either bucketed side;
+            # only the final groupBy may introduce an Exchange, and
+            # grouping on the bucket key elides even that
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nodes_b")
+        spark.sql("DROP TABLE IF EXISTS t_attrs_b")
+
+
 def test_events_window_single_shuffle(spark):
     import __spark_entry__ as entry
 
