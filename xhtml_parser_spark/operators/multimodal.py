@@ -160,18 +160,25 @@ def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
             (sr,) = struct.unpack("<I", b[p + 12 : p + 16])
             # duration: granule position (total pcm samples) of the
             # LAST page. 'OggS' can false-sync inside packet bytes, so
-            # scan back until a candidate looks like a real page header:
-            # stream_structure_version byte == 0 and a sane granule
+            # scan back until a candidate parses as a real final page:
+            # version byte 0 AND the page (27-byte header + segment
+            # table + lacing sum) ends exactly at EOF
             dur = 0
             valid = "truncated"
             q = b.rfind(b"OggS")
-            while q > 0:
-                if q + 14 <= len(b) and b[q + 4] == 0:
-                    (granule,) = struct.unpack("<q", b[q + 6 : q + 14])
-                    if granule >= 0 and sr:
-                        dur = granule * 1000 // sr
-                        valid = "ok"
-                        break
+            while q >= 0:
+                if q + 27 <= len(b) and b[q + 4] == 0:
+                    nseg2 = b[q + 26]
+                    body = q + 27 + nseg2
+                    if body <= len(b):
+                        size = body + sum(b[q + 27 : q + 27 + nseg2])
+                        (granule,) = struct.unpack("<q", b[q + 6 : q + 14])
+                        if size == len(b) and granule >= 0 and sr:
+                            dur = granule * 1000 // sr
+                            valid = "ok"
+                            break
+                if q == 0:
+                    break
                 q = b.rfind(b"OggS", 0, q)
             return "ogg", ch, sr, 0, dur, valid
         return "ogg", 0, 0, 0, 0, "truncated"

@@ -177,15 +177,23 @@ def embedding_neardup_pairs(
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
     if n_bits > 0:
-        withb = emb.join(
-            hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col), id_col
-        )
+        # ONE map pass emits (id, vec, bucket) together: joining a
+        # separately-computed bucket table back onto emb would read the
+        # source twice and shuffle the heavy vector payload through an
+        # id-join before the bucket groupBy -- three vector shuffles
+        # where one suffices
+        withb = _with_buckets(emb, n_bits, id_col, vec_col)
     else:
         withb = emb.withColumn("bucket", F.lit(0).cast("bigint"))
 
     tn2, td2 = tau_num * tau_num, tau_den * tau_den
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # null vectors cannot form pairs (SQL: NULL dot fails dot > 0)
+        keep = pdf[vec_col].notna()
+        pdf = pdf[keep]
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "dot": []})
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -241,6 +249,56 @@ def _plane_matrix(dim: int, n_bits: int):
     )
 
 
+def _bucket_of(pdf, vec_col: str, n_bits: int, planes_box: list):
+    """Bucket ids for one pandas batch; null vectors -> bucket 0 (the
+    pre-round-2 SQL formulation's behavior: NULL dot signs contribute
+    no bits). planes_box caches the ±1 matrix across batches."""
+    import numpy as np
+
+    vecs = pdf[vec_col]
+    notna = vecs.notna().to_numpy()
+    bucket = np.zeros(len(pdf), dtype=np.int64)
+    if notna.any():
+        m = _np_quantize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
+        )
+        if not planes_box or planes_box[0].shape[0] != m.shape[1]:
+            planes_box[:] = [_plane_matrix(m.shape[1], n_bits)]
+        s = m @ planes_box[0]  # exact int64
+        bucket[notna] = (
+            (s > 0).astype(np.int64) << np.arange(n_bits, dtype=np.int64)
+        ).sum(axis=1)
+    return bucket
+
+
+def _with_buckets(
+    emb: DataFrame, n_bits: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, bucket) in ONE map pass -- the single-scan form used
+    when the vectors themselves ride to the bucketed shuffle."""
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def batches(it):
+        planes_box: list = []
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "bucket": _bucket_of(pdf, vec_col, n_bits, planes_box),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} {id_type}, {vec_col} {vec_type}, bucket bigint"
+    )
+
+
 def hyperplane_lsh_buckets(
     emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -258,26 +316,21 @@ def hyperplane_lsh_buckets(
     At scale: ANN = self-join within buckets (shuffle keyed on a
     16-bit-ish bucket id instead of all-pairs).
     """
-    import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
     id_type = emb.schema[id_col].dataType.simpleString()
 
     def batches(it):
-        planes = None
+        planes_box: list = []
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            m = _np_quantize(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bucket": _bucket_of(pdf, vec_col, n_bits, planes_box),
+                }
             )
-            if planes is None or planes.shape[0] != m.shape[1]:
-                planes = _plane_matrix(m.shape[1], n_bits)
-            s = m @ planes  # (rows, n_bits) exact int64
-            bucket = (
-                (s > 0).astype(np.int64) << np.arange(n_bits, dtype=np.int64)
-            ).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bucket": bucket})
 
     return emb.select(id_col, vec_col).mapInPandas(
         batches, f"{id_col} {id_type}, bucket bigint"

@@ -31,8 +31,6 @@ from pyspark.sql.window import Window
 
 from ..kernel.document import _path_segments
 
-_HEAD_LAST = (1 << 31) - 1
-
 
 def xpath_nodes(nodes: DataFrame, path: str) -> DataFrame:
     """All node rows matching an ``a/b//c[2]``-style path, per url.
@@ -42,33 +40,43 @@ def xpath_nodes(nodes: DataFrame, path: str) -> DataFrame:
     rows with their full columns; differentially tested against the
     kernel selector on the fixture corpus.
     """
-    ctx = (
-        nodes.select("url")
-        .distinct()
-        .withColumn("ctx_id", F.lit(0))
-        .withColumn("ctx_last", F.lit(_HEAD_LAST))
-    )
-    for axis, name, idx in _path_segments(path):
+    segs = _path_segments(path)
+    if not segs:
+        return nodes.limit(0)
+    ctx = None
+    for step, (axis, name, idx) in enumerate(segs):
         n = nodes.alias("n")
-        c = ctx.alias("c")
-        if axis == "child":
-            joined = n.join(
-                c,
-                (F.col("n.url") == F.col("c.url"))
-                & (F.col("n.parent_id") == F.col("c.ctx_id")),
-            )
+        if step == 0:
+            # first step runs off the per-document head directly -- no
+            # seed table, so the nodes input is consumed exactly once
+            # per segment (a select('url').distinct() seed would add a
+            # full scan + aggregate of the exploded table per path)
+            if axis == "child":
+                m = n.where(F.col("n.parent_id") == 0)
+            else:
+                m = n  # every node descends from the head
+            ctx_key = F.lit(0)
         else:
-            joined = n.join(
-                c,
-                (F.col("n.url") == F.col("c.url"))
-                & (F.col("n.node_id") > F.col("c.ctx_id"))
-                & (F.col("n.node_id") <= F.col("c.ctx_last")),
-            )
-        m = joined.where(F.col("n.kind") == 1)
+            c = ctx.alias("c")
+            if axis == "child":
+                m = n.join(
+                    c,
+                    (F.col("n.url") == F.col("c.url"))
+                    & (F.col("n.parent_id") == F.col("c.ctx_id")),
+                )
+            else:
+                m = n.join(
+                    c,
+                    (F.col("n.url") == F.col("c.url"))
+                    & (F.col("n.node_id") > F.col("c.ctx_id"))
+                    & (F.col("n.node_id") <= F.col("c.ctx_last")),
+                )
+            ctx_key = F.col("c.ctx_id")
+        m = m.where(F.col("n.kind") == 1)
         if name != "*":
             m = m.where(F.col("n.tag") == name)
         if idx is not None:
-            w = Window.partitionBy(F.col("n.url"), F.col("c.ctx_id")).orderBy(
+            w = Window.partitionBy(F.col("n.url"), ctx_key).orderBy(
                 F.col("n.node_id")
             )
             m = m.withColumn("_rn", F.row_number().over(w)).where(

@@ -64,7 +64,15 @@ def get_spark(
         # of contiguous column-vector per task and 32 concurrent tasks
         # OOM the reservation (seen as FAILED_READ_FILE on the 18.5 GB
         # rehearsal corpus). 256 rows caps it at ~8-32 MB per task.
-        .config("spark.sql.parquet.columnarReaderBatchSize", str(ARROW_BATCH_ROWS))
+        # Deliberately session-global: the html pages table is this
+        # engine's primary input and the option is SQLConf-only (per-
+        # reader options are silently ignored); the cost on narrow-table
+        # scans is one ColumnarBatch step per 256 rows (~us), noise next
+        # to decode. Tunable for narrow-only sessions via env.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("XPS_PARQUET_BATCH_ROWS", str(ARROW_BATCH_ROWS)),
+        )
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
