@@ -152,11 +152,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_partitions: int | None = None,
     persist_signatures: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
 
-    band-explode -> bucket self-join (single-member buckets pruned
-    map-side) -> distinct candidate pairs -> exact shingle Jaccard via
+    band-explode -> one groupBy gathers each (band, hash) bucket
+    (singletons dropped) -> in-bucket pair expansion via array ops ->
+    distinct candidate pairs -> exact shingle Jaccard via
     array_intersect/array_union -> threshold filter.
     Output (a, b, inter, uni, jac) with a < b; ``inter``/``uni`` are the
     exact distinct-shingle intersection/union sizes (integer, so any
@@ -199,16 +201,41 @@ def lsh_candidate_pairs(
             ])
         ).alias("bh"),
     ).select("id", "bh.band", "bh.h")
-    # prune singleton buckets before the join: at web scale almost every
-    # bucket has one member, so this cuts the join input by orders of
-    # magnitude (two-phase: count per bucket, keep >1)
-    hot = bands.groupBy("band", "h").count().where(F.col("count") > 1).drop("count")
-    b2 = bands.join(hot, ["band", "h"])
+    # ONE shuffle gathers each bucket's members; singleton buckets (the
+    # overwhelming majority at web scale) drop on the size filter, and
+    # in-bucket pairs come from array ops on the gathered list. The
+    # previous form (count-per-bucket -> semi-join -> bucket self-join)
+    # produced the same pair set through three extra shuffles of the
+    # bands table; a same-key self-join lands a k-member bucket's k^2
+    # pairs in one task anyway, so gathering the bucket first loses no
+    # parallelism. Buckets with >max_bucket members are dropped when
+    # set (web-dedup practice: a hash shared by that many docs is
+    # boilerplate, and its quadratic pair set is noise); None keeps
+    # exact LSH semantics for the oracle.
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     pairs = (
-        b2.alias("x")
-        .join(b2.alias("y"), ["band", "h"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids") - i - F.lit(1)
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
     sh = sigs.select(F.col("doc_id").alias("id"), "sh")
