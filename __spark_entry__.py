@@ -336,6 +336,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit-word band join then exact
+    Hamming <= 3 (pigeonhole-complete for distance 3 over 4 words).
+    Integer output (a, b, hamming) so the oracle hash is exact."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_ann_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.similarity import brute_force_scores
 
@@ -534,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -595,6 +610,37 @@ WITH w AS (
               ELSE [array_to_string(ws, ' ')]
          END AS sh
   FROM w
+)
+"""
+
+# Per-document 64-bit SimHash as a signed BIGINT, ending in CTE
+# ``sig(doc_id, simhash)`` (empty documents hash to 0); shared by the
+# "simhash" and "simhash_pairs" oracles.
+_SIMHASH_CTE = """
+WITH sw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS wd
+  FROM documents
+), sh AS (
+  SELECT doc_id, wd, count(*) AS c, md5_number_upper(wd) AS hv
+  FROM sw GROUP BY doc_id, wd
+), sb AS (
+  SELECT doc_id, t.b AS b,
+         sum(CASE WHEN (hv >> t.b) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM sh CROSS JOIN range(64) t(b)
+  GROUP BY doc_id, t.b
+), ss AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN
+               CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+               END
+             ELSE 0 END) AS simhash
+  FROM sb GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, CAST(coalesce(ss.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN ss ON d.doc_id = ss.doc_id
 )
 """
 
@@ -739,31 +785,21 @@ def oracle_sql() -> dict[str, str]:
         # md5(word)'s first 8 bytes as a little-endian u64 -- exactly
         # DuckDB's md5_number_upper(). Bit 63 contributes INT64_MIN in
         # the signed (two's-complement) output.
-        "simhash": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(list_filter(regexp_split_to_array(
-                         coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS wd
-              FROM documents
-            ), h AS (
-              SELECT doc_id, wd, count(*) AS c, md5_number_upper(wd) AS hv
-              FROM w GROUP BY doc_id, wd
-            ), b AS (
-              SELECT doc_id, t.b AS b,
-                     sum(CASE WHEN (hv >> t.b) & 1 = 1 THEN c ELSE -c END) AS acc
-              FROM h CROSS JOIN range(64) t(b)
-              GROUP BY doc_id, t.b
-            ), s AS (
-              SELECT doc_id,
-                     sum(CASE WHEN acc > 0 THEN
-                           CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
-                                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-                           END
-                         ELSE 0 END) AS simhash
-              FROM b GROUP BY doc_id
+        "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
+        # band b_i = (simhash >> 16*i) & 65535 (two's-complement >>
+        # then mask is engine-identical); exact Hamming via
+        # bit_count(xor), matching Spark's bit_count/bitwiseXOR
+        "simhash_pairs": _SIMHASH_CTE + """
+            , bands AS (
+              SELECT doc_id, simhash, t.i AS band,
+                     (simhash >> CAST(16 * t.i AS INTEGER)) & 65535 AS word
+              FROM sig CROSS JOIN range(4) t(i)
             )
-            SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.word = y.word AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         """,
         "ann_scores": """
             WITH e AS (

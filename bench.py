@@ -145,6 +145,7 @@ def main() -> None:
         "minhash_sig",
         "lsh_pairs",
         "simhash",
+        "simhash_pairs",
         "ann_scores",
         "ann_topk",
         "ann_lsh_topk",

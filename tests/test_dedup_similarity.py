@@ -13,6 +13,7 @@ from xhtml_parser_spark.operators.dedup import (
     minhash_signatures,
     shingle_list,
     simhash64,
+    simhash_pairs,
 )
 from xhtml_parser_spark.operators.similarity import (
     ann_lsh_topk,
@@ -84,6 +85,23 @@ def test_simhash_hamming_structure(spark, near_dup_docs):
 
     assert hamming(hs[0], hs[2]) <= 8  # near-dup: few bits flip
     assert hamming(hs[0], hs[4]) > 12  # unrelated: many bits differ
+
+
+def test_simhash_pairs_complete_within_hamming_3(spark, near_dup_docs):
+    """The 4x16-bit band join is pigeonhole-COMPLETE for Hamming <= 3:
+    the operator's pair set must equal brute-force over all signatures
+    (and carry the exact distance)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(near_dup_docs).collect()}
+    want = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b
+        and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {tuple(r) for r in simhash_pairs(near_dup_docs, max_hamming=3).collect()}
+    assert got == want
+    assert (0, 1, 0) in got  # the exact dup pair surfaces at distance 0
 
 
 @pytest.fixture(scope="module")

@@ -296,6 +296,85 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "simhash": out})
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of
+    the four 16-bit words of their 64-bit signature (pigeonhole: any
+    pair within Hamming distance 3 must agree on one whole word), then
+    the exact Hamming distance filters to ``<= max_hamming``.
+
+    Output (a, b, hamming) with a < b. Single corpus pass: signatures
+    flow straight into the band explode (no fan-out, so nothing to
+    persist), ONE shuffle gathers the (band, word) buckets, and the
+    verify is map-side bit arithmetic on the gathered structs -- the
+    16 bytes per (id, simhash) struct riding the shuffle is noise next
+    to minhash-LSH's shingle arrays. ``max_bucket`` drops degenerate
+    buckets (e.g. the all-zero word of empty documents) as in
+    lsh_candidate_pairs; None keeps exact semantics for the oracle.
+
+    Cross-engine oracle: bands are (simhash >> 16*i) & 65535 and the
+    verify is bit_count(xor(a, b)) -- two's-complement int64 semantics
+    are identical in Spark and DuckDB (checked for the sign bit)."""
+    sigs = simhash64(docs, text_col, id_col, n_partitions)
+    bands = sigs.select(
+        F.col("doc_id").alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(65535)).alias("word"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bw"),
+    ).select("id", "simhash", "bw.band", "bw.word")
+    buckets = (
+        bands.groupBy("band", "word")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ms") <= max_bucket)
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ms"), i + F.lit(2), F.size("ms") - i - F.lit(1)
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("a"),
+                                y["id"].alias("b"),
+                                x["simhash"].alias("sa"),
+                                y["simhash"].alias("sb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(
+            "p.a",
+            "p.b",
+            F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash64(
     docs: DataFrame,
     text_col: str = "text",
