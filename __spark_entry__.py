@@ -336,6 +336,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic md5-sampled codebook, nearest-centroid
+    assignment, 4-of-16-cell probe, exact integer rerank. Integer
+    output (vec_id, dot) so the oracle hash is exact."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10,
+                    n_cells=16, n_probe=4)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit-word band join then exact
     Hamming <= 3 (pigeonhole-complete for distance 3 over 4 words).
@@ -552,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -824,6 +836,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
                         i -> e.q[i] * qq[i])) AS BIGINT) AS dot
             FROM e, qv WHERE e.vec_id <> 0
+            ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        # IVF replay: codebook = 16 lowest-md5(id) vectors numbered in
+        # that order; assignment argmax ties -> smaller cell (matches
+        # np.argmax first-max); probe 4 cells by exact query-centroid
+        # dot; exact rerank within probed cells
+        "ivf_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), c AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ), a AS (
+              SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c.cv[i])) AS BIGINT) AS d
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+                FROM a
+              ) WHERE rn = 1
+            ), qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+            probes AS (
+              SELECT c.cell FROM c, qv
+              ORDER BY CAST(list_sum(list_transform(range(1, len(c.cv) + 1),
+                            i -> c.cv[i] * qq[i])) AS BIGINT) DESC, c.cell
+              LIMIT 4
+            )
+            SELECT e.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                        i -> e.q[i] * qq[i])) AS BIGINT) AS dot
+            FROM e
+            JOIN asg ON e.vec_id = asg.vec_id
+            JOIN probes p ON asg.cell = p.cell, qv
+            WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
         """,
         "ann_lsh_topk": _BUCKET_CTE + """

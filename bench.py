@@ -149,6 +149,7 @@ def main() -> None:
         "ann_scores",
         "ann_topk",
         "ann_lsh_topk",
+        "ivf_topk",
         "neardup_lsh",
         "text_quality",
         "fingerprint",

@@ -19,6 +19,7 @@ from xhtml_parser_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     cosine_topk,
+    ivf_topk,
 )
 
 BASE = (
@@ -227,6 +228,33 @@ def test_neardup_cosine_lsh_subset_of_exact(spark, clustered_emb):
     }
     assert lsh <= exact
     assert lsh  # tight clusters land in shared buckets -> nonzero recall
+
+
+def test_ivf_topk_exact_when_all_cells_probed(spark, clustered_emb):
+    """Probing every cell makes IVF equal to the exact scan (assignment
+    partitions the corpus, so the union of all inverted lists is the
+    whole corpus); a partial probe returns a subset of the exact top-k
+    scores, never a higher one."""
+    exact = [
+        (r["vec_id"], r["dot"])
+        for r in brute_force_topk(clustered_emb, 0, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], r["dot"])
+        for r in ivf_topk(clustered_emb, 0, k=5, n_cells=4, n_probe=4).collect()
+    ]
+    assert full == exact
+    # two probes cover the query's cluster even when the query ties
+    # between two same-cluster centroids and sits alone in its own
+    # cell (dot(q, c0) == dot(q, c2) at this geometry, so single-probe
+    # legitimately returns the empty inverted list): probing by
+    # (dot DESC, cell) reaches the sibling cell next and recovers the
+    # whole cluster, making the partial probe exact here
+    part = [
+        (r["vec_id"], r["dot"])
+        for r in ivf_topk(clustered_emb, 0, k=5, n_cells=4, n_probe=2).collect()
+    ]
+    assert part == exact
 
 
 def test_ann_multi_probe_recall_dominates_single_bucket(spark, clustered_emb):

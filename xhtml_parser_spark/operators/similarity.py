@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _Q = 1000  # quantization scale
 
@@ -334,6 +335,118 @@ def hyperplane_lsh_buckets(
 
     return emb.select(id_col, vec_col).mapInPandas(
         batches, f"{id_col} {id_type}, bucket bigint"
+    )
+
+
+def ivf_centroid_rows(
+    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse codebook: the ``n_cells`` vectors whose
+    md5(id) hex digests sort lowest, numbered 0..n_cells-1 in that
+    order. A uniform reproducible sample standing in for k-means
+    training (real IVF trains centroids offline; the INDEX structure --
+    assign, probe, rerank -- is what matters for the Spark plan, and a
+    hash-ordered sample keeps every engine's codebook bit-identical).
+    Output (cell, cv) with cv the quantized int64 centroid."""
+    w = Window.orderBy("_h", "_src")
+    return (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_src"),
+            quantized(F.col(vec_col)).alias("cv"),
+            F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")).alias("_h"),
+        )
+        .orderBy("_h", "_src")
+        .limit(n_cells)
+        # single-partition window over n_cells rows -- fine post-limit
+        .select((F.row_number().over(w) - 1).alias("cell"), "cv")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    persist_assignments: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    coarse centroid (one Arrow matmul pass, codebook in the closure),
+    probe the ``n_probe`` cells nearest the query, exact-rerank the
+    candidates. The inverted-list counterpart to ann_lsh_topk's
+    hash-bucket partitioning: cells adapt to the data's density instead
+    of to random hyperplanes.
+
+    The codebook is collected ONCE here (bounded at n_cells rows --
+    the IVF index-build step, not a per-row action); probe selection
+    stays relational (centroids x broadcast query, top n_probe by
+    exact integer dot, ties to the smaller cell). Assignment ties go
+    to the smaller cell id in both engines (np.argmax first-max ==
+    row_number ordered cell ASC), so the whole operator is
+    SQL-oracle-checkable. Output (vec_id, dot), exact within probed
+    cells; recall < 1 across cell boundaries by construction."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+    from pyspark import StorageLevel
+
+    cents = ivf_centroid_rows(emb, n_cells, id_col, vec_col)
+    rows = cents.collect()  # index build: n_cells rows, bounded
+    cmat = np.array(
+        [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])], dtype=np.int64
+    ).T  # (dim, n_cells)
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col]
+            notna = vecs.notna().to_numpy()
+            if not notna.any():
+                continue
+            m = _np_quantize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
+            )
+            cell = np.argmax(m @ cmat, axis=1)  # first max = smallest cell
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[notna], "cell": cell}
+            )
+
+    asg = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, cell bigint"
+    )
+    if persist_assignments:
+        # consumed once per query but rebuilt per ivf_topk call;
+        # persisting lets a session issuing many queries against the
+        # same index reuse the assignment scan (cache caveat as in
+        # ann_lsh_topk)
+        asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    qv = (
+        emb.where(F.col(id_col) == query_vec_id)
+        .select(quantized(F.col(vec_col)).alias("qq"))
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cell", dot_q(F.col("cv"), F.col("qq")).alias("qd"))
+        .orderBy(F.col("qd").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != query_vec_id)
+        .select(id_col)
+    )
+    return (
+        brute_force_scores(
+            emb.join(cand, id_col, "left_semi").unionByName(
+                emb.where(F.col(id_col) == query_vec_id)
+            ),
+            query_vec_id, id_col, vec_col,
+        )
+        .orderBy(F.col("dot").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
