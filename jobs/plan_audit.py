@@ -1,0 +1,119 @@
+"""Physical-plan audit over every registered query.
+
+For each ``__spark_entry__.queries()`` entry, builds the DataFrame at a
+small SF and inspects the Spark physical plan for the properties that
+decide 100 TB behavior:
+
+  * exchanges   -- shuffle count (every one is a full network pass at
+                   scale; reused exchanges are netted out)
+  * bhj / smj   -- broadcast vs sort-merge joins (an unexpected SMJ on
+                   a small dimension side is a missed broadcast)
+  * python      -- Arrow/pandas evaluation stages (the deliberate
+                   Python passes; anything unexpected is a slow path)
+  * codegen     -- WholeStageCodegen spans (wider is better)
+  * pushed      -- whether any parquet scan carries PushedFilters
+
+Writes one markdown table to PLAN_AUDIT.md plus a FLAGS section for
+heuristic smells. Run: ``python jobs/plan_audit.py [--sf DIR]``.
+
+The audit reads the pre-execution physical plan (AQE may still improve
+joins at runtime -- e.g. SMJ -> broadcast once sizes are known -- so a
+flagged SMJ whose build side is data-dependent can be a false alarm;
+the flag is a prompt to check, not a verdict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PY_OPS = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "BatchEvalPython",
+)
+
+
+def audit_plan(plan: str) -> dict:
+    n_exch = len(re.findall(r"\bExchange\b", plan))
+    n_reused = len(re.findall(r"\bReusedExchange\b", plan))
+    return {
+        "exchanges": n_exch - n_reused,
+        "reused": n_reused,
+        "bhj": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        "smj": len(re.findall(r"\bSortMergeJoin\b", plan)),
+        "python": sum(plan.count(op) for op in PY_OPS[:2])
+        + len(re.findall(r"MapInArrow|FlatMapGroupsInPandas|BatchEvalPython", plan)),
+        # executedPlan().toString() renders codegen stages as "*(n) Op"
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed": "PushedFilters: [" in plan
+        and bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from xhtml_parser_spark.session import get_spark
+
+    spark = get_spark("plan_audit", master="local[8]")
+    rows = []
+    flags = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            df = fn(spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 -- audit must not die mid-sweep
+            rows.append((name, dict(error=str(e).splitlines()[0][:80])))
+            continue
+        m = audit_plan(plan)
+        rows.append((name, m))
+        if m["smj"]:
+            flags.append(
+                f"`{name}`: {m['smj']} SortMergeJoin(s) in the initial plan "
+                "-- confirm AQE converts them or the build side is genuinely large"
+            )
+        spark.catalog.clearCache()
+
+    lines = [
+        "# PLAN_AUDIT — physical-plan metrics for every registered query",
+        "",
+        f"Input: `{args.sf}`; initial physical plans (pre-AQE). Regenerate:",
+        "`python jobs/plan_audit.py`.",
+        "",
+        "| query | exchanges | reused | bcast joins | sortmerge joins | python stages | codegen spans | pushed filters |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, m in rows:
+        if "error" in m:
+            lines.append(f"| {name} | ERROR: {m['error']} | | | | | | |")
+            continue
+        lines.append(
+            f"| {name} | {m['exchanges']} | {m['reused']} | {m['bhj']} | "
+            f"{m['smj']} | {m['python']} | {m['codegen']} | "
+            f"{'yes' if m['pushed'] else '-'} |"
+        )
+    lines += ["", "## Flags", ""]
+    lines += [f"- {f}" for f in flags] if flags else ["- none"]
+    lines.append("")
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {args.out}: {len(rows)} queries, {len(flags)} flags")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -492,7 +492,10 @@ def ann_lsh_topk(
     # candidate set or the unionByName below would carry the query row
     # twice and the broadcast one-row query side would duplicate every
     # score (caught by the ann_lsh_topk SQL oracle)
-    cand = cand.where(F.col(id_col) != query_vec_id).select(id_col)
+    # the candidate set is one query's probed buckets -- tiny next to
+    # the corpus, so broadcast the semi-join instead of letting the
+    # planner pick a sort-merge shuffle of the full embedding table
+    cand = F.broadcast(cand.where(F.col(id_col) != query_vec_id).select(id_col))
     return (
         brute_force_scores(emb.join(cand, id_col, "left_semi").unionByName(
             emb.where(F.col(id_col) == query_vec_id)
