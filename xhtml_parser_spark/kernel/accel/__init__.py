@@ -58,6 +58,16 @@ def _gen_tables_header() -> str:
             tv = "".join(f"\\x{b:02x}" for b in t)
             lines.append(f'  {{"{tv}", {len(t)}}},')
         lines.append("};")
+        # first-char -> bitmask of member lengths (all tags are < 16
+        # bytes, asserted here): tag_in prefilters on one load instead
+        # of walking the table for the common non-member tags
+        assert all(len(t) < 16 for t in ts)
+        pref = [0] * 256
+        for t in ts:
+            pref[t[0]] |= 1 << len(t)
+        lines.append(f"static const unsigned short XPS_{cname}_PREF[256] = {{")
+        lines.append(", ".join(str(v) for v in pref))
+        lines.append("};")
 
     tagset("BLACKLIST", extract.BLACKLIST)
     tagset("BLOCK", extract.BLOCK_TAGS)

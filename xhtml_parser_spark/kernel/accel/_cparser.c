@@ -593,7 +593,12 @@ fail:
 
 /* ---- main-content extraction (kernel/extract.py) ---- */
 
-static int tag_in(const uint8_t *s, int64_t len, const xps_tag *tags, int n) {
+/* pref = generated (first char -> member-length bitmask) table: one
+ * load rejects the common non-member tags without walking the list */
+static inline int tag_in(const uint8_t *s, int64_t len,
+                         const xps_tag *tags, int n,
+                         const unsigned short *pref) {
+    if (len >= 16 || !(pref[s[0]] & (1u << len))) return 0;
     for (int k = 0; k < n; k++)
         if (tags[k].len == len && !memcmp(s, tags[k].name, (size_t)len)) return 1;
     return 0;
@@ -640,9 +645,11 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
         if (kind[i] == K_ELEM) {
             const uint8_t *nm = buf + ls[i];
             int64_t nl = le[i] - ls[i];
-            bad[i] = bad[p] || tag_in(nm, nl, XPS_BLACKLIST, XPS_N_BLACKLIST);
+            bad[i] = bad[p] ||
+                tag_in(nm, nl, XPS_BLACKLIST, XPS_N_BLACKLIST, XPS_BLACKLIST_PREF);
             anch[i] = anch[p] || (nl == 1 && nm[0] == 'a');
-            blk[i] = tag_in(nm, nl, XPS_BLOCK, XPS_N_BLOCK) ? (int32_t)i : blk[p];
+            blk[i] = tag_in(nm, nl, XPS_BLOCK, XPS_N_BLOCK, XPS_BLOCK_PREF)
+                ? (int32_t)i : blk[p];
         } else {
             if (bad[p]) { bad[i] = 1; continue; }
             anch[i] = anch[p];
@@ -713,6 +720,95 @@ static PyObject *compute_last_desc(ctx_t *c) {
     return b;
 }
 
+/* ingest the input buffer and run the parse; returns 0 setup-ok (rc in
+ * *prc), -1 alloc failure with the Python error set. Shared by the
+ * full-marshal entry (py_parse) and the texts-only hot path
+ * (py_parse_texts). */
+static int run_parse(Py_buffer *in, ctx_t *c, int *prc) {
+    memset(c, 0, sizeof(*c));
+    c->size = in->len;
+    c->buf = (uint8_t *)malloc((size_t)(in->len > 0 ? in->len : 1));
+    if (!c->buf) { PyBuffer_Release(in); PyErr_NoMemory(); return -1; }
+    memcpy(c->buf, in->buf, (size_t)in->len);
+    PyBuffer_Release(in);
+
+    /* pre-size from count('<') like the reference (src/document.rs:74-107);
+     * plain byte loop so -O3 vectorizes it (a memchr call per '<' costs
+     * ~1 ms/MB on tag-dense input, ~10x this loop) */
+    int64_t est = 8;
+    for (int64_t k = 0; k < c->size; k++) est += (c->buf[k] == '<');
+    int okmem = iv_init(&c->parent, est) && iv_init(&c->prev_sib, est) &&
+                iv_init(&c->next_sib, est) && iv_init(&c->first_child, est) &&
+                iv_init(&c->kind, est) && iv_init(&c->loc_s, est) &&
+                iv_init(&c->loc_e, est) && iv_init(&c->at_s, est) &&
+                iv_init(&c->at_e, est) && iv_init(&c->depth, est) &&
+                iv_init(&c->a_ns, 16) &&
+                iv_init(&c->a_ne, 16) && iv_init(&c->a_vs, 16) && iv_init(&c->a_ve, 16);
+    if (!okmem) { PyErr_NoMemory(); return -1; }
+
+    /* head node */
+    iv_push(&c->parent, 0); iv_push(&c->prev_sib, 0); iv_push(&c->next_sib, 0);
+    iv_push(&c->first_child, 0); iv_push(&c->kind, K_HEAD);
+    iv_push(&c->loc_s, 0); iv_push(&c->loc_e, 0); iv_push(&c->at_s, 0); iv_push(&c->at_e, 0);
+    iv_push(&c->depth, 0);
+
+    *prc = do_parse(c);
+    return 0;
+}
+
+static void free_ctx(ctx_t *c) {
+    free(c->buf);
+    free(c->parent.d); free(c->prev_sib.d); free(c->next_sib.d); free(c->first_child.d);
+    free(c->kind.d); free(c->loc_s.d); free(c->loc_e.d); free(c->at_s.d); free(c->at_e.d);
+    free(c->depth.d);
+    free(c->a_ns.d); free(c->a_ne.d); free(c->a_vs.d); free(c->a_ve.d);
+}
+
+/* texts-only hot path (kernel/parser.py::parse_texts): same parse and
+ * extraction, but NONE of the 14 node/attr arrays nor the rewritten
+ * buffer is marshalled back to Python -- on tag-dense input that
+ * marshalling costs as much as the parse itself, and parse_pages/the
+ * fused sink never read the tree. On error the buffer IS returned (the
+ * Python side renders the reference's 30-byte-context message from it).
+ * Returns (ok, err_code, err_pos, (aux0..3), buf_or_None, text_or_None,
+ * mtext_or_None, n_nodes, n_attrs, n_text, max_depth). */
+static PyObject *py_parse_texts(PyObject *self, PyObject *args) {
+    Py_buffer in;
+    if (!PyArg_ParseTuple(args, "y*", &in)) return NULL;
+    if (in.len > INT32_MAX / 2) {
+        PyBuffer_Release(&in);
+        Py_RETURN_NONE;
+    }
+    ctx_t c; int rc;
+    if (run_parse(&in, &c, &rc) != 0) { free_ctx(&c); return NULL; }
+    PyObject *result = NULL;
+    if (rc != 0 && c.err_code == E_NOMEM) { PyErr_NoMemory(); goto done; }
+    if (rc == 0) {
+        PyObject *text = NULL, *mtext = NULL;
+        if (extract_texts(&c, &text, &mtext) != 0) goto done;
+        result = Py_BuildValue(
+            "(iiL(LLLL)ONNLLLL)",
+            1, 0, (long long)0,
+            (long long)0, (long long)0, (long long)0, (long long)0,
+            Py_None, text, mtext,
+            (long long)(c.kind.n - 1), (long long)c.a_ns.n,
+            (long long)c.n_text, (long long)c.max_d);
+    } else {
+        PyObject *buf_obj = PyBytes_FromStringAndSize((const char *)c.buf, c.size);
+        if (!buf_obj) goto done;
+        result = Py_BuildValue(
+            "(iiL(LLLL)NOOLLLL)",
+            0, c.err_code, (long long)c.err_pos,
+            (long long)c.aux[0], (long long)c.aux[1],
+            (long long)c.aux[2], (long long)c.aux[3],
+            buf_obj, Py_None, Py_None,
+            (long long)0, (long long)0, (long long)0, (long long)0);
+    }
+done:
+    free_ctx(&c);
+    return result;
+}
+
 static PyObject *py_parse(PyObject *self, PyObject *args) {
     Py_buffer in;
     if (!PyArg_ParseTuple(args, "y*", &in)) return NULL;
@@ -722,37 +818,9 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
         Py_RETURN_NONE;
     }
 
-    ctx_t c;
-    memset(&c, 0, sizeof(c));
-    c.size = in.len;
-    c.buf = (uint8_t *)malloc((size_t)(in.len > 0 ? in.len : 1));
-    if (!c.buf) { PyBuffer_Release(&in); return PyErr_NoMemory(); }
-    memcpy(c.buf, in.buf, (size_t)in.len);
-    PyBuffer_Release(&in);
-
-    /* pre-size from count('<') like the reference (src/document.rs:74-107) */
-    int64_t est = 8;
-    {
-        const uint8_t *p = c.buf, *endp = c.buf + c.size;
-        while ((p = memchr(p, '<', (size_t)(endp - p))) != NULL) { est++; p++; }
-    }
-    int okmem = iv_init(&c.parent, est) && iv_init(&c.prev_sib, est) &&
-                iv_init(&c.next_sib, est) && iv_init(&c.first_child, est) &&
-                iv_init(&c.kind, est) && iv_init(&c.loc_s, est) &&
-                iv_init(&c.loc_e, est) && iv_init(&c.at_s, est) &&
-                iv_init(&c.at_e, est) && iv_init(&c.depth, est) &&
-                iv_init(&c.a_ns, 16) &&
-                iv_init(&c.a_ne, 16) && iv_init(&c.a_vs, 16) && iv_init(&c.a_ve, 16);
+    ctx_t c; int rc;
+    if (run_parse(&in, &c, &rc) != 0) { free_ctx(&c); return NULL; }
     PyObject *result = NULL;
-    if (!okmem) { PyErr_NoMemory(); goto done; }
-
-    /* head node */
-    iv_push(&c.parent, 0); iv_push(&c.prev_sib, 0); iv_push(&c.next_sib, 0);
-    iv_push(&c.first_child, 0); iv_push(&c.kind, K_HEAD);
-    iv_push(&c.loc_s, 0); iv_push(&c.loc_e, 0); iv_push(&c.at_s, 0); iv_push(&c.at_e, 0);
-    iv_push(&c.depth, 0);
-
-    int rc = do_parse(&c);
     if (rc != 0 && c.err_code == E_NOMEM) { PyErr_NoMemory(); goto done; }
 
     PyObject *buf_obj = PyBytes_FromStringAndSize((const char *)c.buf, c.size);
@@ -791,17 +859,15 @@ static PyObject *py_parse(PyObject *self, PyObject *args) {
         iv_to_bytes(&c.depth), ld_obj);
 
 done:
-    free(c.buf);
-    free(c.parent.d); free(c.prev_sib.d); free(c.next_sib.d); free(c.first_child.d);
-    free(c.kind.d); free(c.loc_s.d); free(c.loc_e.d); free(c.at_s.d); free(c.at_e.d);
-    free(c.depth.d);
-    free(c.a_ns.d); free(c.a_ne.d); free(c.a_vs.d); free(c.a_ve.d);
+    free_ctx(&c);
     return result;
 }
 
 static PyMethodDef methods[] = {
     {"parse", py_parse, METH_VARARGS,
      "parse(xml: bytes) -> packed-array DOM tuple (see kernel/parser.py)"},
+    {"parse_texts", py_parse_texts, METH_VARARGS,
+     "parse_texts(xml: bytes) -> texts-only tuple (no node-array marshal)"},
     {NULL, NULL, 0, NULL},
 };
 

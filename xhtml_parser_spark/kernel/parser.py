@@ -601,22 +601,20 @@ def parse_texts(
     much as the parse itself, and parse_pages never reads the tree."""
     cp = _get_cparser()
     if cp is not None:
-        res = cp.parse(xml)  # accepts any buffer (memoryview slices OK)
+        # texts-only C entry: same parse, but the 14 node/attr arrays
+        # and the rewritten buffer stay C-side (marshalling them costs
+        # as much as the parse on tag-dense input and this path never
+        # reads the tree); the buffer comes back only on error, for the
+        # reference-format 30-byte-context message
+        res = cp.parse_texts(xml)  # accepts any buffer (memoryview slices OK)
         if res is not None:
-            if res[0]:
+            ok, code, pos, aux, buf, text, mtext, n_nodes, n_attrs, n_text, max_d = res
+            if ok:
                 return (
-                    True,
-                    res[18],
-                    res[19],
-                    len(res[9]) // 4 - 1,
-                    len(res[14]) // 4,
-                    res[20],
-                    res[21],
-                    None,
-                    None,
-                    None,
+                    True, text, mtext, n_nodes, n_attrs, n_text, max_d,
+                    None, None, None,
                 )
-            e = _decode_c_error(res[1], res[2], res[3], res[4])
+            e = _decode_c_error(code, pos, aux, buf)
             return (False, b"", b"", 0, 0, 0, 0, e.error_class, e.pos, e.message)
     doc = parse_document(bytes(xml))  # pure path needs real bytes
     if doc.ok:
