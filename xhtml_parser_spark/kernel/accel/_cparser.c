@@ -659,15 +659,23 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
             if (anch[i]) llen[blk[i]] += tl;
         }
     }
+    /* keep-decision memoized in `bad` (reused as "excluded"): the copy
+     * pass below must apply the identical predicate, so evaluate the
+     * link-density + whitespace tests once */
     int64_t mtotal = 0;
     for (Py_ssize_t i = 1; i < n; i++) {
-        if (kind[i] != K_TEXT || bad[i]) continue;
-        int64_t tl = tlen[blk[i]];
-        if (tl > 0 && (double)llen[blk[i]] / (double)tl > XPS_LINK_DENSITY_MAX) continue;
-        int nonws = 0;
-        for (int64_t j = ls[i]; j < le[i]; j++)
-            if (!is_pyws(buf[j])) { nonws = 1; break; }
-        if (nonws) mtotal += le[i] - ls[i];
+        if (kind[i] != K_TEXT) continue;
+        if (!bad[i]) {
+            int64_t tl = tlen[blk[i]];
+            int nonws = 0;
+            if (!(tl > 0 &&
+                  (double)llen[blk[i]] / (double)tl > XPS_LINK_DENSITY_MAX)) {
+                for (int64_t j = ls[i]; j < le[i]; j++)
+                    if (!is_pyws(buf[j])) { nonws = 1; break; }
+            }
+            if (nonws) { mtotal += le[i] - ls[i]; continue; }
+            bad[i] = 1;
+        }
     }
     PyObject *mtext = PyBytes_FromStringAndSize(NULL, mtotal);
     if (!mtext) {
@@ -678,12 +686,6 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
         char *w = PyBytes_AS_STRING(mtext);
         for (Py_ssize_t i = 1; i < n; i++) {
             if (kind[i] != K_TEXT || bad[i]) continue;
-            int64_t tl = tlen[blk[i]];
-            if (tl > 0 && (double)llen[blk[i]] / (double)tl > XPS_LINK_DENSITY_MAX) continue;
-            int nonws = 0;
-            for (int64_t j = ls[i]; j < le[i]; j++)
-                if (!is_pyws(buf[j])) { nonws = 1; break; }
-            if (!nonws) continue;
             memcpy(w, buf + ls[i], (size_t)(le[i] - ls[i]));
             w += le[i] - ls[i];
         }
