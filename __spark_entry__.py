@@ -323,6 +323,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(
         _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5,
         n_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=None,  # exact all-buckets semantics, as the oracle replays
     ).select("a", "b", "inter", "uni")
 
 
@@ -358,6 +359,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         max_hamming=3,
         n_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=None,  # exact all-buckets semantics, as the oracle replays
     )
 
 

@@ -115,6 +115,20 @@ def _diff(xml: bytes) -> str | None:
             b.error_class, b.error_pos, b.error_msg
         ):
             return f"error {a.error_class}@{a.error_pos} vs {b.error_class}@{b.error_pos}"
+    # texts-only C entry (cp.parse_texts): separate marshalling and
+    # error branch from cp.parse, so fuzz it against the pure tuple too
+    from xhtml_parser_spark.kernel.parser import parse_texts
+
+    ct = parse_texts(xml)
+    if b.ok:
+        want = (True, b.extracted_text(), extract_main_text(b),
+                b.n_nodes - 1, b.n_attrs, b.n_text_nodes, b.max_depth,
+                None, None, None)
+    else:
+        want = (False, b"", b"", 0, 0, 0, 0,
+                b.error_class, b.error_pos, b.error_msg)
+    if ct != want:
+        return "parse_texts tuple"
     return None
 
 

@@ -18,15 +18,42 @@ from xhtml_parser_spark.kernel.parser import (
     _get_cparser,
     parse_document,
     parse_document_pure,
+    parse_texts,
 )
 
 if _get_cparser() is None:
     pytest.skip("C accel unavailable in this environment", allow_module_level=True)
 
 
+def _assert_texts_same(xml: bytes, b) -> None:
+    """The texts-only C entry (cp.parse_texts, its own marshalling and
+    error branch) must agree with the pure-Python parse_texts tuple --
+    the full-API differential above never exercises that code path."""
+    ct = parse_texts(xml)  # routes through cp.parse_texts
+    if b.ok:
+        assert ct == (
+            True,
+            b.extracted_text(),
+            extract_main_text(b),
+            b.n_nodes - 1,
+            b.n_attrs,
+            b.n_text_nodes,
+            b.max_depth,
+            None,
+            None,
+            None,
+        ), xml
+    else:
+        assert ct == (
+            False, b"", b"", 0, 0, 0, 0,
+            b.error_class, b.error_pos, b.error_msg,
+        ), xml
+
+
 def _assert_same(xml: bytes) -> None:
     a = parse_document(xml)  # C path
     b = parse_document_pure(xml)
+    _assert_texts_same(xml, b)
     assert a.ok == b.ok, xml
     if a.ok:
         assert a.buf == b.buf

@@ -638,7 +638,7 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
     int64_t *llen = (int64_t *)calloc((size_t)n, 8);
     if (!bad || !anch || !blk || !tlen || !llen) {
         free(bad); free(anch); free(blk); free(tlen); free(llen);
-        Py_DECREF(text); return -1;
+        Py_DECREF(text); PyErr_NoMemory(); return -1;
     }
     for (Py_ssize_t i = 1; i < n; i++) {
         int32_t p = par[i];

@@ -152,7 +152,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_partitions: int | None = None,
     persist_signatures: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -209,9 +209,13 @@ def lsh_candidate_pairs(
     # bands table; a same-key self-join lands a k-member bucket's k^2
     # pairs in one task anyway, so gathering the bucket first loses no
     # parallelism. Buckets with >max_bucket members are dropped when
-    # set (web-dedup practice: a hash shared by that many docs is
-    # boilerplate, and its quadratic pair set is noise); None keeps
-    # exact LSH semantics for the oracle.
+    # set (web-dedup practice: a minhash shared by that many documents
+    # is boilerplate, its quadratic pair set is noise, and one
+    # collect_list row of millions of members would blow Spark's ~2 GB
+    # single-value limit) -- so the CAP is the default and the exact
+    # all-buckets semantics (max_bucket=None) is the explicit opt-in
+    # the SQL oracle uses, the same default/explicit split as
+    # embedding_neardup_pairs vs _exact.
     buckets = (
         bands.groupBy("band", "h")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -302,7 +306,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of
     the four 16-bit words of their 64-bit signature (pigeonhole: any
@@ -314,9 +318,12 @@ def simhash_pairs(
     persist), ONE shuffle gathers the (band, word) buckets, and the
     verify is map-side bit arithmetic on the gathered structs -- the
     16 bytes per (id, simhash) struct riding the shuffle is noise next
-    to minhash-LSH's shingle arrays. ``max_bucket`` drops degenerate
-    buckets (e.g. the all-zero word of empty documents) as in
-    lsh_candidate_pairs; None keeps exact semantics for the oracle.
+    to minhash-LSH's shingle arrays. ``max_bucket`` (default 10 000, as
+    in lsh_candidate_pairs) drops degenerate buckets -- on a web corpus
+    every empty/whitespace document hashes to simhash 0 and collides on
+    all four words, and gathering millions of those into one
+    collect_list row would blow Spark's single-value limits; pass None
+    for the exact all-buckets semantics the SQL oracle replays.
 
     Cross-engine oracle: bands are (simhash >> 16*i) & 65535 and the
     verify is bit_count(xor(a, b)) -- two's-complement int64 semantics

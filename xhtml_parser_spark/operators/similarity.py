@@ -388,11 +388,19 @@ def ivf_topk(
     import pandas as pd  # noqa: PLC0415 (worker-side)
     from pyspark import StorageLevel
 
-    cents = ivf_centroid_rows(emb, n_cells, id_col, vec_col)
-    rows = cents.collect()  # index build: n_cells rows, bounded
+    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    # index build: n_cells rows, bounded. The probes plan below reuses
+    # these collected rows as a local relation instead of referencing
+    # the centroid DataFrame again -- that would re-run the md5
+    # sort/limit scan of the whole embedding table a second time per
+    # call
     cmat = np.array(
         [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])], dtype=np.int64
     ).T  # (dim, n_cells)
+    cents = emb.sparkSession.createDataFrame(
+        [(int(r["cell"]), [int(x) for x in r["cv"]]) for r in rows],
+        "cell bigint, cv array<bigint>",
+    )
 
     id_type = emb.schema[id_col].dataType.simpleString()
 
@@ -422,8 +430,13 @@ def ivf_topk(
         # ann_lsh_topk)
         asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # a NULL query embedding must yield the empty result, matching the
+    # SQL oracle whose quantized CTE filters nulls up front (without
+    # this the rerank would emit k rows with NULL dot)
     qv = (
-        emb.where(F.col(id_col) == query_vec_id)
+        emb.where(
+            (F.col(id_col) == query_vec_id) & F.col(vec_col).isNotNull()
+        )
         .select(quantized(F.col(vec_col)).alias("qq"))
     )
     probes = (
@@ -492,10 +505,14 @@ def ann_lsh_topk(
     # candidate set or the unionByName below would carry the query row
     # twice and the broadcast one-row query side would duplicate every
     # score (caught by the ann_lsh_topk SQL oracle)
-    # the candidate set is one query's probed buckets -- tiny next to
-    # the corpus, so broadcast the semi-join instead of letting the
-    # planner pick a sort-merge shuffle of the full embedding table
-    cand = F.broadcast(cand.where(F.col(id_col) != query_vec_id).select(id_col))
+    # the candidate set is one query's probed buckets -- SMALL next to
+    # the corpus but a constant FRACTION of it (multi_probe at n_bits=8
+    # keeps ~3.5%), so a hard broadcast hint would bypass
+    # autoBroadcastJoinThreshold and abort past the 8 GB broadcast cap
+    # at 10^12 rows. Leave the strategy to AQE: it converts the
+    # semi-join to broadcast at runtime whenever the candidate side
+    # measures small, which is every realistic invocation.
+    cand = cand.where(F.col(id_col) != query_vec_id).select(id_col)
     return (
         brute_force_scores(emb.join(cand, id_col, "left_semi").unionByName(
             emb.where(F.col(id_col) == query_vec_id)
