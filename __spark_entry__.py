@@ -226,12 +226,13 @@ def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XPath-lite node location over the exploded DOM, relational form
     (child steps = equi-joins, '//' = descendant-range join, '[k]' =
-    per-context row_number). One <div><p>line</p></div> per text line,
-    so the oracle predicts both the descendant count and the positional
-    hit exactly."""
+    per-context row_number, '[@k=v]' = first-wins attr semi-join). One
+    <div class="even|odd"><p>line</p></div> per text line (parity of
+    the line index), so the oracle predicts the descendant count, the
+    positional hit, and the attribute-predicate count exactly."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.functions.escaping import esc
-    from xhtml_parser_spark.operators import parse_nodes
+    from xhtml_parser_spark.operators import parse_attrs, parse_nodes
     from xhtml_parser_spark.operators.xpath import xpath_nodes
 
     docs = _docs(spark, sf_dir)
@@ -241,13 +242,21 @@ def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 lines,
-                lambda x: F.concat(F.lit("<div><p>"), esc(x), F.lit("</p></div>")),
+                lambda x, i: F.concat(
+                    F.lit('<div class="'),
+                    F.when(i % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+                    F.lit('"><p>'),
+                    esc(x),
+                    F.lit("</p></div>"),
+                ),
             ),
             "",
         ),
         F.lit("</body></html>"),
     )
-    nodes = parse_nodes(_pages_from_docs(docs, html)).persist()
+    pages = _pages_from_docs(docs, html)
+    nodes = parse_nodes(pages).persist()
+    attrs = parse_attrs(pages)
     all_p = (
         xpath_nodes(nodes, "html//p")
         .groupBy(F.col("url").cast("bigint").alias("doc_id"))
@@ -258,10 +267,20 @@ def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("url").cast("bigint").alias("doc_id"))
         .agg(F.count("*").alias("n_div2_p"))
     )
-    return all_p.join(div2, "doc_id", "left").select(
-        "doc_id",
-        "n_p",
-        F.coalesce("n_div2_p", F.lit(0)).cast("bigint").alias("n_div2_p"),
+    even = (
+        xpath_nodes(nodes, "html/body/div[@class='even']/p", attrs)
+        .groupBy(F.col("url").cast("bigint").alias("doc_id"))
+        .agg(F.count("*").alias("n_even_p"))
+    )
+    return (
+        all_p.join(div2, "doc_id", "left")
+        .join(even, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_p",
+            F.coalesce("n_div2_p", F.lit(0)).cast("bigint").alias("n_div2_p"),
+            F.coalesce("n_even_p", F.lit(0)).cast("bigint").alias("n_even_p"),
+        )
     )
 
 
@@ -752,7 +771,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(n AS BIGINT) AS n_p,
                    CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT)
-                       AS n_div2_p
+                       AS n_div2_p,
+                   CAST((n + 1) // 2 AS BIGINT) AS n_even_p
             FROM l
         """,
         "pdf_roundtrip": """

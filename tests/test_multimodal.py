@@ -99,6 +99,26 @@ def test_image_meta(spark, media_df):
     assert got[4]["valid"] == "unknown-format"
 
 
+def test_resize_image_stub(spark, media_df):
+    from xhtml_parser_spark.operators.multimodal import resize_image
+
+    got = {r["media_id"]: r for r in resize_image(media_df, 8, 4).collect()}
+    png = got[1]
+    assert (png["format"], png["width"], png["height"], png["valid"]) == (
+        "png", 8, 4, "ok",
+    )
+    p = bytes(png["payload"])
+    assert p.startswith(b"RAWIMG01")
+    assert len(p) == 8 + 8 + 8 * 4  # magic + dims + w*h sampled bytes
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_image(media_df, 8, 4).collect()
+             if r["payload"] is not None}
+    assert again[1] == p
+    # non-image payloads pass through skipped with NULL payload
+    assert got[4]["valid"] == "skipped" and got[4]["payload"] is None
+
+
 def test_features_deterministic(spark, media_df):
     a = {r["media_id"]: r["embedding"] for r in extract_features(media_df).collect()}
     b = {r["media_id"]: r["embedding"] for r in extract_features(media_df).collect()}

@@ -10,7 +10,7 @@ import pytest
 
 from xhtml_parser_spark.kernel import parse_document
 from xhtml_parser_spark.kernel.document import select_path
-from xhtml_parser_spark.operators.parse import parse_nodes
+from xhtml_parser_spark.operators.parse import parse_attrs, parse_nodes
 from xhtml_parser_spark.operators.xpath import xpath_nodes
 from xhtml_parser_spark.sources import PAGES_SCHEMA
 
@@ -72,9 +72,28 @@ def test_select_path_positional():
     assert [n.first_child().text() for n in firsts] == ["one", "three"]
 
 
+def test_select_path_attribute_predicates():
+    doc = parse_document(DOC)
+    a_ps = select_path(doc, "html/body/div[@class='a']/p")
+    assert [n.first_child().text() for n in a_ps] == ["one", "two"]
+    assert len(_ids(doc, "//div[@class]")) == 2
+    assert len(_ids(doc, "//div[@class='b']//p")) == 2
+    assert _ids(doc, "//div[@class='z']") == []
+    assert len(_ids(doc, '//div[@class="b"]')) == 1  # double quotes too
+    # duplicate attribute names: equality matches the FIRST-WINS value,
+    # exactly get_attribute (duplicates are real here -- the
+    # reference's stale-from quirk produces them)
+    dup = parse_document(b"<r><p id='1' id='2'>x</p></r>")
+    assert len(_ids(dup, "//p[@id='1']")) == 1
+    assert _ids(dup, "//p[@id='2']") == []
+    assert len(_ids(dup, "//p[@id]")) == 1
+
+
 PATHS = [
     "html", "html/body", "html/body/*", "//p", "//a", "html//div",
     "//div/p[1]", "html/body/div[2]//p", "*/*", "//span", "//p[1]",
+    "//div[@class='a']/p", "html/body/div[@class]", "//*[@class='b']//p",
+    "//p[@id='1']", "//div[@nosuch]",
 ]
 
 
@@ -94,17 +113,27 @@ def test_relational_xpath_matches_kernel(spark):
         ("multiroot", ts, b"<html><p>a</p></html><extra><p>b</p></extra>",
          None, "en")
     )
+    # duplicate-attribute doc: relational first-wins must equal
+    # get_attribute
+    rows.append(("dupattr", ts, b"<r><p id='1' id='2'>x</p></r>", None, "en"))
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     nodes = parse_nodes(df)
+    attrs = parse_attrs(df)
     nodes.persist()
+    attrs.persist()
     try:
         docs = {u: parse_document(h) for u, _, h, _, _ in rows}
         for path in PATHS:
             got = {}
-            for r in xpath_nodes(nodes, path).select("url", "node_id").collect():
+            for r in (
+                xpath_nodes(nodes, path, attrs)
+                .select("url", "node_id")
+                .collect()
+            ):
                 got.setdefault(r["url"], set()).add(r["node_id"])
             for u, doc in docs.items():
                 want = set(n.idx for n in select_path(doc, path)) if doc.ok else set()
                 assert got.get(u, set()) == want, (path, u)
     finally:
         nodes.unpersist()
+        attrs.unpersist()

@@ -253,16 +253,21 @@ def previous_seq_node(doc: ParsedDoc, current: int) -> Optional[Node]:
     return Node(doc, prev) if prev > 0 else None
 
 
-def _path_segments(path: str) -> list[tuple[str, str, int | None]]:
-    """Parse an XPath-lite path into (axis, name, index) segments.
+def _path_segments(
+    path: str,
+) -> list[tuple[str, str, int | None, tuple[str, str | None] | None]]:
+    """Parse an XPath-lite path into (axis, name, index, attr) segments.
 
-    Grammar: segments joined by '/'; a segment is ``name``, ``*``, or
+    Grammar: segments joined by '/'; a segment is ``name``, ``*``,
     ``name[k]`` (k = 1-based position among the axis' same-name
-    matches); an EMPTY segment (i.e. '//') switches the next segment to
+    matches), ``name[@key]`` (attribute existence), or
+    ``name[@key='value']`` / ``name[@key="value"]`` (first-wins
+    attribute equality, matching Node.get_attribute on duplicate
+    names); an EMPTY segment (i.e. '//') switches the next segment to
     the descendant axis. Leading '/' is optional (paths are rooted at
-    the context node either way).
+    the context node either way). One predicate per segment.
     """
-    segs: list[tuple[str, str, int | None]] = []
+    segs: list[tuple[str, str, int | None, tuple[str, str | None] | None]] = []
     axis = "child"
     parts = path.split("/")
     if parts and parts[0] == "":
@@ -271,11 +276,22 @@ def _path_segments(path: str) -> list[tuple[str, str, int | None]]:
         if raw == "":
             axis = "descendant"
             continue
-        name, idx = raw, None
+        name, idx, attr = raw, None, None
         if raw.endswith("]") and "[" in raw:
             name, _, tail = raw.partition("[")
-            idx = int(tail[:-1])
-        segs.append((axis, name, idx))
+            pred = tail[:-1]
+            if pred.startswith("@"):
+                pred = pred[1:]
+                if "=" in pred:
+                    k, _, v = pred.partition("=")
+                    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                        v = v[1:-1]
+                    attr = (k, v)
+                else:
+                    attr = (pred, None)
+            else:
+                idx = int(pred)
+        segs.append((axis, name, idx, attr))
         axis = "child"
     return segs
 
@@ -315,7 +331,7 @@ def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
     else:
         ctx = [start]
     true_last: list[int] | None = None
-    for axis, name, idx in _path_segments(path):
+    for axis, name, idx, attr in _path_segments(path):
         nxt: list[Node] = []
         seen: set[int] = set()
         for node in ctx:
@@ -348,6 +364,15 @@ def select_path(start: "ParsedDoc | Node", path: str) -> list[Node]:
                 for c in cands
                 if c.is_element() and (name == "*" or c.tag_name() == name)
             ]
+            if attr is not None:
+                k, v = attr
+                matched = [
+                    c
+                    for c in matched
+                    if (c.get_attribute(k) is not None
+                        if v is None
+                        else c.get_attribute(k) == v)
+                ]
             if idx is not None:
                 matched = matched[idx - 1 : idx] if idx >= 1 else []
             for m in matched:

@@ -112,6 +112,67 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("valid", StringType()),
+    ]
+)
+
+_RAWIMG_MAGIC = b"RAWIMG01"
+
+
+def _resize_batches(width: int, height: int):
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt, w, h, valid = _sniff_image(b)
+                out["media_id"].append(int(mid))
+                out["format"].append(fmt)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["valid"].append(valid if valid == "ok" else "skipped")
+                if valid != "ok":
+                    out["payload"].append(None)
+                    continue
+                # STUB RESIZER (no codec libs in this container): emit a
+                # deterministic RAWIMG01 container -- magic, dims, then
+                # width*height bytes nearest-neighbor-sampled from the
+                # source payload body. A real decoder+resampler (PIL /
+                # libvips) slots in here unchanged: same signature, same
+                # Arrow batch shape, same output schema.
+                body = np.frombuffer(b, dtype=np.uint8)
+                n = width * height
+                idx = (np.arange(n, dtype=np.int64) * len(body)) // max(n, 1)
+                sampled = body[np.minimum(idx, len(body) - 1)]
+                out["payload"].append(
+                    _RAWIMG_MAGIC
+                    + struct.pack("<II", width, height)
+                    + sampled.tobytes()
+                )
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Deterministic stand-in resize per media item: header math is
+    real (format sniff, dims), the pixel path is the documented stub
+    (see _resize_batches). Map-side Arrow pass; non-image payloads pass
+    through with valid='skipped' and a NULL payload."""
+    return media.select("media_id", "payload").mapInPandas(
+        _resize_batches(width, height), RESIZED_SCHEMA
+    )
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

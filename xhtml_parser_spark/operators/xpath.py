@@ -32,19 +32,32 @@ from pyspark.sql.window import Window
 from ..kernel.document import _path_segments
 
 
-def xpath_nodes(nodes: DataFrame, path: str) -> DataFrame:
+def xpath_nodes(
+    nodes: DataFrame, path: str, attrs: DataFrame | None = None
+) -> DataFrame:
     """All node rows matching an ``a/b//c[2]``-style path, per url.
 
     ``nodes`` must have the parse_nodes schema (url, node_id,
-    parent_id, kind, tag, last_descendant, ...). Returns the matching
-    rows with their full columns; differentially tested against the
-    kernel selector on the fixture corpus.
+    parent_id, kind, tag, last_descendant, ...). Attribute predicates
+    (``div[@id]``, ``div[@class='x']``) additionally need ``attrs``
+    with the parse_attrs schema (url, node_id, attr_idx, name, value);
+    equality matches the FIRST-WINS value among duplicate attribute
+    names (min attr_idx), exactly Node.get_attribute -- duplicates are
+    real here because the reference's stale-from quirk produces them.
+    Each predicate is one broadcast-able semi-join keyed on
+    (url, node_id). Returns the matching rows with their full columns;
+    differentially tested against the kernel selector on the fixture
+    corpus.
     """
     segs = _path_segments(path)
     if not segs:
         return nodes.limit(0)
+    if any(s[3] is not None for s in segs) and attrs is None:
+        raise ValueError(
+            "path uses an attribute predicate; pass the parse_attrs table"
+        )
     ctx = None
-    for step, (axis, name, idx) in enumerate(segs):
+    for step, (axis, name, idx, attr) in enumerate(segs):
         n = nodes.alias("n")
         if step == 0:
             # first step runs off the per-document head directly -- no
@@ -75,6 +88,25 @@ def xpath_nodes(nodes: DataFrame, path: str) -> DataFrame:
         m = m.where(F.col("n.kind") == 1)
         if name != "*":
             m = m.where(F.col("n.tag") == name)
+        if attr is not None:
+            k, v = attr
+            named = attrs.where(F.col("name") == k)
+            if v is None:
+                sel = named.select("url", "node_id").distinct()
+            else:
+                # first-wins among duplicate names = value at min attr_idx
+                sel = (
+                    named.groupBy("url", "node_id")
+                    .agg(F.min_by("value", "attr_idx").alias("value"))
+                    .where(F.col("value") == v)
+                    .select("url", "node_id")
+                )
+            m = m.join(
+                sel.alias("a"),
+                (F.col("n.url") == F.col("a.url"))
+                & (F.col("n.node_id") == F.col("a.node_id")),
+                "left_semi",
+            )
         if idx is not None:
             w = Window.partitionBy(F.col("n.url"), ctx_key).orderBy(
                 F.col("n.node_id")
