@@ -35,9 +35,10 @@ def main() -> None:
     ap.add_argument(
         "--layout",
         choices=["range", "hash"],
-        default="range",
+        default=None,
         help="standard-path output layout: range-partition by url hash "
-        "(default, north-rule literal) or plain hash partitioning",
+        "(the default, north-rule literal) or plain hash partitioning; "
+        "rejected with --fused (fused output is input-file-clustered)",
     )
     args = ap.parse_args()
 

@@ -104,8 +104,10 @@ def test_host_stats_salted(spark, corpus_path):
     top = max(rows, key=lambda r: r["doc_count"])
     assert top["doc_count"] >= N_DOCS * 0.05  # Zipf head present
     # cross-check against a plain groupBy
+    from xhtml_parser_spark.functions.urls import url_host
+
     plain = (
-        pages.select(F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"))
+        pages.select(url_host(F.col("url")).alias("host"))
         .groupBy("host")
         .count()
         .collect()
@@ -233,6 +235,39 @@ def test_fused_resume_after_partial_run(spark, corpus_path, tmp_path):
 
     s3 = run_extract(spark, corpus_path, out, run_id="fC", n_slices=4, fused=True)
     assert s3["processed"] == []
+
+
+def test_fused_resume_refuses_changed_input_listing(spark, corpus_path, tmp_path):
+    """Fused slice membership = files[slice_id::n_slices] of the sorted
+    input listing, so a file added between runs re-keys every group;
+    resume must refuse instead of silently duplicating/dropping docs."""
+    import shutil
+
+    indir = str(tmp_path / "pages_in")
+    shutil.copytree(corpus_path, indir)
+    out = str(tmp_path / "fused_digest")
+    run_extract(
+        spark, indir, out, run_id="gA", n_slices=4, max_slices=2, fused=True
+    )
+    # a new crawl drop lands between runs
+    first = sorted(f for f in os.listdir(indir) if f.endswith(".parquet"))[0]
+    shutil.copyfile(
+        os.path.join(indir, first), os.path.join(indir, "zz-newdrop.parquet")
+    )
+    with pytest.raises(ValueError, match="input listing"):
+        run_extract(spark, indir, out, run_id="gB", n_slices=4, fused=True)
+    # restoring the original listing lets the resume proceed
+    os.remove(os.path.join(indir, "zz-newdrop.parquet"))
+    s = run_extract(spark, indir, out, run_id="gC", n_slices=4, fused=True)
+    assert len(s["skipped_committed"]) == 2
+
+
+def test_run_extract_rejects_layout_with_fused(spark, corpus_path, tmp_path):
+    with pytest.raises(ValueError, match="layout is not supported"):
+        run_extract(
+            spark, corpus_path, str(tmp_path / "x"), run_id="l",
+            fused=True, layout="range",
+        )
 
 
 def test_fused_extract_empty_input_file(spark, tmp_path):

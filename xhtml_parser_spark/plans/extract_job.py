@@ -30,6 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.urls import url_host
 from ..operators import parse_pages
 from ..sources.table import SnapshotTable
 
@@ -106,7 +107,12 @@ def _heal_missing_lineage(
     return sorted(missing)
 
 
-def _check_resume_mode(table: SnapshotTable, fused: bool, n_slices: int) -> None:
+def _check_resume_mode(
+    table: SnapshotTable,
+    fused: bool,
+    n_slices: int,
+    input_digest: str | None = None,
+) -> None:
     """Refuse to resume a partially-committed table in the other mode.
 
     Standard slices are url-hash classes; fused slices are input-file
@@ -114,6 +120,11 @@ def _check_resume_mode(table: SnapshotTable, fused: bool, n_slices: int) -> None
     membership in both modes) silently duplicates and drops documents
     while the summaries still look exactly-once. Manifests record the
     mode and slice count at commit time; a mismatch is a hard error.
+
+    Fused membership is additionally a function of the INPUT LISTING
+    (files[slice_id::n_slices] of the sorted dir): a file added or
+    removed between runs re-keys every group, so fused manifests also
+    record the listing digest and resume verifies it.
     """
     for m in table.manifests():
         committed_fused = bool(m.get("fused", False))
@@ -131,6 +142,19 @@ def _check_resume_mode(table: SnapshotTable, fused: bool, n_slices: int) -> None
                 f"{committed_n}; resuming with n_slices={n_slices} would "
                 "re-key slice membership (duplicate/missing documents)."
             )
+        committed_digest = m.get("input_digest")
+        if (
+            input_digest is not None
+            and committed_digest is not None
+            and committed_digest != input_digest
+        ):
+            raise ValueError(
+                f"slice {m['slice_id']} was committed over a different "
+                "input listing (files added/removed since); resuming "
+                "would re-key every fused file group (duplicate/missing "
+                "documents). Use a fresh output path, or restore the "
+                "original input listing."
+            )
 
 
 def run_extract(
@@ -142,7 +166,7 @@ def run_extract(
     partitions: int | None = None,
     max_slices: int | None = None,
     fused: bool = False,
-    layout: str = "range",
+    layout: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction. Returns a summary dict.
 
@@ -163,13 +187,24 @@ def run_extract(
     manifests, resume, kill-safety and read_extracted/read_lineage are
     identical.
     """
-    if layout not in ("range", "hash"):
+    if layout not in (None, "range", "hash"):
         raise ValueError(f"layout must be 'range' or 'hash', got {layout!r}")
     if fused:
+        if layout is not None:
+            # fused output files are input-file-clustered by
+            # construction; silently accepting a layout request would
+            # hand the caller unpartitioned output they believe is
+            # url-hash-ranged
+            raise ValueError(
+                "layout is not supported with fused=True (fused output is "
+                "input-file-clustered; repartition downstream for a keyed "
+                "layout)"
+            )
         return _run_extract_fused(
             spark, input_path, output_path, run_id, n_slices, partitions,
             max_slices,
         )
+    layout = layout or "range"
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
     _check_resume_mode(table, fused=False, n_slices=n_slices)
@@ -234,9 +269,14 @@ def _run_extract_fused(
 ) -> dict:
     from ..sources.fused_extract import fused_extract_slice, part_file_name
 
+    from ..sources.listing import listing_digest
+
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
-    _check_resume_mode(table, fused=True, n_slices=n_slices)
+    input_digest = listing_digest(input_path)
+    _check_resume_mode(
+        table, fused=True, n_slices=n_slices, input_digest=input_digest
+    )
     done = table.committed_slices()
     healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
@@ -269,7 +309,8 @@ def _run_extract_fused(
         ]
         table.commit_slice_files(
             k, run_id, files=landed,
-            meta={"out_bytes": out_bytes, "fused": True, "n_slices": n_slices},
+            meta={"out_bytes": out_bytes, "fused": True,
+                  "n_slices": n_slices, "input_digest": input_digest},
         )
         # explicit _LINEAGE_SCHEMA-compatible types: createDataFrame(rows)
         # infers partition_id/slice_id as BIGINT, but the standard path and
@@ -316,7 +357,10 @@ def host_stats(pages: DataFrame, salts: int = 16) -> DataFrame:
     the hot host's rows spread over ``salts`` reducers -- phase 2 merges
     the per-salt partials.
     """
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
+    # shared host extraction (functions/urls.py): handles path-less
+    # urls ('https://example.com') that a trailing-slash regex would
+    # silently map to host ''
+    host = url_host(F.col("url")).alias("host")
     salted = pages.select(
         host, F.pmod(F.xxhash64("url"), F.lit(salts)).alias("salt"), "html"
     )

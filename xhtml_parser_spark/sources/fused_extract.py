@@ -91,23 +91,19 @@ class FusedExtractReader(DataSourceReader):
         self.batch_rows = int(options.get("batch_rows", "256"))
 
     def partitions(self):
-        files = sorted(
-            os.path.join(self.input, f)
-            for f in os.listdir(self.input)
-            if f.endswith(".parquet")
-        )
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {self.input}")
+        from .listing import group_round_robin, list_parquet_files
+
+        files = list_parquet_files(self.input)
         mine = files[self.slice_id :: self.n_slices]
         if not mine:
             # n_slices > file count: this slice has no input. One empty
             # partition yields a zero-count lineage row so the slice
             # still commits (empty) and resume proceeds past it.
             return [_FusedPartition(0, [])]
-        k = self.num_partitions
-        if k <= 0 or k >= len(mine):
-            return [_FusedPartition(i, [f]) for i, f in enumerate(mine)]
-        return [_FusedPartition(i, mine[i::k]) for i in range(k)]
+        return [
+            _FusedPartition(i, group)
+            for i, group in enumerate(group_round_robin(mine, self.num_partitions))
+        ]
 
     def read(self, partition: _FusedPartition) -> Iterator:
         import pyarrow as pa
@@ -119,6 +115,7 @@ class FusedExtractReader(DataSourceReader):
         os.makedirs(self.output, exist_ok=True)
         writer: pq.ParquetWriter | None = None
         docs = in_bytes = errors = 0
+        finalized = False
         try:
             for path in partition.paths:
                 pf = pq.ParquetFile(path)
@@ -147,14 +144,23 @@ class FusedExtractReader(DataSourceReader):
                     errors += rb.num_rows - pa.compute.sum(
                         pa.compute.cast(rb.column("parse_ok"), pa.int64())
                     ).as_py()
+            # success-path finalization stays INSIDE the try: the footer
+            # flush in close() and the final rename can themselves raise
+            # (full disk), and only the except block below removes the
+            # tmp -- a finally-raised exception would skip it and leak
+            # the finalized tmp parquet forever
+            if writer is not None:
+                writer.close()
+                writer = None
+                os.replace(out_tmp, out_final)  # idempotent under retry
+                finalized = True
         except BaseException:
-            # a failed attempt must not leave a finalized tmp parquet
-            # behind: close() in the cleanup writes a valid footer, and
-            # a stray *.parquet* file would otherwise sit in the slice
+            # a failed attempt must not leave a tmp parquet behind: a
+            # stray *.parquet* file would otherwise sit in the slice
             # dir forever (readers only see manifest-listed files, but
-            # disk still leaks). close() itself can raise (footer flush
-            # on a full disk) -- suppress it so the tmp removal always
-            # runs and the ORIGINAL exception propagates.
+            # disk still leaks). close() itself can raise again --
+            # suppress it so the tmp removal always runs and the
+            # ORIGINAL exception propagates.
             if writer is not None:
                 try:
                     writer.close()
@@ -164,17 +170,13 @@ class FusedExtractReader(DataSourceReader):
             if os.path.exists(out_tmp):
                 os.remove(out_tmp)
             raise
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
+        if not finalized:
             # zero-row input split: no output file, zero-count lineage
             # (the driver commits the slice with exactly the files the
             # lineage rows report -- possibly none)
             yield (partition.pid, 0, 0, 0, 0,
                    int((time.monotonic() - t0) * 1000))
             return
-        os.replace(out_tmp, out_final)  # idempotent under task retry
         wall_ms = int((time.monotonic() - t0) * 1000)
         yield (
             partition.pid,

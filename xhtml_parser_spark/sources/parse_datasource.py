@@ -46,18 +46,14 @@ class ParsedPagesReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", "0"))
 
     def partitions(self):
-        files = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".parquet")
-        )
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {self.path}")
-        k = self.num_partitions
-        if k <= 0 or k >= len(files):
-            return [_FilesPartition([f]) for f in files]
-        # round-robin keeps partition byte-sizes even for same-sized files
-        return [_FilesPartition(files[i::k]) for i in range(k)]
+        from .listing import group_round_robin, list_parquet_files
+
+        return [
+            _FilesPartition(group)
+            for group in group_round_robin(
+                list_parquet_files(self.path), self.num_partitions
+            )
+        ]
 
     def read(self, partition: _FilesPartition) -> Iterator:
         import pyarrow.parquet as pq

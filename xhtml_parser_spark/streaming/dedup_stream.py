@@ -7,9 +7,11 @@ This operator keys state by a bounded url-hash bucket (NOT by url --
 state per key must stay small and the key space bounded) and keeps the
 set of seen url digests per bucket. Emits only first-seen rows.
 
-State sizing at scale: 2^16 buckets x (16-byte digest * urls/bucket).
-For 10^12 urls this state belongs in RocksDB-backed state store with
-TTL; the operator is agnostic to the backend.
+State sizing at scale: N_BUCKETS (= 2^12 here) x (16-byte digest *
+urls/bucket) -- raise N_BUCKETS with corpus size so per-key state
+stays rewrite-friendly. For 10^12 urls this state belongs in a
+RocksDB-backed state store with TTL; the operator is agnostic to the
+backend.
 """
 
 from __future__ import annotations
@@ -58,7 +60,12 @@ def _dedup_fn(
             if d not in seen:
                 seen.add(d)
                 out_urls.append(url)
-    state.update((list(seen),))
+    # rewrite the bucket's full digest set ONLY when it grew: in a
+    # duplicate-heavy steady state most touched buckets see nothing
+    # new, and skipping the update skips the dominant state-store
+    # serialization cost for those batches
+    if out_urls:
+        state.update((list(seen),))
     yield pd.DataFrame({"url": out_urls, "bucket": [key[0]] * len(out_urls)})
 
 

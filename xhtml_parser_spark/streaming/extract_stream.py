@@ -7,8 +7,9 @@ ingest where new parquet drops of pages are parsed exactly once,
 checkpoint-resumable via the streaming commit log.
 
 ``host_rate_stream`` adds the standard late-data pattern on top:
-watermarked sliding-window crawl rates per host (useful as a live
-lineage/monitoring feed).
+watermarked tumbling-window crawl rates per host (useful as a live
+lineage/monitoring feed; pass a slide duration to F.window for
+overlapping windows if smoothed rates are needed).
 """
 
 from __future__ import annotations
@@ -47,9 +48,11 @@ def build_extract_stream(
 
 def host_rate_stream(pages_stream: DataFrame, window: str = "10 minutes",
                      watermark: str = "30 minutes") -> DataFrame:
-    """Watermarked windowed crawl-rate per host (late rows beyond the
-    watermark dropped; state bounded)."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
+    """Watermarked TUMBLING-window crawl-rate per host (late rows
+    beyond the watermark dropped; state bounded)."""
+    from ..functions.urls import url_host
+
+    host = url_host(F.col("url")).alias("host")
     return (
         pages_stream.select(host, "warc_ts", "html")
         .withWatermark("warc_ts", watermark)
