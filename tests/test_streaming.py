@@ -63,3 +63,34 @@ def test_host_rate_stream_watermark(spark, tmp_path):
     assert got.count() >= 1
     total = got.agg(F.sum("doc_count")).collect()[0][0]
     assert total <= 120  # rows beyond the final watermark may be withheld
+
+
+def test_host_rate_stream_sliding_overlap(spark, tmp_path):
+    """slide < window produces overlapping windows: each row lands in
+    window/slide windows, so summed doc_count doubles vs tumbling."""
+    src = str(tmp_path / "pages_slide")
+    out = str(tmp_path / "rates_slide")
+    ckpt = str(tmp_path / "ckpt_slide")
+    synthesize_pages(spark, 120, max_b=4096).write.parquet(src)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    rates = host_rate_stream(
+        stream, window="1 minute", watermark="0 seconds", slide="30 seconds"
+    )
+    q = (
+        rates.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # overlapping windows: every emitted window is 60s wide but starts
+    # every 30s, so the same doc contributes to 2 windows
+    w = got.select("window.start", "window.end").limit(1).collect()
+    if w:  # at least one closed window emitted
+        assert (w[0]["end"] - w[0]["start"]).total_seconds() == 60
+    total = got.agg(F.sum("doc_count")).collect()[0][0] or 0
+    assert total <= 240  # each of 120 docs in at most 2 windows

@@ -47,16 +47,24 @@ def build_extract_stream(
 
 
 def host_rate_stream(pages_stream: DataFrame, window: str = "10 minutes",
-                     watermark: str = "30 minutes") -> DataFrame:
-    """Watermarked TUMBLING-window crawl-rate per host (late rows
-    beyond the watermark dropped; state bounded)."""
+                     watermark: str = "30 minutes",
+                     slide: str | None = None) -> DataFrame:
+    """Watermarked windowed crawl-rate per host (late rows beyond the
+    watermark dropped; state bounded). Tumbling windows by default;
+    pass ``slide`` (< window) for overlapping sliding windows when
+    smoothed rates matter -- state grows by the window/slide ratio."""
     from ..functions.urls import url_host
 
     host = url_host(F.col("url")).alias("host")
+    win = (
+        F.window("warc_ts", window, slide)
+        if slide
+        else F.window("warc_ts", window)
+    )
     return (
         pages_stream.select(host, "warc_ts", "html")
         .withWatermark("warc_ts", watermark)
-        .groupBy(F.window("warc_ts", window), F.col("host"))
+        .groupBy(win, F.col("host"))
         .agg(
             F.count("*").alias("doc_count"),
             F.sum(F.length("html")).alias("byte_count"),
