@@ -138,7 +138,9 @@ def main() -> None:
         "xhtml_main_text",
         "xhtml_spans",
         "xhtml_attrs",
+        "xhtml_parse_errors",
         "pdf_roundtrip",
+        "pdf_layout",
         "xpath_lite",
         "repetition",
         "dedup_exact",
@@ -151,9 +153,15 @@ def main() -> None:
         "ann_lsh_topk",
         "ivf_topk",
         "neardup_lsh",
+        "neardup_cosine",
+        "label_centroids",
         "text_quality",
+        "lang_id",
+        "url_normalize",
         "fingerprint",
         "events_dedup",
+        "events_windowed",
+        "events_sessions",
         "lineage_rollup",
         "tpch_q1_qty",
     ):
