@@ -151,3 +151,45 @@ def test_golden_fixtures_agree() -> None:
     fx = pathlib.Path(__file__).parent / "fixtures"
     for f in fx.rglob("*.xhtml"):
         _assert_same(f.read_bytes())
+
+
+def test_accel_builds_from_zipimport(tmp_path):
+    """Workers that import the package from an addPyFile zip must still
+    get the C kernel: the accel loader reads _cparser.c via pkgutil
+    (which works through zipimport) and compiles into a fresh cache.
+    Run in a subprocess with sys.path = [zip] and a private TMPDIR so
+    the host's warm .so cache cannot mask a broken zip path."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    import xhtml_parser_spark
+
+    pkg_root = os.path.dirname(os.path.abspath(xhtml_parser_spark.__file__))
+    base = os.path.dirname(pkg_root)
+    zpath = str(tmp_path / "pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith((".py", ".c")):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, base))
+    cache = tmp_path / "tmpcache"
+    cache.mkdir()
+    env = dict(os.environ, TMPDIR=str(cache), XPS_ACCEL="1")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from xhtml_parser_spark.kernel.parser import _get_cparser, parse_texts\n"
+        "assert _get_cparser() is not None, 'accel unavailable from zip'\n"
+        "r = parse_texts(b'<r><p>zip &amp; go</p></r>')\n"
+        "assert r[0] and r[1] == b'zip & go', r\n"
+        "print('ZIP_ACCEL_OK')\n" % zpath
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, cwd=str(tmp_path), env=env,
+    )
+    assert "ZIP_ACCEL_OK" in out.stdout, (out.stdout, out.stderr)
+    # and the compile really happened inside the private cache
+    assert any(p.name.startswith("xps_accel_") for p in cache.iterdir())

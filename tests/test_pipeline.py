@@ -135,6 +135,25 @@ def test_time_travel_read(spark, corpus_path, tmp_path):
     assert 0 < n_then < n_now == N_DOCS
 
 
+def test_snapshot_table_manifest_guards(spark, corpus_path, tmp_path):
+    """Stray near-match files in _commits/ must not take the table down,
+    and caller meta must not clobber reserved manifest fields."""
+    from xhtml_parser_spark.sources.table import SnapshotTable
+
+    out = str(tmp_path / "guards")
+    run_extract(spark, corpus_path, out, run_id="rA", n_slices=2)
+    table = SnapshotTable(out)
+    before = table.committed_slices()
+    # editor backup / manual copy beside real manifests
+    stray = os.path.join(table.commits_dir, "slice-0 (copy).json")
+    with open(stray, "w") as fh:
+        fh.write("{}")
+    assert table.committed_slices() == before  # ignored, not ValueError
+    os.remove(stray)
+    with pytest.raises(ValueError, match="reserved"):
+        table.commit_slice_files(9, "rX", files=[], meta={"files": ["evil"]})
+
+
 def test_parse_full_single_pass(spark, corpus_path):
     """parse_full emits text + nested DOM in one kernel pass, consistent
     with the per-output operators."""

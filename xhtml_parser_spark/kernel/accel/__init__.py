@@ -80,12 +80,27 @@ CFLAGS = ["-O3"]  # matches the reference's own -O3 builds; measured
 # and is non-portable)
 
 
-def _build() -> str | None:
+def _c_source() -> bytes | None:
+    """The C kernel source, whether the package sits on disk or inside
+    an addPyFile/--py-files zip (zipimport path: pkgutil reads through
+    the zip; os.path cannot). None when unavailable."""
     src = os.path.join(_HERE, "_cparser.c")
-    if not os.path.exists(src):
+    if os.path.exists(src):
+        with open(src, "rb") as fh:
+            return fh.read()
+    try:
+        import pkgutil
+
+        return pkgutil.get_data(__name__, "_cparser.c")
+    except Exception:
         return None
-    with open(src, "rb") as fh:
-        digest = hashlib.md5(fh.read() + " ".join(CFLAGS).encode()).hexdigest()[:16]
+
+
+def _build() -> str | None:
+    src_bytes = _c_source()
+    if src_bytes is None:
+        return None
+    digest = hashlib.md5(src_bytes + " ".join(CFLAGS).encode()).hexdigest()[:16]
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"xps_accel_{digest}_py{sys.version_info[0]}{sys.version_info[1]}"
     )
@@ -93,6 +108,13 @@ def _build() -> str | None:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(cache_dir, exist_ok=True)
+    # materialize the source next to the cache: gcc needs a real file,
+    # and when loaded from a zip there is none on disk
+    src = os.path.join(cache_dir, "_cparser.c")
+    src_tmp = src + f".tmp-{os.getpid()}"
+    with open(src_tmp, "wb") as fh:
+        fh.write(src_bytes)
+    os.replace(src_tmp, src)
     hdr = os.path.join(cache_dir, "xps_tables.h")
     with open(hdr, "w") as fh:
         fh.write(_gen_tables_header())

@@ -280,6 +280,14 @@ def _path_segments(
         if raw.endswith("]") and "[" in raw:
             name, _, tail = raw.partition("[")
             pred = tail[:-1]
+            if "[" in pred or "]" in pred:
+                # compound predicates ('a[@href][2]') would otherwise
+                # silently parse as attribute name 'href][2' and match
+                # nothing -- one predicate per segment, loudly
+                raise ValueError(
+                    f"unsupported path predicate {tail!r} in segment "
+                    f"{raw!r}: one [k] or [@key(='value')] per segment"
+                )
             if pred.startswith("@"):
                 pred = pred[1:]
                 if "=" in pred:
@@ -290,7 +298,14 @@ def _path_segments(
                 else:
                     attr = (pred, None)
             else:
-                idx = int(pred)
+                try:
+                    idx = int(pred)
+                except ValueError:
+                    raise ValueError(
+                        f"invalid path predicate {pred!r} in segment "
+                        f"{raw!r}: expected a 1-based position or "
+                        "@key(='value')"
+                    ) from None
         segs.append((axis, name, idx, attr))
         axis = "child"
     return segs

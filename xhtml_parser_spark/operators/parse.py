@@ -21,9 +21,7 @@ select before mapInPandas -- check .explain() for ReadSchema.
 from __future__ import annotations
 
 import time
-from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
@@ -37,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.extract import compute_depth_and_last_descendant, extract_main_text
+from ..kernel.extract import compute_depth_and_last_descendant
 from ..kernel.parser import parse_document, parse_texts
 
 PARSED_SCHEMA = StructType(
@@ -85,44 +83,6 @@ ATTRS_SCHEMA = StructType(
 )
 
 
-def _as_bytes(v) -> bytes:
-    if v is None:
-        return b""
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v)
-    return bytes(v)  # arrow may hand back memoryview
-
-
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        n = len(urls)
-        cols: dict[str, list] = {k.name: [] for k in PARSED_SCHEMA.fields}
-        for j in range(n):
-            html = _as_bytes(htmls[j])
-            t0 = time.perf_counter_ns()
-            (
-                ok, text, text_main, n_nodes, n_attrs, n_text, max_depth,
-                err_class, err_pos, err_msg,
-            ) = parse_texts(html)
-            dt = time.perf_counter_ns() - t0
-            cols["url"].append(urls[j])
-            cols["text"].append(text)
-            cols["text_main"].append(text_main)
-            cols["n_nodes"].append(n_nodes)
-            cols["n_attrs"].append(n_attrs)
-            cols["n_text_nodes"].append(n_text)
-            cols["max_depth"].append(max_depth)
-            cols["html_bytes"].append(len(html))
-            cols["parse_ok"].append(ok)
-            cols["error_class"].append(err_class)
-            cols["error_pos"].append(err_pos)
-            cols["error_msg"].append(err_msg)
-            cols["kernel_ns"].append(dt)
-        yield pd.DataFrame(cols)
-
-
 def _parse_arrow_batches(batches):
     """mapInArrow kernel driver: zero-copy memoryview slices into the
     binary column's data buffer feed the C kernel directly -- no pandas
@@ -132,7 +92,6 @@ def _parse_arrow_batches(batches):
 
     for rb in batches:
         urls = rb.column(0)
-        htmls = rb.column(1)
         n = rb.num_rows
         texts: list = [None] * n
         mains: list = [None] * n
@@ -146,19 +105,9 @@ def _parse_arrow_batches(batches):
         err_p: list = [None] * n
         err_m: list = [None] * n
         kns = [0] * n
-        # zero-copy access to the variable-length binary payloads:
-        # buffers() = [validity, int32 offsets, data]; respect the
-        # array's slice offset
-        bufs = htmls.buffers()
-        offs = memoryview(bufs[1]).cast("i")
-        databuf = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-        o0 = htmls.offset
-        nulls = htmls.is_null().to_pylist() if htmls.null_count else None
+        html_at = _html_views(rb)
         for j in range(n):
-            if nulls is not None and nulls[j]:
-                h: bytes | memoryview = b""
-            else:
-                h = databuf[offs[o0 + j] : offs[o0 + j + 1]]
+            h = html_at(j)
             t0 = time.perf_counter_ns()
             (
                 ok, text, text_main, nn, na, nt, md, ec, ep, em
@@ -437,7 +386,11 @@ def parse_nodes(pages: DataFrame) -> DataFrame:
     last_descendant; children of k = parent_id = k). Map-side only;
     emitted as Arrow columns straight from the C kernel's packed
     arrays (mirrors reference all_nodes iteration,
-    src/document.rs:733-811, as a columnar scan)."""
+    src/document.rs:733-811, as a columnar scan).
+
+    Documents that fail to parse contribute NO rows here (a failed
+    parse has no tree); join against parse_pages on url for the error
+    class/message of the omitted documents."""
     return pages.select("url", "html").mapInArrow(_nodes_arrow_batches, NODES_SCHEMA)
 
 
@@ -502,7 +455,8 @@ def _attrs_arrow_batches(batches):
 def parse_attrs(pages: DataFrame) -> DataFrame:
     """Exploded attribute table (duplicate names kept; first-wins
     semantics are a MIN(attr_idx) aggregation on the read side).
-    Map-side only, columnar straight from the packed attr arrays."""
+    Map-side only, columnar straight from the packed attr arrays.
+    Failed-parse documents contribute no rows (see parse_nodes)."""
     return pages.select("url", "html").mapInArrow(_attrs_arrow_batches, ATTRS_SCHEMA)
 
 

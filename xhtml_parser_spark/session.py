@@ -28,11 +28,22 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     base = os.path.dirname(pkg_root)
-    zpath = os.path.join(tempfile.gettempdir(), "xhtml_parser_spark_pkg.zip")
+    # unique per-process name: a fixed shared path races concurrent
+    # drivers on one host (truncate-while-fetch) and collides across
+    # users in a sticky-bit tempdir
+    fd, zpath = tempfile.mkstemp(
+        prefix="xhtml_parser_spark_pkg_", suffix=".zip"
+    )
+    os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
         for dirpath, _, files in os.walk(pkg_root):
             for f in files:
-                if f.endswith(".py"):
+                # ship the C kernel source too: workers importing from
+                # the zip rebuild the accel module locally (the accel
+                # loader reads the source via pkgutil, which works from
+                # zipimport); a .py-only zip silently demoted every
+                # worker to the pure-Python kernel
+                if f.endswith((".py", ".c")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, base))
     spark.sparkContext.addPyFile(zpath)

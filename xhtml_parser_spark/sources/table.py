@@ -43,7 +43,12 @@ class SnapshotTable:
         out = set()
         for f in os.listdir(self.commits_dir):
             if f.startswith("slice-") and f.endswith(".json"):
-                out.add(int(f[len("slice-") : -len(".json")]))
+                sid = f[len("slice-") : -len(".json")]
+                # ignore stray near-matches (editor backups, manual
+                # copies like 'slice-3 (copy).json') instead of taking
+                # the whole table down with a ValueError
+                if sid.isdigit():
+                    out.add(int(sid))
         return out
 
     def _commit_manifest(
@@ -55,6 +60,14 @@ class SnapshotTable:
     ) -> dict[str, Any]:
         """The one atomic-commit implementation: tmp-write the manifest,
         then rename. A slice is committed IFF its manifest exists."""
+        reserved = {"slice_id", "run_id", "committed_at_unix", "files"}
+        clash = reserved & set(meta or {})
+        if clash:
+            raise ValueError(
+                f"meta keys {sorted(clash)} collide with reserved manifest "
+                "fields (they would clobber the committed file list / "
+                "time-travel key)"
+            )
         manifest = {
             "slice_id": slice_id,
             "run_id": run_id,
