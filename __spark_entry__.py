@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -35,34 +33,41 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _ensure_pkg(spark: SparkSession) -> None:
-    """Ship the package to python workers (works in any deploy mode)."""
-    if getattr(_ensure_pkg, "_done", None) is spark:
-        return
-    pkg = os.path.join(_REPO, "xhtml_parser_spark")
-    zpath = os.path.join(tempfile.gettempdir(), "xhtml_parser_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for dirpath, _, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(dirpath, f)
-                    z.write(full, os.path.relpath(full, _REPO))
-    spark.sparkContext.addPyFile(zpath)
-    _ensure_pkg._done = spark
+    """Ship the package to python workers (works in any deploy mode --
+    the harness may build its own SparkSession, bypassing get_spark).
+    Delegates to session.ship_package: the one implementation that
+    includes the C kernel source (a .py-only zip silently demotes every
+    worker to the pure-Python kernel) and uses a unique zip path."""
+    from xhtml_parser_spark.session import ship_package
+
+    ship_package(spark)
+
+
+def _pin_tz(spark: SparkSession) -> None:
+    """Pin the session timezone: timestamp literals (tpch cutoff) and
+    timestamp rendering (event windows, session starts) must match the
+    TZ-naive DuckDB oracle, and the harness may hand us a session built
+    on a non-UTC host. Runtime-settable SQLConf, so safe per-query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_tz(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_tz(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_tz(spark)
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_tz(spark)
     return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
 
@@ -255,6 +260,10 @@ def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</body></html>"),
     )
     pages = _pages_from_docs(docs, html)
+    # persisted because three path queries consume it; the cache stays
+    # live behind the returned DataFrame (same contract as the lsh/ann
+    # signature caches) -- sessions issuing this repeatedly should
+    # clearCache() between runs, as bench.py does
     nodes = parse_nodes(pages).persist()
     attrs = parse_attrs(pages)
     all_p = (
@@ -323,6 +332,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import minhash_signatures
 
     # testdata documents.parquet is one tiny split; fan the CPU-bound
@@ -337,6 +347,7 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs; integer intersection/union sizes only (the
     float jac = inter/uni is derived) so the oracle hash is exact."""
+    _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
@@ -395,6 +406,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
     from xhtml_parser_spark.operators.similarity import ann_lsh_topk
 
     return ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)

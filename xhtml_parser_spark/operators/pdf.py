@@ -153,7 +153,10 @@ def make_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
 # ---------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
-_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+$")
+# ISO 32000 reals include trailing-dot forms ('3.') and leading-dot
+# ('.5'); rejecting '3.' would drop a Td operand and shift every
+# subsequent run's position
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)$")
 
 
 def _read_pdf_string(b: bytes, i: int) -> tuple[bytes, int]:
@@ -288,7 +291,11 @@ def _tokenize_content(b: bytes):
             i = j
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the full digit run first: without it, '/Length 44 0 R'
+# backtracks to capture '4' (the lookahead then sees '4 0 R', not
+# ' 0 R') and an indirect multi-digit reference is misread as a tiny
+# direct length
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _extract_streams(b: bytes) -> list[bytes]:
@@ -369,12 +376,11 @@ def extract_pdf_runs(b: bytes) -> tuple[list[tuple[int, float, float, str]], boo
                 elif kind == "str":
                     stack.append(val)  # type: ignore[arg-type]
                 elif kind == "arr":
-                    if in_text:
-                        txt = b"".join(v for k2, v in val if k2 == "str")
-                        runs.append(
-                            (page, x, y, txt.decode("utf-8", errors="replace"))
-                        )
-                    stack.clear()
+                    # push; a run is emitted only when a TJ operator
+                    # consumes it -- arrays inside BT..ET are also legal
+                    # as graphics-state operands ('[2 4] 0 d' dash
+                    # patterns), which must not produce phantom runs
+                    stack.append(val)  # type: ignore[arg-type]
                 else:  # operator
                     op = val
                     if op == b"BT":
@@ -392,6 +398,18 @@ def extract_pdf_runs(b: bytes) -> tuple[list[tuple[int, float, float, str]], boo
                     elif op == b"T*":
                         ly -= 14.0  # default leading stand-in
                         x, y = lx, ly
+                    elif op == b"TJ" and in_text:
+                        arr = next(
+                            (v for v in reversed(stack) if isinstance(v, list)),
+                            None,
+                        )
+                        if arr is not None:
+                            txt = b"".join(v for k2, v in arr if k2 == "str")
+                            if txt:  # kerning-only arrays show nothing
+                                runs.append(
+                                    (page, x, y,
+                                     txt.decode("utf-8", errors="replace"))
+                                )
                     elif op in (b"Tj", b"'", b'"') and in_text:
                         sv = next(
                             (v for v in reversed(stack) if isinstance(v, bytes)),

@@ -61,6 +61,10 @@ def get_spark(
     spark = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # deterministic timestamp semantics regardless of host TZ:
+        # cross-engine oracle comparisons and window/session outputs
+        # are TZ-naive
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
