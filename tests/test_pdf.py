@@ -103,6 +103,50 @@ def test_hex_string_and_tj_array():
     assert runs[1][2] == 706.0
 
 
+def _wrap_stream(content: bytes, length_field: bytes | None = None) -> bytes:
+    if length_field is None:
+        length_field = b"/Length %d" % len(content)
+    body = b"<< %s >>\nstream\n%s\nendstream" % (length_field, content)
+    return (
+        b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+        b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_dash_pattern_array_is_not_a_phantom_run():
+    """Arrays inside BT..ET are also legal graphics operands ('[2 4] 0 d'
+    dash patterns) and kerning-only TJ arrays show nothing -- neither
+    may emit a run."""
+    content = (
+        b"BT /F1 12 Tf [2 4] 0 d 72 720 Td (real) Tj [ -250 ] TJ "
+        b"[(x) -120 (y)] TJ ET"
+    )
+    runs, ok = extract_pdf_runs(_wrap_stream(content))
+    assert ok
+    assert [r[3] for r in runs] == ["real", "xy"]
+
+
+def test_trailing_dot_real_positions():
+    """ISO 32000 reals like '710.' must parse as numbers, not drop the
+    Td operand (which would shift every subsequent run)."""
+    content = b"BT /F1 12 Tf 72. 710. Td (t) Tj ET"
+    runs, ok = extract_pdf_runs(_wrap_stream(content))
+    assert ok
+    assert runs == [(0, 72.0, 710.0, "t")]
+
+
+def test_indirect_multidigit_length_falls_back_to_endstream_scan():
+    """'/Length 44 0 R' must NOT backtrack-match as direct length 4:
+    the extractor falls back to the endstream scan and still reads the
+    full stream."""
+    content = b"BT /F1 12 Tf 72 720 Td (indirect) Tj ET"
+    runs, ok = extract_pdf_runs(
+        _wrap_stream(content, length_field=b"/Length 44 0 R")
+    )
+    assert ok
+    assert [r[3] for r in runs] == ["indirect"]
+
+
 @settings(max_examples=150, deadline=3000)
 @given(st.text(alphabet=st.characters(codec="utf-8"), max_size=300))
 def test_fuzz_roundtrip(text: str):
