@@ -31,6 +31,18 @@ _LAZY = {
     "parse_nodes": ("xhtml_parser_spark.operators", "parse_nodes"),
     "parse_attrs": ("xhtml_parser_spark.operators", "parse_attrs"),
     "parse_full": ("xhtml_parser_spark.operators", "parse_full"),
+    "xpath_nodes": ("xhtml_parser_spark.operators.xpath", "xpath_nodes"),
+    "select_path": ("xhtml_parser_spark.kernel.document", "select_path"),
+    "exact_dedup": ("xhtml_parser_spark.operators.dedup", "exact_dedup"),
+    "minhash_signatures": ("xhtml_parser_spark.operators.dedup", "minhash_signatures"),
+    "lsh_candidate_pairs": ("xhtml_parser_spark.operators.dedup", "lsh_candidate_pairs"),
+    "simhash64": ("xhtml_parser_spark.operators.dedup", "simhash64"),
+    "simhash_pairs": ("xhtml_parser_spark.operators.dedup", "simhash_pairs"),
+    "brute_force_topk": ("xhtml_parser_spark.operators.similarity", "brute_force_topk"),
+    "ann_lsh_topk": ("xhtml_parser_spark.operators.similarity", "ann_lsh_topk"),
+    "ivf_topk": ("xhtml_parser_spark.operators.similarity", "ivf_topk"),
+    "embedding_neardup_pairs": (
+        "xhtml_parser_spark.operators.similarity", "embedding_neardup_pairs"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
     "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
