@@ -1,0 +1,132 @@
+"""WARC source: record-parser unit tests + Spark datasource roundtrip
+(synth corpus -> .warc.gz -> read_warc -> parse_pages equals the
+parquet-path extraction)."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import io
+import os
+
+import pytest
+
+from xhtml_parser_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    write_warc_gz,
+)
+
+TS = datetime.datetime(2025, 8, 8, 12, 0, 0)
+
+
+def _records(raw: bytes):
+    return list(iter_warc_records(io.BytesIO(raw)))
+
+
+def test_roundtrip_single_record(tmp_path):
+    p = str(tmp_path / "one.warc.gz")
+    write_warc_gz(p, [("http://a.test/x", TS, b"<r>hi</r>")])
+    with gzip.open(p, "rb") as fh:
+        got = list(iter_warc_records(fh))
+    assert got == [("http://a.test/x", TS, b"<r>hi</r>")]
+
+
+def test_writer_is_deterministic(tmp_path):
+    rows = [("http://a.test/%d" % i, TS, b"<r>%d</r>" % i) for i in range(5)]
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc_gz(p1, rows)
+    write_warc_gz(p2, rows)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_non_response_records_skipped():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n"
+        b"info\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: <http://b.test/y>\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        b"Content-Length: 52\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<r>y</r>"
+        b"\r\n\r\n"
+    )
+    got = _records(raw)
+    # the 1.0-style <...> wrapping is stripped
+    assert got == [("http://b.test/y", TS, b"<r>y</r>")]
+
+
+def test_bare_payload_without_http_envelope():
+    body = b"<r>bare</r>"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://c.test/z\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    assert _records(raw) == [("http://c.test/z", TS, body)]
+
+
+def test_truncated_block_raises():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://t.test/\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        b"Content-Length: 999\r\n"
+        b"\r\n"
+        b"short"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        _records(raw)
+
+
+def test_not_warc_raises():
+    with pytest.raises(ValueError, match="not a WARC"):
+        _records(b"GARBAGE\r\n")
+
+
+def test_spark_warc_roundtrip_matches_parquet_path(spark, tmp_path):
+    """synth pages -> .warc.gz shards -> read_warc -> parse_pages must
+    extract byte-identical text to the parquet-path pipeline."""
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators import parse_pages
+    from xhtml_parser_spark.sources import synthesize_pages
+
+    pages = synthesize_pages(spark, 60, max_b=4096)
+    rows = pages.select("url", "warc_ts", "html").collect()
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    for shard in range(3):
+        write_warc_gz(
+            str(wdir / f"seg-{shard}.warc.gz"),
+            [
+                (r["url"], r["warc_ts"], bytes(r["html"]))
+                for i, r in enumerate(rows)
+                if i % 3 == shard
+            ],
+        )
+
+    back = read_warc(spark, str(wdir), num_partitions=2)
+    assert back.count() == 60
+    via_warc = {
+        r["url"]: bytes(r["text"])
+        for r in parse_pages(back).where(F.col("parse_ok")).collect()
+    }
+    via_parquet = {
+        r["url"]: bytes(r["text"])
+        for r in parse_pages(pages).where(F.col("parse_ok")).collect()
+    }
+    assert via_warc == via_parquet
+    # timestamps survive the ISO round trip
+    ts = {r["url"]: r["warc_ts"] for r in back.collect()}
+    want = {r["url"]: r["warc_ts"] for r in rows}
+    assert ts == want

@@ -47,6 +47,7 @@ _LAZY = {
     "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
     "read_parsed": ("xhtml_parser_spark.sources.parse_datasource", "read_parsed"),
+    "read_warc": ("xhtml_parser_spark.sources.warc", "read_warc"),
     "SnapshotTable": ("xhtml_parser_spark.sources.table", "SnapshotTable"),
     "synthesize_pages": ("xhtml_parser_spark.sources", "synthesize_pages"),
     "get_spark": ("xhtml_parser_spark.session", "get_spark"),
