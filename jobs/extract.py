@@ -33,6 +33,13 @@ def main() -> None:
         "JVM sees only lineage rows (input-file-group commit units)",
     )
     ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="input layout: parquet pages table, or a directory of "
+        ".warc(.gz) crawl shards (standard path only)",
+    )
+    ap.add_argument(
         "--layout",
         choices=["range", "hash"],
         default=None,
@@ -56,6 +63,7 @@ def main() -> None:
         max_slices=args.max_slices,
         fused=args.fused,
         layout=args.layout,
+        input_format=args.input_format,
     )
     print(json.dumps(summary))
     spark.stop()

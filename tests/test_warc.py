@@ -130,3 +130,38 @@ def test_spark_warc_roundtrip_matches_parquet_path(spark, tmp_path):
     ts = {r["url"]: r["warc_ts"] for r in back.collect()}
     want = {r["url"]: r["warc_ts"] for r in rows}
     assert ts == want
+
+
+def test_run_extract_over_warc_input(spark, tmp_path):
+    """The flagship job runs straight off a crawl delivery: extraction
+    over .warc.gz shards equals extraction over the same pages as
+    parquet, slice manifests and all."""
+    from xhtml_parser_spark.plans import run_extract
+    from xhtml_parser_spark.plans.extract_job import read_extracted
+    from xhtml_parser_spark.sources import synthesize_pages
+
+    pages = synthesize_pages(spark, 40, max_b=4096)
+    rows = pages.select("url", "warc_ts", "html").collect()
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    write_warc_gz(
+        str(wdir / "seg-0.warc.gz"),
+        [(r["url"], r["warc_ts"], bytes(r["html"])) for r in rows],
+    )
+    pdir = str(tmp_path / "pages_pq")
+    pages.write.parquet(pdir)
+
+    out_w = str(tmp_path / "out_warc")
+    out_p = str(tmp_path / "out_pq")
+    run_extract(spark, str(wdir), out_w, run_id="w", n_slices=2,
+                input_format="warc")
+    run_extract(spark, pdir, out_p, run_id="p", n_slices=2)
+    got_w = {r["url"]: bytes(r["text"])
+             for r in read_extracted(spark, out_w).collect()}
+    got_p = {r["url"]: bytes(r["text"])
+             for r in read_extracted(spark, out_p).collect()}
+    assert got_w == got_p and len(got_w) == 40
+
+    with pytest.raises(ValueError, match="parquet input only"):
+        run_extract(spark, str(wdir), str(tmp_path / "x"), run_id="f",
+                    fused=True, input_format="warc")

@@ -167,6 +167,7 @@ def run_extract(
     max_slices: int | None = None,
     fused: bool = False,
     layout: str | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction. Returns a summary dict.
 
@@ -189,6 +190,15 @@ def run_extract(
     """
     if layout not in (None, "range", "hash"):
         raise ValueError(f"layout must be 'range' or 'hash', got {layout!r}")
+    if input_format not in ("parquet", "warc"):
+        raise ValueError(
+            f"input_format must be 'parquet' or 'warc', got {input_format!r}"
+        )
+    if fused and input_format != "parquet":
+        # the fused reader streams parquet row groups in-task; a crawl
+        # delivery runs the standard path straight off the .warc.gz
+        # shards (or converts to parquet first for the fused sink)
+        raise ValueError("fused=True supports parquet input only")
     if fused:
         if layout is not None:
             # fused output files are input-file-clustered by
@@ -212,7 +222,15 @@ def run_extract(
     healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
 
-    pages = spark.read.parquet(input_path).select("url", "html")
+    if input_format == "warc":
+        from ..sources.warc import read_warc
+
+        pages = read_warc(
+            spark, input_path,
+            num_partitions=spark.sparkContext.defaultParallelism * 4,
+        ).select("url", "html")
+    else:
+        pages = spark.read.parquet(input_path).select("url", "html")
 
     processed = []
     for k in range(n_slices):
