@@ -121,6 +121,48 @@ def main() -> None:
     run_fused()
     fused_sec = min(run_fused() for _ in range(3))
     shutil.rmtree(fused_out, ignore_errors=True)
+
+    # WARC-source path: the same corpus as .warc.gz crawl shards (one
+    # gzip member per record, CC packaging), scan -> parse. Shards are
+    # generated distributed ONCE and cached like the parquet corpus;
+    # the timed pass includes per-record gzip decode, which is the real
+    # ingest cost a crawl-delivery backfill pays.
+    warc_dir = f"/tmp/xps_bench_warc_{n_docs}"
+    if not os.path.exists(os.path.join(warc_dir, "_SUCCESS")):
+        os.makedirs(warc_dir, exist_ok=True)
+
+        def _write_shard(it):
+            import datetime as _dt
+
+            from pyspark import TaskContext
+
+            from xhtml_parser_spark.sources.warc import write_warc_gz
+
+            pid = TaskContext.get().partitionId()
+            rows = [
+                (r["url"], r["warc_ts"], bytes(r["html"])) for r in it
+            ]
+            if rows:
+                write_warc_gz(
+                    os.path.join(warc_dir, f"seg-{pid:05d}.warc.gz"), rows
+                )
+
+        pages.select("url", "warc_ts", "html").foreachPartition(_write_shard)
+        open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
+
+    from xhtml_parser_spark.operators import parse_pages as _pp
+    from xhtml_parser_spark.sources.warc import read_warc
+
+    warc_pages = read_warc(spark, warc_dir, num_partitions=4 * CPUS)
+
+    def run_warc() -> float:
+        t0 = time.monotonic()
+        _pp(warc_pages).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    run_warc()
+    warc_sec = min(run_warc() for _ in range(2))
+
     best_sec = min(parse_sec, ds_sec)
     docs_per_sec = n_docs / best_sec
     mb_per_sec = total_bytes / best_sec / 1e6
@@ -130,6 +172,7 @@ def main() -> None:
         "parse_pipeline": round(parse_sec, 3),
         "parse_pipeline_datasource": round(ds_sec, 3),
         "parse_pipeline_fused_sink": round(fused_sec, 3),
+        "parse_pipeline_warc_source": round(warc_sec, 3),
     }
     # the registry IS the coverage list: every registered query gets a
     # wall (a hand-kept literal list silently drops the next addition)
