@@ -132,6 +132,34 @@ def test_spark_warc_roundtrip_matches_parquet_path(spark, tmp_path):
     assert ts == want
 
 
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """parse -> WET shards -> read back: Common Crawl's extracted-text
+    exchange format as the pipeline's sink."""
+    import glob
+    import gzip as _gzip
+
+    from xhtml_parser_spark.operators import parse_pages
+    from xhtml_parser_spark.sources import synthesize_pages
+    from xhtml_parser_spark.sources.warc import iter_wet_records, write_wet_shards
+
+    pages = synthesize_pages(spark, 30, max_b=4096)
+    parsed = parse_pages(pages).join(
+        pages.select("url", "warc_ts"), "url"
+    )
+    out = str(tmp_path / "wet")
+    write_wet_shards(parsed, out)
+    got = {}
+    for p in glob.glob(out + "/*.wet.gz"):
+        with _gzip.open(p, "rb") as fh:
+            for url, ts, text in iter_wet_records(fh):
+                got[url] = (ts, text)
+    want = {
+        r["url"]: (r["warc_ts"], bytes(r["text"]))
+        for r in parsed.select("url", "warc_ts", "text").collect()
+    }
+    assert got == want and len(got) == 30
+
+
 def test_run_extract_over_warc_input(spark, tmp_path):
     """The flagship job runs straight off a crawl delivery: extraction
     over .warc.gz shards equals extraction over the same pages as

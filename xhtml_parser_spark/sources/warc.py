@@ -123,6 +123,79 @@ def write_warc_gz(path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]
     return n
 
 
+def write_wet_gz(
+    path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]]
+) -> int:
+    """WET sink: extracted text as WARC ``conversion`` records --
+    Common Crawl's exchange format for exactly this pipeline's output
+    (a .wet.gz file per shard, one gzip member per record, text/plain
+    blocks, no HTTP envelope). Deterministic like write_warc_gz.
+    Returns the record count."""
+    n = 0
+    with open(path, "wb") as out:
+        for url, ts, text in rows:
+            hdr = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+                b"Content-Type: text/plain\r\n"
+                b"Content-Length: " + str(len(text)).encode() + b"\r\n"
+                b"\r\n"
+            )
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(hdr + text + b"\r\n\r\n")
+            out.write(buf.getvalue())
+            n += 1
+    return n
+
+
+def iter_wet_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """(url, ts, text) for each ``conversion`` record in a WET stream."""
+    while True:
+        headers = _read_headers(fh)
+        if headers is None:
+            return
+        length = int(headers[b"content-length"])
+        block = fh.read(length)
+        if len(block) != length:
+            raise ValueError("truncated WET record block")
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
+        ts = datetime.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+        ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        yield uri, ts, block
+
+
+def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
+    """Distributed WET export of a DataFrame carrying (url, warc_ts,
+    <text_col>) -- e.g. parse_pages output joined back to the pages
+    table for the timestamp. One .wet.gz shard per partition, written
+    in-task (the same shared-filesystem posture as the fused sink).
+    The crawl-ecosystem-facing sink: downstream consumers that already
+    read CC WET files ingest this pipeline's output unchanged."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [
+            (r["url"], r["warc_ts"], bytes(r[text_col] or b"")) for r in it
+        ]
+        if rows:
+            write_wet_gz(
+                _os.path.join(out_dir, f"part-{pid:05d}.wet.gz"), rows
+            )
+
+    parsed.select("url", "warc_ts", text_col).foreachPartition(_write)
+
+
 def _open_warc(path: str):
     if path.endswith(".gz"):
         # gzip transparently concatenates members -- exactly the
