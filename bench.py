@@ -129,23 +129,30 @@ def main() -> None:
     # ingest cost a crawl-delivery backfill pays.
     warc_dir = f"/tmp/xps_bench_warc_{n_docs}"
     if not os.path.exists(os.path.join(warc_dir, "_SUCCESS")):
+        # a crashed prior generation (no _SUCCESS) may have left shards
+        # for a DIFFERENT partition count; stale seg-*.warc.gz would be
+        # re-ingested as duplicate docs, so start from an empty dir
+        shutil.rmtree(warc_dir, ignore_errors=True)
         os.makedirs(warc_dir, exist_ok=True)
 
         def _write_shard(it):
-            import datetime as _dt
-
             from pyspark import TaskContext
 
             from xhtml_parser_spark.sources.warc import write_warc_gz
 
+            first = next(it, None)
+            if first is None:
+                return
             pid = TaskContext.get().partitionId()
-            rows = [
-                (r["url"], r["warc_ts"], bytes(r["html"])) for r in it
-            ]
-            if rows:
-                write_warc_gz(
-                    os.path.join(warc_dir, f"seg-{pid:05d}.warc.gz"), rows
-                )
+
+            def rows():
+                yield first["url"], first["warc_ts"], bytes(first["html"])
+                for r in it:
+                    yield r["url"], r["warc_ts"], bytes(r["html"])
+
+            write_warc_gz(
+                os.path.join(warc_dir, f"seg-{pid:05d}.warc.gz"), rows()
+            )
 
         pages.select("url", "warc_ts", "html").foreachPartition(_write_shard)
         open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
@@ -161,7 +168,9 @@ def main() -> None:
         return time.monotonic() - t0
 
     run_warc()
-    warc_sec = min(run_warc() for _ in range(2))
+    # parse-bench protocol: warm once + min-of-3 (same as the other
+    # parse_pipeline rows, so the numbers stay comparable)
+    warc_sec = min(run_warc() for _ in range(3))
 
     best_sec = min(parse_sec, ds_sec)
     docs_per_sec = n_docs / best_sec

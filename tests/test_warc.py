@@ -93,6 +93,93 @@ def test_not_warc_raises():
         _records(b"GARBAGE\r\n")
 
 
+def _response(block: bytes, extra_hdr: bytes = b"") -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://e.test/\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        + extra_hdr
+        + b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+        b"\r\n" + block + b"\r\n\r\n"
+    )
+
+
+def test_missing_content_length_raises_value_error():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"\r\n"
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        _records(raw)
+
+
+def test_eof_mid_header_block_raises_value_error():
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\n"  # no blank line, EOF
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        _records(raw)
+
+
+def test_folded_header_continuation():
+    """WARC/1.0 allows values continued on a space/tab-led line; the
+    continuation must extend the value, not vanish as a bogus key."""
+    block = b"HTTP/1.1 200 OK\r\n\r\n<r>f</r>"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://long.test/\r\n"
+        b" very/deep/path\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+        b"\r\n" + block + b"\r\n\r\n"
+    )
+    assert _records(raw) == [("http://long.test/ very/deep/path", TS, b"<r>f</r>")]
+
+
+def test_lf_only_http_envelope():
+    """Captured servers that emit bare-LF HTTP headers must not lose
+    the payload (the separator is then LFLF, not CRLFCRLF)."""
+    block = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<r>lf</r>"
+    assert _records(_response(block)) == [("http://e.test/", TS, b"<r>lf</r>")]
+
+
+def test_chunked_body_is_dechunked():
+    body = b"4\r\n<r>c\r\n5\r\n</r>x\r\n0\r\n\r\n"
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    assert _records(_response(block)) == [("http://e.test/", TS, b"<r>c</r>x")]
+
+
+def test_gzip_body_is_decompressed():
+    payload = gzip.compress(b"<r>gz</r>")
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + payload
+    assert _records(_response(block)) == [("http://e.test/", TS, b"<r>gz</r>")]
+
+
+def test_bad_gzip_body_passes_through_raw():
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    assert _records(_response(block)) == [("http://e.test/", TS, b"not-gzip")]
+
+
+def test_timestamp_microseconds_and_tz_roundtrip(tmp_path):
+    """Sub-second precision survives the roundtrip; tz-aware stamps are
+    written as their UTC instant, not their wall time."""
+    micro = datetime.datetime(2025, 8, 8, 12, 0, 0, 123456)
+    plus5 = datetime.datetime(
+        2025, 8, 8, 12, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=5)),
+    )
+    p = str(tmp_path / "ts.warc.gz")
+    write_warc_gz(p, [("http://m.test/", micro, b"<r/>"),
+                      ("http://z.test/", plus5, b"<r/>")])
+    with gzip.open(p, "rb") as fh:
+        got = {u: ts for u, ts, _ in iter_warc_records(fh)}
+    assert got["http://m.test/"] == micro
+    assert got["http://z.test/"] == datetime.datetime(2025, 8, 8, 7, 0, 0)
+
+
 def test_spark_warc_roundtrip_matches_parquet_path(spark, tmp_path):
     """synth pages -> .warc.gz shards -> read_warc -> parse_pages must
     extract byte-identical text to the parquet-path pipeline."""
@@ -193,3 +280,37 @@ def test_run_extract_over_warc_input(spark, tmp_path):
     with pytest.raises(ValueError, match="parquet input only"):
         run_extract(spark, str(wdir), str(tmp_path / "x"), run_id="f",
                     fused=True, input_format="warc")
+
+    # cross-format resume re-keys slice membership (url-hash classes vs
+    # file groups) -> hard error, same rule as fused-vs-standard
+    with pytest.raises(ValueError, match="input_format"):
+        run_extract(spark, pdir, out_w, run_id="w2", n_slices=2)
+    with pytest.raises(ValueError, match="input_format"):
+        run_extract(spark, str(wdir), out_p, run_id="p2", n_slices=2,
+                    input_format="warc")
+
+
+def test_run_extract_warc_resume_refuses_changed_listing(spark, tmp_path):
+    """warc slices are file groups of the sorted listing: adding a
+    shard between runs re-keys every group, so resume must refuse."""
+    from xhtml_parser_spark.plans import run_extract
+    from xhtml_parser_spark.sources import synthesize_pages
+
+    pages = synthesize_pages(spark, 20, max_b=2048)
+    rows = pages.select("url", "warc_ts", "html").collect()
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    write_warc_gz(
+        str(wdir / "seg-0.warc.gz"),
+        [(r["url"], r["warc_ts"], bytes(r["html"])) for r in rows[:10]],
+    )
+    out = str(tmp_path / "out")
+    run_extract(spark, str(wdir), out, run_id="a", n_slices=2,
+                max_slices=1, input_format="warc")
+    write_warc_gz(
+        str(wdir / "seg-1.warc.gz"),
+        [(r["url"], r["warc_ts"], bytes(r["html"])) for r in rows[10:]],
+    )
+    with pytest.raises(ValueError, match="input listing"):
+        run_extract(spark, str(wdir), out, run_id="b", n_slices=2,
+                    input_format="warc")

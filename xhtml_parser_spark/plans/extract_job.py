@@ -112,11 +112,14 @@ def _check_resume_mode(
     fused: bool,
     n_slices: int,
     input_digest: str | None = None,
+    input_format: str = "parquet",
 ) -> None:
     """Refuse to resume a partially-committed table in the other mode.
 
-    Standard slices are url-hash classes; fused slices are input-file
-    groups. Mixing them (or changing n_slices, which re-keys the slice
+    Standard parquet slices are url-hash classes; fused and warc slices
+    are input-file groups (so a crawl delivery gzip-decodes once per
+    job, not once per slice). Mixing modes/formats (or changing
+    n_slices, which re-keys the slice
     membership in both modes) silently duplicates and drops documents
     while the summaries still look exactly-once. Manifests record the
     mode and slice count at commit time; a mismatch is a hard error.
@@ -134,6 +137,15 @@ def _check_resume_mode(
                 f"{committed_fused}; resuming with fused={fused} would "
                 "re-key slice membership (duplicate/missing documents). "
                 "Use a fresh output path or the original mode."
+            )
+        committed_format = m.get("input_format", "parquet")
+        if committed_format != input_format:
+            raise ValueError(
+                f"slice {m['slice_id']} was committed with input_format="
+                f"{committed_format!r}; resuming with input_format="
+                f"{input_format!r} would re-key slice membership "
+                "(url-hash classes vs file groups). Use a fresh output "
+                "path or the original format."
             )
         committed_n = m.get("n_slices")
         if committed_n is not None and committed_n != n_slices:
@@ -217,19 +229,34 @@ def run_extract(
     layout = layout or "range"
     table = SnapshotTable(output_path)
     lineage_table = SnapshotTable(os.path.join(output_path, "_lineage"))
-    _check_resume_mode(table, fused=False, n_slices=n_slices)
+
+    if input_format == "warc":
+        # warc slices are FILE GROUPS (files[k::n_slices] of the sorted
+        # listing, the fused path's commit unit): the python datasource
+        # has no filter pushdown, so url-hash slices would re-read and
+        # gzip-decode the ENTIRE delivery once per slice (a 1 TB
+        # delivery decoding n_slices TB). File groups decode each
+        # archive exactly once per job; membership is a function of the
+        # listing, so manifests record its digest and resume verifies
+        # it (same rule as fused).
+        from ..sources.warc import (
+            list_warc_files, read_warc_files, warc_listing_digest,
+        )
+
+        warc_files = list_warc_files(input_path)
+        input_digest = warc_listing_digest(input_path)
+    else:
+        warc_files = None
+        input_digest = None
+    _check_resume_mode(
+        table, fused=False, n_slices=n_slices,
+        input_digest=input_digest, input_format=input_format,
+    )
     done = table.committed_slices()
     healed = _heal_missing_lineage(spark, table, lineage_table, run_id)
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
 
-    if input_format == "warc":
-        from ..sources.warc import read_warc
-
-        pages = read_warc(
-            spark, input_path,
-            num_partitions=spark.sparkContext.defaultParallelism * 4,
-        ).select("url", "html")
-    else:
+    if input_format != "warc":
         pages = spark.read.parquet(input_path).select("url", "html")
 
     processed = []
@@ -239,7 +266,16 @@ def run_extract(
         if max_slices is not None and len(processed) >= max_slices:
             break
         t0 = time.monotonic()
-        slice_df = pages.where(F.pmod(F.xxhash64("url"), F.lit(n_slices)) == k)
+        if warc_files is not None:
+            group = warc_files[k::n_slices]
+            if group:
+                slice_df = read_warc_files(spark, group).select("url", "html")
+            else:  # n_slices > file count: commit an empty slice
+                slice_df = spark.createDataFrame([], "url string, html binary")
+        else:
+            slice_df = pages.where(
+                F.pmod(F.xxhash64("url"), F.lit(n_slices)) == k
+            )
         # B3: range-partition by url hash (north_rule) -- contiguous
         # hash ranges per output partition give a deterministic, nearly
         # uniform layout that downstream range reads can prune; the
@@ -255,9 +291,13 @@ def run_extract(
         parsed = parse_pages(sliced).withColumn(
             "partition_id", F.spark_partition_id()
         )
-        table.write_slice(
-            parsed, k, run_id, meta={"fused": False, "n_slices": n_slices}
-        )
+        meta = {
+            "fused": False, "n_slices": n_slices,
+            "input_format": input_format,
+        }
+        if input_digest is not None:
+            meta["input_digest"] = input_digest
+        table.write_slice(parsed, k, run_id, meta=meta)
         # lineage from the committed (manifest-listed) files -- counts
         # describe what landed; no double parse
         lineage_table.write_slice(

@@ -7,34 +7,46 @@ possible on CC's S3 buckets). This module provides:
   * ``iter_warc_records(stream)``  -- pure-Python WARC/1.0 record
     parser (headers + Content-Length-framed block), response records
     reduced to (url, warc_ts, html) with the HTTP response envelope
-    stripped;
+    stripped (incl. de-chunking Transfer-Encoding: chunked bodies and
+    decompressing Content-Encoding: gzip/deflate ones, as warcio and
+    every CC consumer does);
   * ``write_warc_gz(path, rows)`` -- deterministic writer (one gzip
     member per record, mtime pinned) used by tests and corpus
     synthesis;
-  * a Spark Python Data Source ``xps_warc`` scanning a directory of
-    ``.warc(.gz)`` files into the standard PAGES_SCHEMA -- one
-    partition per file group (listing/grouping shared with the other
-    python sources), the scan itself streaming: records decode one at
-    a time inside the python task, so a 1 GB archive never
-    materializes.
+  * ``write_wet_gz`` / ``iter_wet_records`` / ``write_wet_shards`` --
+    the WET (extracted-text ``conversion`` record) counterpart, the
+    crawl ecosystem's exchange format for exactly this pipeline's
+    output;
+  * a Spark Python Data Source ``xps_warc`` scanning ``.warc(.gz)``
+    files into the standard PAGES_SCHEMA -- one partition per file
+    group (listing/grouping shared with the other python sources), the
+    scan itself streaming: records decode one at a time inside the
+    python task, so a 1 GB archive never materializes.
 
 At scale the posture matches the fused reader: the work unit is the
 input file, partitions() lists the directory on the driver, and
 parallelism comes from the file count (CC segments ship ~1 GB
-apiece -- thousands of files per crawl).
+apiece -- thousands of files per crawl). run_extract's warc path
+slices by FILE GROUP (files[k::n_slices] of the sorted listing, the
+fused path's commit unit) so each archive is gzip-decoded exactly
+once per job, not once per slice.
 
 The HTTP envelope strip follows what CC consumers do: the record block
 of a ``response`` record is an HTTP/1.x message; everything past the
-first CRLFCRLF is the payload. ``WARC-Target-URI`` and ``WARC-Date``
-(ISO 8601, UTC) map to (url, warc_ts).
+first blank line (CRLFCRLF per spec, bare LFLF tolerated -- real
+crawls capture servers that emit either) is the payload.
+``WARC-Target-URI`` and ``WARC-Date`` (ISO 8601, UTC) map to
+(url, warc_ts).
 """
 
 from __future__ import annotations
 
 import datetime
 import gzip
+import hashlib
 import io
 import os
+import zlib
 from typing import Iterable, Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -44,7 +56,9 @@ _CRLF = b"\r\n"
 
 def _read_headers(fh) -> dict[bytes, bytes] | None:
     """Read a WARC header block (terminated by an empty line). Returns
-    None at clean EOF. Raises on a malformed block."""
+    None at clean EOF. Raises ValueError on a malformed or truncated
+    block. Folded continuation lines (leading space/tab, legal in
+    WARC/1.0) append to the previous header's value."""
     first = fh.readline()
     # tolerate inter-record blank lines (the spec mandates exactly two
     # CRLFs after the block; be liberal in what we accept)
@@ -55,66 +69,150 @@ def _read_headers(fh) -> dict[bytes, bytes] | None:
     if not first.startswith(b"WARC/"):
         raise ValueError(f"not a WARC record header: {first[:40]!r}")
     headers: dict[bytes, bytes] = {}
+    last_key: bytes | None = None
     while True:
         line = fh.readline()
-        if line in (_CRLF, b"\n", b""):
+        if line in (_CRLF, b"\n"):
             return headers
+        if line == b"":
+            raise ValueError("truncated WARC header block (EOF before blank line)")
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            # folded header: continuation of the previous value
+            headers[last_key] += b" " + line.strip()
+            continue
         k, _, v = line.partition(b":")
-        headers[k.strip().lower()] = v.strip()
+        last_key = k.strip().lower()
+        headers[last_key] = v.strip()
 
 
-def iter_warc_records(
-    fh,
+def _read_block(fh, headers: dict[bytes, bytes]) -> bytes:
+    if b"content-length" not in headers:
+        raise ValueError("WARC record missing Content-Length header")
+    length = int(headers[b"content-length"])
+    block = fh.read(length)
+    if len(block) != length:
+        raise ValueError("truncated WARC record block")
+    return block
+
+
+def _parse_ts(headers: dict[bytes, bytes]) -> datetime.datetime:
+    ts_raw = headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
+    ts = datetime.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+    return ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+
+
+def _format_ts(ts: datetime.datetime) -> bytes:
+    """WARC-Date bytes for a datetime: tz-aware values are converted to
+    the UTC instant (naive ones are taken as already-UTC, the pages
+    convention), sub-second precision is preserved when present (WARC
+    1.1 allows it; second-only stamps stay in the 1.0 shape)."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
+    return ts.strftime(fmt).encode()
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP body; malformed framing
+    returns what decoded so far plus nothing (never raises -- a crawl
+    row with a bad body should surface as a parse error, not kill the
+    task)."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[nl + 2 : nl + 2 + size]
+        out.append(chunk)
+        if len(chunk) != size:
+            break
+        pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
+    return b"".join(out)
+
+
+def _http_payload(block: bytes) -> bytes:
+    """Strip the HTTP/1.x envelope from a response block: payload =
+    bytes past the first blank line (CRLFCRLF, or bare LFLF for
+    LF-only captures), de-chunked / decompressed per the envelope's
+    Transfer-Encoding / Content-Encoding. A block without a blank line
+    is all headers -- empty payload."""
+    i_crlf = block.find(b"\r\n\r\n")
+    i_lf = block.find(b"\n\n")
+    if i_crlf >= 0 and (i_lf < 0 or i_crlf + 1 <= i_lf):
+        head, payload = block[:i_crlf], block[i_crlf + 4 :]
+    elif i_lf >= 0:
+        head, payload = block[:i_lf], block[i_lf + 2 :]
+    else:
+        return b""
+    lower = head.lower()
+    if b"transfer-encoding:" in lower and b"chunked" in lower:
+        payload = _dechunk(payload)
+    if b"content-encoding:" in lower and (
+        b"gzip" in lower or b"deflate" in lower
+    ):
+        try:
+            if payload[:2] == b"\x1f\x8b":
+                payload = gzip.decompress(payload)
+            else:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+        except (OSError, zlib.error):
+            pass  # keep raw bytes; the parser reports them as bad XHTML
+    return payload
+
+
+def _iter_typed_records(
+    fh, want_type: bytes, strip_http: bool
 ) -> Iterator[tuple[str, datetime.datetime, bytes]]:
-    """(url, warc_ts, html) for each ``response`` record in a WARC
-    stream (plain or wrapped in a decompressing file object). Non-
-    response records (warcinfo, request, metadata) are skipped; the
-    HTTP envelope is stripped from response blocks."""
+    """Shared WARC/WET record walk: (url, ts, block) for records of
+    ``want_type``, other record types (warcinfo, request, metadata)
+    skipped after their framed block is consumed."""
     while True:
         headers = _read_headers(fh)
         if headers is None:
             return
-        length = int(headers[b"content-length"])
-        block = fh.read(length)
-        if len(block) != length:
-            raise ValueError("truncated WARC record block")
-        if headers.get(b"warc-type") != b"response":
+        block = _read_block(fh, headers)
+        if headers.get(b"warc-type") != want_type:
             continue
         uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         # strip a wrapping <...> (WARC 1.0 allowed it; 1.1 forbids it)
         if uri.startswith("<") and uri.endswith(">"):
             uri = uri[1:-1]
-        ts_raw = headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
-        ts = datetime.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
-        ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        # response block = HTTP message; payload follows the first
-        # CRLFCRLF (CC convention; a bare payload without an HTTP
-        # status line is passed through whole)
-        if block.startswith(b"HTTP/"):
-            sep = block.find(b"\r\n\r\n")
-            payload = block[sep + 4 :] if sep >= 0 else b""
+        ts = _parse_ts(headers)
+        if strip_http and block.startswith(b"HTTP/"):
+            payload = _http_payload(block)
         else:
             payload = block
         yield uri, ts, payload
 
 
-def write_warc_gz(path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]]) -> int:
-    """Deterministic .warc.gz writer: one gzip member per response
-    record (the CC packaging), mtime pinned to 0 so identical input
-    produces identical bytes. Returns the record count."""
+def iter_warc_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """(url, warc_ts, html) for each ``response`` record in a WARC
+    stream (plain or wrapped in a decompressing file object). Non-
+    response records are skipped; the HTTP envelope is stripped from
+    response blocks (chunked bodies de-chunked, gzip/deflate bodies
+    decompressed)."""
+    return _iter_typed_records(fh, b"response", strip_http=True)
+
+
+def iter_wet_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """(url, ts, text) for each ``conversion`` record in a WET stream."""
+    return _iter_typed_records(fh, b"conversion", strip_http=False)
+
+
+def _write_members_gz(path: str, records: Iterable[bytes]) -> int:
+    """One gzip member per record, mtime pinned to 0 (deterministic:
+    identical input produces identical bytes). Returns the count."""
     n = 0
     with open(path, "wb") as out:
-        for url, ts, html in rows:
-            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
-            hdr = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
-                b"WARC-Target-URI: " + url.encode() + b"\r\n"
-                b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
-                b"Content-Length: " + str(len(http)).encode() + b"\r\n"
-                b"\r\n"
-            )
-            record = hdr + http + b"\r\n\r\n"
+        for record in records:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                 gz.write(record)
@@ -123,60 +221,67 @@ def write_warc_gz(path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]
     return n
 
 
+def _record_bytes(
+    warc_type: bytes, url: str, ts: datetime.datetime, block: bytes,
+    extra: bytes = b"",
+) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + warc_type + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + _format_ts(ts) + b"\r\n"
+        + extra
+        + b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return hdr + block + b"\r\n\r\n"
+
+
+def write_warc_gz(
+    path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]]
+) -> int:
+    """Deterministic .warc.gz writer: one gzip member per ``response``
+    record (the CC packaging). Returns the record count."""
+    return _write_members_gz(
+        path,
+        (
+            _record_bytes(
+                b"response", url, ts,
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html,
+            )
+            for url, ts, html in rows
+        ),
+    )
+
+
 def write_wet_gz(
     path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]]
 ) -> int:
     """WET sink: extracted text as WARC ``conversion`` records --
     Common Crawl's exchange format for exactly this pipeline's output
-    (a .wet.gz file per shard, one gzip member per record, text/plain
-    blocks, no HTTP envelope). Deterministic like write_warc_gz.
-    Returns the record count."""
-    n = 0
-    with open(path, "wb") as out:
-        for url, ts, text in rows:
-            hdr = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: conversion\r\n"
-                b"WARC-Target-URI: " + url.encode() + b"\r\n"
-                b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
-                b"Content-Type: text/plain\r\n"
-                b"Content-Length: " + str(len(text)).encode() + b"\r\n"
-                b"\r\n"
+    (one gzip member per record, text/plain blocks, no HTTP envelope).
+    Deterministic like write_warc_gz. Returns the record count."""
+    return _write_members_gz(
+        path,
+        (
+            _record_bytes(
+                b"conversion", url, ts, text,
+                extra=b"Content-Type: text/plain\r\n",
             )
-            buf = io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                gz.write(hdr + text + b"\r\n\r\n")
-            out.write(buf.getvalue())
-            n += 1
-    return n
-
-
-def iter_wet_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
-    """(url, ts, text) for each ``conversion`` record in a WET stream."""
-    while True:
-        headers = _read_headers(fh)
-        if headers is None:
-            return
-        length = int(headers[b"content-length"])
-        block = fh.read(length)
-        if len(block) != length:
-            raise ValueError("truncated WET record block")
-        if headers.get(b"warc-type") != b"conversion":
-            continue
-        uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-        ts_raw = headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
-        ts = datetime.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
-        ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        yield uri, ts, block
+            for url, ts, text in rows
+        ),
+    )
 
 
 def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
     """Distributed WET export of a DataFrame carrying (url, warc_ts,
     <text_col>) -- e.g. parse_pages output joined back to the pages
     table for the timestamp. One .wet.gz shard per partition, written
-    in-task (the same shared-filesystem posture as the fused sink).
-    The crawl-ecosystem-facing sink: downstream consumers that already
-    read CC WET files ingest this pipeline's output unchanged."""
+    in-task (the same shared-filesystem posture as the fused sink) and
+    STREAMED record by record -- the partition never materializes in
+    the python worker. The crawl-ecosystem-facing sink: downstream
+    consumers that already read CC WET files ingest this pipeline's
+    output unchanged."""
     import os as _os
 
     _os.makedirs(out_dir, exist_ok=True)
@@ -184,14 +289,17 @@ def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
     def _write(it):
         from pyspark import TaskContext
 
+        first = next(it, None)
+        if first is None:
+            return  # empty partition: no shard file
         pid = TaskContext.get().partitionId()
-        rows = [
-            (r["url"], r["warc_ts"], bytes(r[text_col] or b"")) for r in it
-        ]
-        if rows:
-            write_wet_gz(
-                _os.path.join(out_dir, f"part-{pid:05d}.wet.gz"), rows
-            )
+
+        def rows():
+            yield first["url"], first["warc_ts"], bytes(first[text_col] or b"")
+            for r in it:
+                yield r["url"], r["warc_ts"], bytes(r[text_col] or b"")
+
+        write_wet_gz(_os.path.join(out_dir, f"part-{pid:05d}.wet.gz"), rows())
 
     parsed.select("url", "warc_ts", text_col).foreachPartition(_write)
 
@@ -204,6 +312,28 @@ def _open_warc(path: str):
     return open(path, "rb")
 
 
+def list_warc_files(input_dir: str) -> list[str]:
+    """Sorted absolute paths of the dir's .warc(.gz) files; raises on
+    an empty listing (mirrors listing.list_parquet_files)."""
+    files = sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith((".warc", ".warc.gz"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no .warc(.gz) files under {input_dir}")
+    return files
+
+
+def warc_listing_digest(input_dir: str) -> str:
+    """md5 of the sorted .warc basename listing -- run_extract's warc
+    slice membership is files[k::n_slices] of this listing, so resume
+    must refuse to continue when it changes (mirrors
+    listing.listing_digest for parquet)."""
+    names = "\n".join(os.path.basename(f) for f in list_warc_files(input_dir))
+    return hashlib.md5(names.encode()).hexdigest()
+
+
 class _WarcPartition(InputPartition):
     def __init__(self, paths: list[str]):
         self.paths = paths
@@ -212,20 +342,18 @@ class _WarcPartition(InputPartition):
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
-        if not self.path:
-            raise ValueError("xps_warc requires a path")
+        self.files = options.get("files")  # newline-joined explicit list
+        if not self.path and not self.files:
+            raise ValueError("xps_warc requires a path or a files option")
         self.num_partitions = int(options.get("num_partitions", "0"))
 
     def partitions(self):
         from .listing import group_round_robin
 
-        files = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith((".warc", ".warc.gz"))
-        )
-        if not files:
-            raise FileNotFoundError(f"no .warc(.gz) files under {self.path}")
+        if self.files:
+            files = [f for f in self.files.split("\n") if f]
+        else:
+            files = list_warc_files(self.path)
         return [
             _WarcPartition(g) for g in group_round_robin(files, self.num_partitions)
         ]
@@ -261,6 +389,18 @@ def read_warc(spark, path: str, num_partitions: int | None = None):
     (PAGES_SCHEMA). Feed straight into parse_pages/run_extract."""
     register(spark)
     reader = spark.read.format("xps_warc").option("path", path)
+    if num_partitions:
+        reader = reader.option("num_partitions", str(num_partitions))
+    return reader.load()
+
+
+def read_warc_files(spark, files: list[str], num_partitions: int | None = None):
+    """Explicit .warc(.gz) file list -> pages DataFrame. The slice
+    reader for run_extract's warc path: each slice reads (and gzip-
+    decodes) ONLY its own file group, so a delivery is decoded once
+    per job instead of once per slice."""
+    register(spark)
+    reader = spark.read.format("xps_warc").option("files", "\n".join(files))
     if num_partitions:
         reader = reader.option("num_partitions", str(num_partitions))
     return reader.load()
