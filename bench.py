@@ -133,28 +133,10 @@ def main() -> None:
         # for a DIFFERENT partition count; stale seg-*.warc.gz would be
         # re-ingested as duplicate docs, so start from an empty dir
         shutil.rmtree(warc_dir, ignore_errors=True)
-        os.makedirs(warc_dir, exist_ok=True)
 
-        def _write_shard(it):
-            from pyspark import TaskContext
+        from xhtml_parser_spark.sources.warc import write_warc_shards
 
-            from xhtml_parser_spark.sources.warc import write_warc_gz
-
-            first = next(it, None)
-            if first is None:
-                return
-            pid = TaskContext.get().partitionId()
-
-            def rows():
-                yield first["url"], first["warc_ts"], bytes(first["html"])
-                for r in it:
-                    yield r["url"], r["warc_ts"], bytes(r["html"])
-
-            write_warc_gz(
-                os.path.join(warc_dir, f"seg-{pid:05d}.warc.gz"), rows()
-            )
-
-        pages.select("url", "warc_ts", "html").foreachPartition(_write_shard)
+        write_warc_shards(pages, warc_dir)
         open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
 
     from xhtml_parser_spark.operators import parse_pages as _pp

@@ -180,6 +180,69 @@ def test_timestamp_microseconds_and_tz_roundtrip(tmp_path):
     assert got["http://z.test/"] == datetime.datetime(2025, 8, 8, 7, 0, 0)
 
 
+def test_already_dechunked_body_kept_raw():
+    """A record whose header says chunked but whose stored body is the
+    already-decoded stream (proxies/crawlers that de-chunk but keep the
+    header) must keep its bytes -- the old behavior silently emptied
+    the document."""
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"<r>plain, not chunk-framed</r>"
+    )
+    assert _records(_response(block)) == [
+        ("http://e.test/", TS, b"<r>plain, not chunk-framed</r>")
+    ]
+
+
+def test_chunked_body_with_bare_lf_framing():
+    """LF-only captures frame chunks with bare LFs too."""
+    body = b"4\n<r>c\n5\n</r>x\n0\n\n"
+    block = b"HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n\n" + body
+    assert _records(_response(block)) == [("http://e.test/", TS, b"<r>c</r>x")]
+
+
+def test_extension_headers_do_not_trigger_decoding():
+    """Transfer/Content-Encoding detection matches the header NAME, not
+    a substring of the whole block: X-Original-Transfer-Encoding (a
+    de-chunking proxy's breadcrumb) and an ETag containing "gzip" must
+    not reroute the body through _dechunk/decompress."""
+    block = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"X-Original-Transfer-Encoding: chunked\r\n"
+        b'ETag: "abc-gzip"\r\n'
+        b"\r\n<r>verbatim</r>"
+    )
+    assert _records(_response(block)) == [("http://e.test/", TS, b"<r>verbatim</r>")]
+
+
+def test_tzless_warc_date_taken_as_utc():
+    """A timezone-less WARC-Date is the module's naive-is-UTC
+    convention -- it must parse to the same instant on every host, not
+    via the machine's local timezone."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://t.test/\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n<r/>\r\n\r\n"
+    )
+    assert _records(raw)[0][1] == datetime.datetime(2025, 8, 8, 12, 0, 0)
+
+
+def test_ctl_chars_in_url_cannot_corrupt_framing(tmp_path):
+    """A hostile url with embedded CRLF must not inject WARC headers or
+    break Content-Length framing for subsequent records."""
+    evil = "http://a.test/x\r\nContent-Length: 0"
+    p = str(tmp_path / "evil.warc.gz")
+    write_warc_gz(p, [(evil, TS, b"<r>1</r>"), ("http://b.test/", TS, b"<r>2</r>")])
+    with gzip.open(p, "rb") as fh:
+        got = list(iter_warc_records(fh))
+    assert len(got) == 2
+    assert got[0][0] == "http://a.test/x%0D%0AContent-Length: 0"
+    assert got[1] == ("http://b.test/", TS, b"<r>2</r>")
+
+
 def test_spark_warc_roundtrip_matches_parquet_path(spark, tmp_path):
     """synth pages -> .warc.gz shards -> read_warc -> parse_pages must
     extract byte-identical text to the parquet-path pipeline."""
@@ -245,6 +308,28 @@ def test_wet_sink_roundtrip(spark, tmp_path):
         for r in parsed.select("url", "warc_ts", "text").collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_warc_shards_distributed_writer(spark, tmp_path):
+    """write_warc_shards (the bench's corpus->delivery synthesizer) is
+    read_warc's exact inverse: urls, instants, and html bytes survive
+    the distributed shard roundtrip."""
+    from xhtml_parser_spark.sources import synthesize_pages
+    from xhtml_parser_spark.sources.warc import write_warc_shards
+
+    pages = synthesize_pages(spark, 40, max_b=2048).repartition(4)
+    out = str(tmp_path / "delivery")
+    write_warc_shards(pages, out)
+    back = read_warc(spark, out, num_partitions=2)
+    want = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in pages.select("url", "warc_ts", "html").collect()
+    }
+    got = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in back.select("url", "warc_ts", "html").collect()
+    }
+    assert got == want
 
 
 def test_run_extract_over_warc_input(spark, tmp_path):

@@ -269,7 +269,12 @@ def run_extract(
         if warc_files is not None:
             group = warc_files[k::n_slices]
             if group:
-                slice_df = read_warc_files(spark, group).select("url", "html")
+                # group files into at most `partitions` scan tasks:
+                # one-task-per-file serializes ~100-200 ms of python
+                # datasource launch overhead per archive (CLAUDE.md)
+                slice_df = read_warc_files(
+                    spark, group, num_partitions=partitions
+                ).select("url", "html")
             else:  # n_slices > file count: commit an empty slice
                 slice_df = spark.createDataFrame([], "url string, html binary")
         else:

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import datetime
 import gzip
-import hashlib
 import io
 import os
 import zlib
@@ -98,6 +97,11 @@ def _read_block(fh, headers: dict[bytes, bytes]) -> bytes:
 def _parse_ts(headers: dict[bytes, bytes]) -> datetime.datetime:
     ts_raw = headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
     ts = datetime.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        # tz-less WARC-Date (lenient writers): take as already-UTC --
+        # astimezone() would read it as HOST-local time and make the
+        # stored instant depend on the machine's TZ
+        return ts
     return ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
 
 
@@ -113,29 +117,54 @@ def _format_ts(ts: datetime.datetime) -> bytes:
 
 
 def _dechunk(body: bytes) -> bytes:
-    """Decode a Transfer-Encoding: chunked HTTP body; malformed framing
-    returns what decoded so far plus nothing (never raises -- a crawl
-    row with a bad body should surface as a parse error, not kill the
-    task)."""
+    """Decode a Transfer-Encoding: chunked HTTP body (never raises -- a
+    crawl row with a bad body should surface as a parse error, not kill
+    the task). A body whose FIRST size line doesn't parse was never
+    chunk-framed (crawlers/proxies that de-chunk the stream but keep
+    the header are common) -- returned raw. Framing that breaks
+    mid-stream returns what decoded so far (genuinely truncated)."""
     out = []
     pos = 0
     while True:
-        nl = body.find(b"\r\n", pos)
-        if nl < 0:
+        # tolerate bare-LF size-line endings like the header separator
+        nl_crlf = body.find(b"\r\n", pos)
+        nl_lf = body.find(b"\n", pos)
+        if nl_crlf >= 0 and nl_crlf <= nl_lf:
+            nl, skip = nl_crlf, 2
+        elif nl_lf >= 0:
+            nl, skip = nl_lf, 1
+        else:
+            if pos == 0:
+                return body  # no framing at all: not actually chunked
             break
         size_tok = body[pos:nl].split(b";", 1)[0].strip()
         try:
             size = int(size_tok, 16)
         except ValueError:
+            if pos == 0:
+                return body  # first size line isn't hex: already de-chunked
             break
         if size == 0:
             break
-        chunk = body[nl + 2 : nl + 2 + size]
+        chunk = body[nl + skip : nl + skip + size]
         out.append(chunk)
         if len(chunk) != size:
             break
-        pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
+        pos = nl + skip + size + skip  # skip chunk + trailing line end
     return b"".join(out)
+
+
+def _header_value(head: bytes, name: bytes) -> bytes:
+    """Lower-cased value of the named HTTP header in a header block, or
+    b"" when absent. Matches the header NAME only -- a substring scan
+    of the whole block would misfire on extension headers
+    (X-Original-Transfer-Encoding) or unrelated values (an ETag
+    containing "gzip")."""
+    for line in head.split(b"\n"):
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == name:
+            return v.strip().lower()
+    return b""
 
 
 def _http_payload(block: bytes) -> bytes:
@@ -152,12 +181,11 @@ def _http_payload(block: bytes) -> bytes:
         head, payload = block[:i_lf], block[i_lf + 2 :]
     else:
         return b""
-    lower = head.lower()
-    if b"transfer-encoding:" in lower and b"chunked" in lower:
+    te = _header_value(head, b"transfer-encoding")
+    ce = _header_value(head, b"content-encoding")
+    if b"chunked" in te:
         payload = _dechunk(payload)
-    if b"content-encoding:" in lower and (
-        b"gzip" in lower or b"deflate" in lower
-    ):
+    if b"gzip" in ce or b"deflate" in ce:
         try:
             if payload[:2] == b"\x1f\x8b":
                 payload = gzip.decompress(payload)
@@ -221,6 +249,19 @@ def _write_members_gz(path: str, records: Iterable[bytes]) -> int:
     return n
 
 
+def _safe_uri(url: str) -> bytes:
+    """URL bytes safe to embed in a WARC header line: CTL characters
+    (CR/LF/TAB/...) are percent-encoded so a hostile url from an
+    arbitrary pages table cannot inject headers or break the
+    Content-Length framing of the archive."""
+    raw = url.encode()
+    if not any(b < 0x20 or b == 0x7F for b in raw):
+        return raw
+    return b"".join(
+        b"%%%02X" % b if (b < 0x20 or b == 0x7F) else bytes((b,)) for b in raw
+    )
+
+
 def _record_bytes(
     warc_type: bytes, url: str, ts: datetime.datetime, block: bytes,
     extra: bytes = b"",
@@ -228,7 +269,7 @@ def _record_bytes(
     hdr = (
         b"WARC/1.0\r\n"
         b"WARC-Type: " + warc_type + b"\r\n"
-        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Target-URI: " + _safe_uri(url) + b"\r\n"
         b"WARC-Date: " + _format_ts(ts) + b"\r\n"
         + extra
         + b"Content-Length: " + str(len(block)).encode() + b"\r\n"
@@ -273,18 +314,22 @@ def write_wet_gz(
     )
 
 
-def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
-    """Distributed WET export of a DataFrame carrying (url, warc_ts,
-    <text_col>) -- e.g. parse_pages output joined back to the pages
-    table for the timestamp. One .wet.gz shard per partition, written
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _write_shards(df, out_dir: str, payload_col: str, writer, suffix: str) -> None:
+    """Shared distributed shard-writer core: one ``writer``-produced
+    gz shard per partition of (url, warc_ts, <payload_col>), written
     in-task (the same shared-filesystem posture as the fused sink) and
     STREAMED record by record -- the partition never materializes in
-    the python worker. The crawl-ecosystem-facing sink: downstream
-    consumers that already read CC WET files ingest this pipeline's
-    output unchanged."""
-    import os as _os
+    the python worker. The timestamp travels as epoch MICROS
+    (``unix_micros``, an instant): PySpark's row path converts
+    TimestampType to naive datetimes in the worker's OS-local timezone,
+    which would shift every exported WARC-Date by the host's UTC offset
+    on a non-UTC machine."""
+    from pyspark.sql import functions as F
 
-    _os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def _write(it):
         from pyspark import TaskContext
@@ -295,13 +340,37 @@ def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
         pid = TaskContext.get().partitionId()
 
         def rows():
-            yield first["url"], first["warc_ts"], bytes(first[text_col] or b"")
-            for r in it:
-                yield r["url"], r["warc_ts"], bytes(r[text_col] or b"")
+            for r in _chain_one(first, it):
+                ts = _EPOCH + datetime.timedelta(microseconds=r["_ts_us"])
+                yield r["url"], ts, bytes(r[payload_col] or b"")
 
-        write_wet_gz(_os.path.join(out_dir, f"part-{pid:05d}.wet.gz"), rows())
+        writer(os.path.join(out_dir, f"part-{pid:05d}{suffix}"), rows())
 
-    parsed.select("url", "warc_ts", text_col).foreachPartition(_write)
+    df.select(
+        "url", F.unix_micros("warc_ts").alias("_ts_us"), payload_col
+    ).foreachPartition(_write)
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest
+
+
+def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
+    """Distributed WET export of a DataFrame carrying (url, warc_ts,
+    <text_col>) -- e.g. parse_pages output joined back to the pages
+    table for the timestamp. One .wet.gz shard per partition. The
+    crawl-ecosystem-facing sink: downstream consumers that already read
+    CC WET files ingest this pipeline's output unchanged."""
+    _write_shards(parsed, out_dir, text_col, write_wet_gz, ".wet.gz")
+
+
+def write_warc_shards(pages, out_dir: str, html_col: str = "html") -> None:
+    """Distributed WARC export of a pages DataFrame (url, warc_ts,
+    <html_col>): one .warc.gz shard per partition, response records
+    with a minimal HTTP envelope. The inverse of read_warc -- used by
+    the bench to synthesize a crawl delivery from the parquet corpus."""
+    _write_shards(pages, out_dir, html_col, write_warc_gz, ".warc.gz")
 
 
 def _open_warc(path: str):
@@ -313,25 +382,21 @@ def _open_warc(path: str):
 
 
 def list_warc_files(input_dir: str) -> list[str]:
-    """Sorted absolute paths of the dir's .warc(.gz) files; raises on
-    an empty listing (mirrors listing.list_parquet_files)."""
-    files = sorted(
-        os.path.join(input_dir, f)
-        for f in os.listdir(input_dir)
-        if f.endswith((".warc", ".warc.gz"))
-    )
-    if not files:
-        raise FileNotFoundError(f"no .warc(.gz) files under {input_dir}")
-    return files
+    """Sorted absolute paths of the dir's .warc(.gz) files (shared
+    listing core -- see listing.list_files)."""
+    from .listing import list_files
+
+    return list_files(input_dir, (".warc", ".warc.gz"))
 
 
 def warc_listing_digest(input_dir: str) -> str:
     """md5 of the sorted .warc basename listing -- run_extract's warc
     slice membership is files[k::n_slices] of this listing, so resume
-    must refuse to continue when it changes (mirrors
-    listing.listing_digest for parquet)."""
-    names = "\n".join(os.path.basename(f) for f in list_warc_files(input_dir))
-    return hashlib.md5(names.encode()).hexdigest()
+    must refuse to continue when it changes (shared digest core --
+    see listing.files_digest)."""
+    from .listing import files_digest
+
+    return files_digest(list_warc_files(input_dir))
 
 
 class _WarcPartition(InputPartition):
