@@ -357,6 +357,23 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "inter", "uni")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: LSH pairs -> connected
+    components -> (doc_id, cluster_id, csize) for every document,
+    cluster_id = the component's min doc_id (singletons cluster to
+    themselves). All-integer output, oracle-exact; the oracle replays
+    the components as a recursive reachability CTE over the same
+    banded-minhash pair set."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=None,  # exact all-buckets semantics, as the oracle replays
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import simhash64
@@ -591,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_scores": q_ann_scores,
@@ -826,6 +844,35 @@ def oracle_sql() -> dict[str, str]:
              AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
             WHERE 2 * len(list_intersect(a.shs, b.shs))
                   >= len(list_distinct(list_concat(a.shs, b.shs)))
+        """,
+        # components of the lsh_pairs graph by recursive reachability:
+        # r(id, lab) = lab reachable from id over symmetrized pairs;
+        # cluster_id = min reachable (= own id for singletons).
+        "dedup_clusters": _SHINGLE_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS"
+        ) + f"""
+            , sig AS (
+              SELECT doc_id, list_distinct(sh) AS shs, {mh} FROM s
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sig a JOIN sig b
+                ON a.doc_id < b.doc_id
+               AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+              WHERE 2 * len(list_intersect(a.shs, b.shs))
+                    >= len(list_distinct(list_concat(a.shs, b.shs)))
+            ), e AS (
+              SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+            ), r AS (
+              SELECT doc_id AS id, doc_id AS lab FROM documents
+              UNION
+              SELECT r.id, e.y AS lab FROM r JOIN e ON r.lab = e.x
+            ), comp AS (
+              SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id
+            )
+            SELECT doc_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS csize
+            FROM comp
         """,
         # simhash bit b = sign of sum(count * ±1) where ±1 is bit b of
         # md5(word)'s first 8 bytes as a little-endian u64 -- exactly

@@ -76,6 +76,50 @@ def test_lsh_pairs_find_near_dups(spark, near_dup_docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter for min-label propagation:
+    the min label walks one hop per round) plus a separate 2-clique
+    and a pair; labels must reach every component's minimum."""
+    from xhtml_parser_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),  # chain, min=10
+         (20, 21), (21, 22), (20, 22),            # triangle, min=20
+         (30, 31)],                               # pair, min=30
+        "a long, b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from xhtml_parser_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_clusters_and_keep(spark, near_dup_docs):
+    """docs 0-3 are one near-dup cluster (via LSH pairs), 4 and 5 are
+    singletons; dedup_keep retains exactly the cluster minima with all
+    original columns."""
+    from xhtml_parser_spark.operators.dedup import dedup_clusters, dedup_keep
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["csize"])
+        for r in dedup_clusters(near_dup_docs).collect()
+    }
+    assert got == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
+                   4: (4, 1), 5: (5, 1)}
+    kept = dedup_keep(near_dup_docs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [0, 4, 5]
+    assert kept[0]["text"].startswith("the quick")  # columns preserved
+
+
 def test_simhash_hamming_structure(spark, near_dup_docs):
     hs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
           for r in simhash64(near_dup_docs).collect()}

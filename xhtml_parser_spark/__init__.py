@@ -38,6 +38,9 @@ _LAZY = {
     "lsh_candidate_pairs": ("xhtml_parser_spark.operators.dedup", "lsh_candidate_pairs"),
     "simhash64": ("xhtml_parser_spark.operators.dedup", "simhash64"),
     "simhash_pairs": ("xhtml_parser_spark.operators.dedup", "simhash_pairs"),
+    "connected_components": ("xhtml_parser_spark.operators.dedup", "connected_components"),
+    "dedup_clusters": ("xhtml_parser_spark.operators.dedup", "dedup_clusters"),
+    "dedup_keep": ("xhtml_parser_spark.operators.dedup", "dedup_keep"),
     "brute_force_topk": ("xhtml_parser_spark.operators.similarity", "brute_force_topk"),
     "ann_lsh_topk": ("xhtml_parser_spark.operators.similarity", "ann_lsh_topk"),
     "ivf_topk": ("xhtml_parser_spark.operators.similarity", "ivf_topk"),

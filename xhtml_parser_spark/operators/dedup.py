@@ -254,6 +254,132 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round a node takes the minimum of its label and its neighbors'
+    labels; at the fixpoint a component's label is its minimum node id.
+    Output (id, cluster_id) for every node APPEARING IN AN EDGE
+    (callers union isolated nodes back -- dedup_clusters does).
+
+    Scale posture: the symmetrized edge list is persisted once and
+    reused every round; each round is ONE shuffle join of labels to
+    edges plus a min-aggregate on the destination -- both partial-
+    aggregated map-side, both keyed by node id so AQE coalesces and
+    skew-splits them. Labels are localCheckpoint()ed eagerly every
+    round, truncating the iterative lineage (without it round k
+    re-executes rounds 1..k-1 and the DAG grows quadratically).
+    Rounds needed = the component diameter in MIN-LABEL steps --
+    near-dup clusters from LSH banding are near-cliques (diameter
+    almost always <= 3); a pathological chain of length max_iter would
+    stop early and leave a component split, so the loop raises if it
+    fails to converge (web corpora never hit this; raise, don't
+    truncate silently).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    e = (
+        e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        e.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.withColumnRenamed("id", "x"), "x")
+            .groupBy(F.col("y").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("lab").alias("old"),
+            F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
+        ).localCheckpoint()
+        labels = stepped.select("id", "lab")
+        # convergence probe on the CHECKPOINTED result: one cheap scan,
+        # no recompute of the round
+        if stepped.where(F.col("lab") < F.col("old")).limit(1).count() == 0:
+            e.unpersist()
+            return labels.select("id", F.col("lab").alias("cluster_id"))
+    e.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    jaccard_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """End of the near-dup pipeline: LSH candidate pairs ->
+    connected components -> one cluster id per document. Output
+    (doc_id, cluster_id, csize) for EVERY document -- docs with no
+    near-duplicate form singleton clusters (cluster_id = doc_id,
+    csize = 1); cluster_id is the component's minimum doc_id, so the
+    output is deterministic and integer-exact for the SQL oracle.
+
+    The `keep one representative per cluster` step is
+    ``dedup_keep`` -- filtering to doc_id = cluster_id."""
+    pairs = lsh_candidate_pairs(
+        docs, n_hashes=n_hashes, jaccard_min=jaccard_min,
+        text_col=text_col, id_col=id_col, n_partitions=n_partitions,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, "a", "b")
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("csize")
+    )
+    return labeled.join(sizes, "cluster_id").select("doc_id", "cluster_id", "csize")
+
+
+def dedup_keep(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    jaccard_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """The deduplicated corpus: keep each near-dup cluster's minimum
+    doc_id (every column of ``docs`` preserved). Composes
+    dedup_clusters with a semi-join back to the input."""
+    clusters = dedup_clusters(
+        docs, n_hashes=n_hashes, jaccard_min=jaccard_min,
+        text_col=text_col, id_col=id_col, n_partitions=n_partitions,
+        max_bucket=max_bucket,
+    )
+    keep = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+
+
 _SIMHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("simhash", LongType())]
 )
