@@ -268,12 +268,15 @@ def connected_components(
     (callers union isolated nodes back -- dedup_clusters does).
 
     Scale posture: the symmetrized edge list is persisted once and
-    reused every round; each round is ONE shuffle join of labels to
-    edges plus a min-aggregate on the destination -- both partial-
-    aggregated map-side, both keyed by node id so AQE coalesces and
-    skew-splits them. Labels are localCheckpoint()ed eagerly every
-    round, truncating the iterative lineage (without it round k
-    re-executes rounds 1..k-1 and the DAG grows quadratically).
+    reused every round; symmetrization is a single explode pass over
+    the input (NOT union(e, e.swapped) -- that scans the upstream
+    edge-producing DAG, e.g. the whole LSH shingling pipeline, twice).
+    Each round is ONE shuffle join of labels to edges plus a
+    min-aggregate on the destination -- both partial-aggregated
+    map-side, both keyed by node id so AQE coalesces and skew-splits
+    them. Labels are localCheckpoint()ed eagerly every round,
+    truncating the iterative lineage (without it round k re-executes
+    rounds 1..k-1 and the DAG grows quadratically).
     Rounds needed = the component diameter in MIN-LABEL steps --
     near-dup clusters from LSH banding are near-cliques (diameter
     almost always <= 3); a pathological chain of length max_iter would
@@ -283,16 +286,27 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    a, b = F.col(a_col), F.col(b_col)
     e = (
-        e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("x"), b.alias("y")),
+                    F.struct(b.alias("x"), a.alias("y")),
+                )
+            ).alias("ed")
+        )
+        .select("ed.x", "ed.y")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # round-0 labels fused into the init aggregate: lab = min(id,
+    # min(neighbors)) -- one propagation round cheaper than starting
+    # from the identity labeling
     labels = (
-        e.select(F.col("x").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
+        e.groupBy(F.col("x").alias("id"))
+        .agg(F.min("y").alias("nmin"))
+        .select("id", F.least("id", "nmin").alias("lab"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -351,10 +365,18 @@ def dedup_clusters(
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(
-        F.count("*").cast("bigint").alias("csize")
+    # one shuffle on cluster_id (a groupBy-sizes + join-back would
+    # shuffle twice and recompute `labeled` on both branches)
+    from pyspark.sql import Window
+
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("csize"),
     )
-    return labeled.join(sizes, "cluster_id").select("doc_id", "cluster_id", "csize")
 
 
 def dedup_keep(
