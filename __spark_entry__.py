@@ -374,6 +374,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic link-corpus synthesis shared by q_extract_links /
+    q_host_pagerank: every document becomes a page on host
+    h{doc_id%23}.example.org carrying four href-bearing elements that
+    exercise the four resolution shapes -- a messy absolute URL
+    (uppercase host, :443, utm_ tracker, unsorted params, fragment,
+    &amp; entity), a ../-relative path, a protocol-relative URL, and a
+    root-relative <link> -- followed by the document text. The oracle
+    recomputes every resolved/normalized link from doc_id arithmetic
+    alone, so the whole parse->extract->resolve->normalize pipeline is
+    value-checked."""
+    from xhtml_parser_spark.functions.escaping import esc
+
+    did = F.col("doc_id")
+    s = (did % 23).cast("string")
+    k1 = ((did * 7 + 13) % 23).cast("string")
+    k3 = ((did + 3) % 23).cast("string")
+    url = F.concat(
+        F.lit("https://h"), s, F.lit(".example.org/a/b/idx"),
+        did.cast("string"), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://H'), k1,
+        F.lit(".EXAMPLE.org:443/p/"), (did % 97).cast("string"),
+        F.lit('?utm_source=z&amp;b=2&amp;a=1#frag">x</a>'),
+        F.lit('<a href="../t/page'), (did % 5).cast("string"),
+        F.lit('.html">y</a>'),
+        F.lit('<a href="//h'), k3, F.lit('.example.org/q">z</a>'),
+        F.lit('<link rel="s" href="/css/m'), (did % 7).cast("string"),
+        F.lit('.css"/><p>'),
+        esc(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass DOM link extraction + RFC 3986 resolution + crawl
+    normalization over synthesized pages; node ids fixed by the
+    synthesis structure (a=3, a=5, a=7, link=9)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.links import extract_links
+
+    links = extract_links(_link_pages(_docs(spark, sf_dir)))
+    return links.select(
+        F.regexp_extract("url", "idx(\\d+)\\.html", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("node_id").cast("bigint").alias("node_id"),
+        "tag",
+        "link_url",
+        "link_host",
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph -> 5 rounds of scaled-integer PageRank; the
+    oracle replays the identical fixed-point arithmetic as five
+    unrolled SQL aggregation rounds."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.links import (
+        extract_links,
+        host_link_graph,
+        pagerank,
+    )
+
+    g = host_link_graph(extract_links(_link_pages(_docs(spark, sf_dir))))
+    return pagerank(g, n_iter=5).select(
+        F.col("node").alias("host"), "rank_scaled"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import simhash64
@@ -609,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "extract_links": q_extract_links,
+        "host_pagerank": q_host_pagerank,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_scores": q_ann_scores,
@@ -706,6 +780,59 @@ WITH sw AS (
   FROM documents d LEFT JOIN ss ON d.doc_id = ss.doc_id
 )
 """
+
+
+# analytic replay of _link_pages: hosts/paths from doc_id arithmetic
+_LINKD_CTE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 23 AS VARCHAR) AS s,
+         CAST((doc_id * 7 + 13) % 23 AS VARCHAR) AS k1,
+         CAST((doc_id + 3) % 23 AS VARCHAR) AS k3
+  FROM documents
+)
+"""
+
+
+def _host_pagerank_sql(n_iter: int = 5, scale: int = 10**9) -> str:
+    """Unrolled fixed-point PageRank: r{i} from r{i-1} via one
+    aggregate join per round -- the same integer arithmetic as
+    operators/links.py::pagerank (DuckDB // == Spark DIV on the
+    nonnegative operands here)."""
+    teleport = (scale * 15) // 100
+    sql = _LINKD_CTE.rstrip() + f"""
+, l AS (
+  SELECT 'h' || s || '.example.org' AS src,
+         'h' || k1 || '.example.org' AS dst FROM d
+  UNION ALL
+  SELECT 'h' || s || '.example.org', 'h' || s || '.example.org' FROM d
+  UNION ALL
+  SELECT 'h' || s || '.example.org', 'h' || k3 || '.example.org' FROM d
+  UNION ALL
+  SELECT 'h' || s || '.example.org', 'h' || s || '.example.org' FROM d
+), e AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM l GROUP BY src, dst
+), ow AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src
+), n AS (
+  SELECT src AS h FROM e UNION SELECT dst FROM e
+), r0 AS (
+  SELECT h, CAST({scale} AS BIGINT) AS r FROM n
+)"""
+    for i in range(1, n_iter + 1):
+        sql += f"""
+, r{i} AS (
+  SELECT n.h,
+         CAST({teleport} + (85 * COALESCE(cc.c, 0)) // 100 AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS h, SUM((r{i - 1}.r * e.w) // ow.ow) AS c
+    FROM e
+    JOIN r{i - 1} ON r{i - 1}.h = e.src
+    JOIN ow ON ow.src = e.src
+    GROUP BY e.dst
+  ) cc ON cc.h = n.h
+)"""
+    return sql + f"\nSELECT h AS host, r AS rank_scaled FROM r{n_iter}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -874,6 +1001,34 @@ def oracle_sql() -> dict[str, str]:
                        AS csize
             FROM comp
         """,
+        # the four synthesized links per doc, resolved + normalized
+        # analytically from doc_id arithmetic (node ids fixed by the
+        # synthesis structure)
+        "extract_links": _LINKD_CTE + """
+SELECT doc_id, CAST(3 AS BIGINT) AS node_id, 'a' AS tag,
+       'https://h' || k1 || '.example.org/p/' ||
+           CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS link_url,
+       'h' || k1 || '.example.org' AS link_host
+FROM d
+UNION ALL
+SELECT doc_id, CAST(5 AS BIGINT), 'a',
+       'https://h' || s || '.example.org/a/t/page' ||
+           CAST(doc_id % 5 AS VARCHAR) || '.html',
+       'h' || s || '.example.org'
+FROM d
+UNION ALL
+SELECT doc_id, CAST(7 AS BIGINT), 'a',
+       'https://h' || k3 || '.example.org/q',
+       'h' || k3 || '.example.org'
+FROM d
+UNION ALL
+SELECT doc_id, CAST(9 AS BIGINT), 'link',
+       'https://h' || s || '.example.org/css/m' ||
+           CAST(doc_id % 7 AS VARCHAR) || '.css',
+       'h' || s || '.example.org'
+FROM d
+        """,
+        "host_pagerank": _host_pagerank_sql(),
         # simhash bit b = sign of sum(count * ±1) where ±1 is bit b of
         # md5(word)'s first 8 bytes as a little-endian u64 -- exactly
         # DuckDB's md5_number_upper(). Bit 63 contributes INT64_MIN in

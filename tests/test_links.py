@@ -1,0 +1,163 @@
+"""Link extraction, URL resolution, host graph, and PageRank tests.
+
+resolve_url is differentially checked against urllib.parse.urljoin
+(the Python stdlib reference resolver); the extraction kernel against
+hand-built DOMs covering first-wins duplicate hrefs, href-less
+anchors, non-anchor tags, failed parses, and entity-decoded values;
+pagerank against an independent plain-Python fixed-point replica.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pytest
+from pyspark.sql import functions as F
+
+
+RESOLVE_CASES = [
+    ("https://h.com/a/b/x.html", "../t/p.html"),
+    ("https://h.com/a/b/x.html", "t/p.html"),
+    ("https://h.com/a/b/x.html", "/css/m.css"),
+    ("https://h.com/a/b/x.html", "//other.com/q"),
+    ("https://h.com/a/b/x.html", "http://abs.com/z?a=1"),
+    ("https://h.com/a/b/x.html", ""),
+    ("https://h.com/a/b/x.html", "#frag"),
+    ("https://h.com/a/b/x.html", "?q=2"),
+    ("https://h.com/a/b/x.html", ".."),
+    ("https://h.com/a/b/x.html", "../"),
+    ("https://h.com/a/b/x.html", "."),
+    ("https://h.com/a/b/x.html", "./p"),
+    ("https://h.com/a/b/", "p.html"),
+    ("https://h.com", "x"),
+    ("https://h.com", "../../x"),
+    ("https://h.com/a/b/x.html", "../../../../z"),
+    ("https://h.com/a/b/x.html", "p/./q/../r.html"),
+    ("https://h.com/a/b/x.html?old=1", "n.html?new=2"),
+    ("https://h.com/a/b/x.html", "mailto:a@b.c"),
+    ("http://h.com:8080/a/x", "y"),
+]
+
+
+def test_resolve_url_matches_urljoin(spark):
+    from xhtml_parser_spark.functions.urls import resolve_url
+
+    df = spark.createDataFrame(RESOLVE_CASES, "base string, href string")
+    got = df.select(
+        "base", "href", resolve_url(F.col("base"), F.col("href")).alias("r")
+    ).collect()
+    for row in got:
+        # fragments are stripped by design (crawl links never keep them)
+        expected = urljoin(row["base"], row["href"]).split("#")[0]
+        assert row["r"] == expected, (row["base"], row["href"])
+
+
+@pytest.fixture(scope="module")
+def link_pages(spark):
+    rows = [
+        (
+            "https://a.com/d/x.html",
+            b'<html><body><a href="../p.html">t</a>'
+            b'<a href="https://B.com:443/q?utm_source=1&amp;z=2">u</a>'
+            b'<a class="noref">v</a>'
+            b'<link rel="css" href="/m.css"/>'
+            b'<area href="//c.com/ar" alt="z"/>'
+            b'<a href="first.html" href="second.html">dup</a>'
+            b'<a href="mailto:x@y.z">m</a></body></html>',
+        ),
+        (
+            "https://b.com/",
+            b'<html><body><a href="https://a.com/back">b</a>'
+            b"<p>text</p></body></html>",
+        ),
+        ("https://none.com/", b"<html><body><p>no links</p></body></html>"),
+        ("https://bad.com/", b"<root><dangling"),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_links_kernel(spark, link_pages):
+    from xhtml_parser_spark.operators.links import extract_links
+
+    got = {
+        (r["url"], r["node_id"]): (r["tag"], r["href"], r["link_url"], r["link_host"])
+        for r in extract_links(link_pages).collect()
+    }
+    a = "https://a.com/d/x.html"
+    assert got[(a, 3)] == ("a", "../p.html", "https://a.com/p.html", "a.com")
+    # entity-decoded &amp;, lowercased host, :443 stripped, tracker
+    # dropped -- the href column keeps the DECODED raw value
+    assert got[(a, 5)] == (
+        "a",
+        "https://B.com:443/q?utm_source=1&z=2",
+        "https://b.com/q?z=2",
+        "b.com",
+    )
+    assert got[(a, 9)] == ("link", "/m.css", "https://a.com/m.css", "a.com")
+    assert got[(a, 10)] == ("area", "//c.com/ar", "https://c.com/ar", "c.com")
+    # duplicate href: first wins (reference get_attribute scan order)
+    assert got[(a, 11)][1] == "first.html"
+    assert got[(a, 11)][2] == "https://a.com/d/first.html"
+    # mailto passes through extraction (graph builders filter it)
+    assert got[(a, 13)][1] == "mailto:x@y.z"
+    assert got[("https://b.com/", 3)][2] == "https://a.com/back"
+    # href-less anchor contributes nothing; link-free and failed-parse
+    # documents contribute nothing
+    assert (a, 7) not in got
+    assert len(got) == 7
+
+
+def test_host_link_graph_filters_and_weights(spark, link_pages):
+    from xhtml_parser_spark.operators.links import extract_links, host_link_graph
+
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_link_graph(extract_links(link_pages)).collect()
+    }
+    # mailto: dropped by the ^https?:// gate; 3 a.com self-links
+    assert got == {
+        ("a.com", "a.com"): 3,
+        ("a.com", "b.com"): 1,
+        ("a.com", "c.com"): 1,
+        ("b.com", "a.com"): 1,
+    }
+    no_self = {
+        (r["src_host"], r["dst_host"])
+        for r in host_link_graph(
+            extract_links(link_pages), drop_self=True
+        ).collect()
+    }
+    assert ("a.com", "a.com") not in no_self and ("b.com", "a.com") in no_self
+
+
+def test_pagerank_matches_integer_replica(spark):
+    from xhtml_parser_spark.operators.links import pagerank
+
+    edges = [
+        ("a", "b", 2),
+        ("a", "c", 1),
+        ("b", "a", 1),
+        ("c", "c", 5),
+        ("d", "a", 3),  # d is a source-only node (rank = teleport)
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, weight long")
+    n_iter, scale = 4, 10**9
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, n_iter=n_iter, scale=scale).collect()
+    }
+
+    ew = {(s, d): w for s, d, w in edges}
+    outw: dict = {}
+    for (s, _d), w in ew.items():
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({x for p in ew for x in p})
+    tel = (scale * 15) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        c = {n: 0 for n in nodes}
+        for (s, d), w in ew.items():
+            c[d] += (r[s] * w) // outw[s]
+        r = {n: tel + (85 * c[n]) // 100 for n in nodes}
+    assert got == r
+    assert got["d"] == tel  # no inbound links -> teleport mass only

@@ -38,6 +38,9 @@ _LAZY = {
     "lsh_candidate_pairs": ("xhtml_parser_spark.operators.dedup", "lsh_candidate_pairs"),
     "simhash64": ("xhtml_parser_spark.operators.dedup", "simhash64"),
     "simhash_pairs": ("xhtml_parser_spark.operators.dedup", "simhash_pairs"),
+    "extract_links": ("xhtml_parser_spark.operators.links", "extract_links"),
+    "host_link_graph": ("xhtml_parser_spark.operators.links", "host_link_graph"),
+    "pagerank": ("xhtml_parser_spark.operators.links", "pagerank"),
     "connected_components": ("xhtml_parser_spark.operators.dedup", "connected_components"),
     "dedup_clusters": ("xhtml_parser_spark.operators.dedup", "dedup_clusters"),
     "dedup_keep": ("xhtml_parser_spark.operators.dedup", "dedup_keep"),

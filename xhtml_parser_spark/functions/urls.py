@@ -55,3 +55,66 @@ def normalize_url(url) -> "F.Column":
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+def _remove_dot_segments(abs_path) -> "F.Column":
+    """RFC 3986 §5.2.4 over an absolute path ("/"-rooted), as one
+    aggregate fold over the split segments: "." drops, ".." pops,
+    anything else pushes. Trailing "/." and "/.." keep their directory
+    semantics (a trailing "/" is appended pre-split so the fold's
+    empty tail segment survives). Paths are short (a handful of
+    segments), so the interpreted fold is noise next to the regexes."""
+    dirish = F.when(
+        abs_path.rlike("(^|/)\\.\\.?$"), F.concat(abs_path, F.lit("/"))
+    ).otherwise(abs_path)
+    segs = F.split(F.regexp_replace(dirish, "^/", ""), "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.concat(F.lit("/"), F.array_join(folded, "/"))
+
+
+def resolve_url(base, href) -> "F.Column":
+    """Resolve ``href`` against ``base`` per RFC 3986 §5 (the crawl
+    subset): absolute hrefs pass through, "//host/..." adopts the base
+    scheme, "/path" is host-relative, "?q" replaces the base query,
+    "" / "#frag" mean the base document (fragment stripped), and
+    relative paths merge with the base directory and get dot-segments
+    removed. All codegen built-ins except the short per-path
+    dot-segment fold. Pair with normalize_url/url_host downstream;
+    non-hierarchical schemes (mailto:, javascript:) pass through
+    as-is, so graph builders filter on '^https?://'."""
+    b = F.coalesce(base, F.lit(""))
+    h = F.regexp_replace(F.coalesce(href, F.lit("")), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(b, _SCHEME_RE, 1))
+    rest = F.regexp_replace(b, _SCHEME_RE, "")
+    hostport = F.regexp_extract(rest, "^([^/?#]*)", 1)
+    bpath = F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    root = F.concat(scheme, F.lit("://"), hostport)
+    hpath = F.regexp_extract(h, "^([^?]*)", 1)
+    hquery = F.regexp_extract(h, "(\\?.*)$", 1)
+    merged = F.when(hpath.startswith("/"), hpath).otherwise(
+        F.concat(F.regexp_replace(bpath, "[^/]*$", ""), hpath)
+    )
+    # the fold in _remove_dot_segments is an interpreted higher-order
+    # expression; CASE evaluates branches lazily, so gating it on the
+    # presence of an actual dot segment keeps the (dominant) clean-path
+    # case fully inside codegen
+    has_dots = merged.rlike("(^|/)\\.\\.?(/|$)")
+    clean = F.when(
+        merged.startswith("/"), merged
+    ).otherwise(F.concat(F.lit("/"), merged))
+    path = F.when(has_dots, _remove_dot_segments(merged)).otherwise(clean)
+    return (
+        F.when(h == "", F.regexp_replace(b, "#.*$", ""))
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(hpath == "", F.concat(root, bpath, hquery))
+        .otherwise(F.concat(root, path, hquery))
+    )

@@ -1,0 +1,290 @@
+"""Hyperlink extraction, host link graph, and fixed-point PageRank.
+
+The web-corpus layer above the parser: pull every ``<a>``/``<link>``/
+``<area>`` href out of the DOM in ONE columnar pass over the corpus
+(no parse_nodes-join-parse_attrs double parse), resolve it against the
+page url (RFC 3986-lite, ``functions.urls.resolve_url``), normalize
+it, and roll the result up into a host-level weighted link graph that
+feeds an integer fixed-point PageRank.
+
+Scale posture: ``extract_links`` is map-side only (mapInArrow, same
+packed-array gather machinery as operators/parse.py -- mirrors
+reference attribute iteration, src/attribute.rs:201-293, restricted to
+anchor tags). ``host_link_graph`` is one partial-aggregated hash
+shuffle. ``pagerank`` persists the (deduped, out-degree-annotated)
+edge list once and runs a fixed number of join+sum rounds with
+localCheckpoint()ed rank vectors -- identical iteration shape to
+``dedup.connected_components``. Every PageRank quantity is a bigint
+(scaled fixed-point, integer division) so the result is reduction-
+order independent and exactly replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.urls import normalize_url, resolve_url, url_host
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("node_id", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("href", BinaryType()),
+    ]
+)
+
+# first-wins href per anchor node, matching the reference's
+# get_attribute scan order (src/node.rs:674-705): attributes are
+# contiguous per node in document order, so the first flat match wins
+_HREF = b"href"
+_TAGS4 = (b"link", b"area")
+
+
+def _links_arrow_batches(batches):
+    """Per document: vectorized anchor-tag match over the packed tag
+    spans (len-1 'a' byte compare; len-4 2-D byte compare for
+    link/area), repeat+arange expansion of the matched nodes' attr
+    ranges, 4-byte name compare against 'href', first-wins dedup per
+    node via np.unique on the (nondecreasing) owner sequence. No
+    per-node Python loop; one buffer concat + two span gathers per
+    batch, exactly like _nodes_arrow_batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernel.parser import _get_cparser
+    from .parse import (
+        _binary_from_spans,
+        _doc_packed,
+        _html_views,
+        _string_from_spans,
+    )
+
+    cp = _get_cparser()
+    a_u8 = np.frombuffer(b"a", np.uint8)[0]
+    tags4 = np.stack([np.frombuffer(t, np.uint8) for t in _TAGS4])
+    href4 = np.frombuffer(_HREF, np.uint8)
+    for rb in batches:
+        urls = rb.column(0)
+        get_html = _html_views(rb)
+        doc_idx: list = []
+        node_ids: list = []
+        tag_gs: list = []
+        tag_ge: list = []
+        val_gs: list = []
+        val_ge: list = []
+        chunks: list = []
+        base = 0
+        for j in range(rb.num_rows):
+            packed = _doc_packed(cp, get_html(j))
+            if packed is None:
+                continue
+            buf, _par, kind, ls, le, _d, _ld, at_s, at_e = packed[:9]
+            a_ns, a_ne, a_vs, a_ve = packed[9:]
+            if len(kind) <= 1 or len(a_ns) == 0:
+                continue
+            cand = np.flatnonzero(kind == 1)
+            cand = cand[cand > 0]
+            if len(cand) == 0:
+                continue
+            tlen = le[cand] - ls[cand]
+            one = cand[tlen == 1]
+            one = one[buf[ls[one]] == a_u8]
+            four = cand[tlen == 4]
+            if len(four):
+                b4 = buf[ls[four][:, None] + np.arange(4)]
+                four = four[(b4[:, None, :] == tags4).all(2).any(1)]
+            anchors = np.concatenate([one, four])
+            anchors.sort()
+            cnt = (at_e[anchors] - at_s[anchors]).astype(np.int64)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            off = np.zeros(len(cnt) + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            flat = (
+                np.repeat(at_s[anchors].astype(np.int64) - off[:-1], cnt)
+                + np.arange(tot)
+            )
+            owner = np.repeat(anchors, cnt)
+            m4 = (a_ne[flat] - a_ns[flat]) == 4
+            flat, owner = flat[m4], owner[m4]
+            if len(flat) == 0:
+                continue
+            nb = buf[a_ns[flat][:, None] + np.arange(4)]
+            is_href = (nb == href4).all(1)
+            flat, owner = flat[is_href], owner[is_href]
+            if len(flat) == 0:
+                continue
+            owner_u, first = np.unique(owner, return_index=True)
+            flat = flat[first]
+            doc_idx.append(np.full(len(owner_u), j, dtype=np.int64))
+            node_ids.append(owner_u.astype(np.int32))
+            tag_gs.append(ls[owner_u].astype(np.int64) + base)
+            tag_ge.append(le[owner_u].astype(np.int64) + base)
+            val_gs.append(a_vs[flat].astype(np.int64) + base)
+            val_ge.append(a_ve[flat].astype(np.int64) + base)
+            chunks.append(buf)
+            base += len(buf)
+        if not doc_idx:
+            continue
+        bigbuf = np.concatenate(chunks)
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls.take(pa.array(np.concatenate(doc_idx))),
+                pa.array(np.concatenate(node_ids), type=pa.int32()),
+                _string_from_spans(
+                    pa, bigbuf, np.concatenate(tag_gs), np.concatenate(tag_ge)
+                ),
+                _binary_from_spans(
+                    pa, bigbuf, np.concatenate(val_gs), np.concatenate(val_ge)
+                ),
+            ],
+            names=[f.name for f in LINKS_SCHEMA.fields],
+        )
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, node_id, tag, href, link_url, link_host) for every
+    href-carrying <a>/<link>/<area> element, href resolved against the
+    page url and normalized. Map-side only; failed-parse documents
+    contribute no rows (join parse_pages on url for their errors)."""
+    raw = pages.select("url", "html").mapInArrow(
+        _links_arrow_batches, LINKS_SCHEMA
+    )
+    href = F.decode(F.col("href"), "UTF-8")
+    resolved = resolve_url(F.col("url"), href)
+    normalized = normalize_url(resolved)
+    # host from the NORMALIZED url so default ports are stripped and
+    # the host matches the link_url's authority exactly
+    return raw.select(
+        "url",
+        "node_id",
+        "tag",
+        href.alias("href"),
+        normalized.alias("link_url"),
+        url_host(normalized).alias("link_host"),
+    )
+
+
+def host_link_graph(links: DataFrame, drop_self: bool = False) -> DataFrame:
+    """Weighted host-level edge list (src_host, dst_host, weight) from
+    an extract_links output. Non-hierarchical link targets (mailto:,
+    javascript:) are dropped by the '^https?://' gate; one hash-agg
+    shuffle, partial map-side."""
+    g = links.where(F.col("link_url").rlike("^https?://")).select(
+        url_host(F.col("url")).alias("src_host"),
+        F.col("link_host").alias("dst_host"),
+    )
+    g = g.where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        g = g.where(F.col("src_host") != F.col("dst_host"))
+    return g.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "weight",
+    n_iter: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Weighted PageRank in scaled fixed-point integer arithmetic:
+    every node starts at ``scale``; each round
+
+        rank'(v) = floor(scale*(den-num)/den)
+                 + floor(num * sum_u floor(rank(u)*w(u,v) / W(u)) / den)
+
+    with W(u) = u's total out-weight. Integer sums are reduction-order
+    independent and integer division is identical in Spark (``DIV``)
+    and DuckDB (``//``) for the nonnegative operands here, so the
+    result is deterministic and oracle-exact -- float PageRank would
+    hash-differently per partitioning. Dangling-node mass is NOT
+    redistributed (the standard simplified variant; ranks then need no
+    global normalization step, keeping every round one join + one
+    map-side-partial sum). ``scale`` bounds intermediates: rank*w must
+    stay under 2^63, so keep scale <= 1e9 for graphs with heavy edge
+    weights. Fixed n_iter (not convergence-tested) keeps the result a
+    pure function of the input -- callers pick the oracle-replayable
+    depth. Because there is no per-round convergence probe, rounds
+    compose LAZILY and only every ``checkpoint_every``-th rank vector
+    is localCheckpoint()ed (plus the last): one Spark job per k rounds
+    instead of one per round, while still truncating lineage before
+    the nested-join plan gets deep (contrast connected_components,
+    whose early-exit probe forces a per-round action)."""
+    from pyspark import StorageLevel
+
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    # persist the deduped edge aggregate BEFORE deriving out-weights:
+    # outw and the annotated edge list are two consumers, and without
+    # the persist each would re-run the whole upstream DAG (for a
+    # host graph that is a full parse of the corpus, twice)
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # NB: the out-weight column must not be named "W" -- Spark resolves
+    # case-insensitively, so "w DIV W" would be self-referential
+    outw = e0.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e0.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e0.unpersist()
+    teleport = (scale * (damping_den - damping_num)) // damping_den
+    r = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    zeros = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
+    checkpoint_every = 5
+    for i in range(1, n_iter + 1):
+        # rank update as (contribs UNION zero-per-node) -> one hash
+        # aggregate: arithmetically identical to the textbook
+        # nodes-LEFT-JOIN-contrib + coalesce(c, 0) formulation, but one
+        # shuffle + one broadcast per round instead of two joins -- at
+        # tiny graph sizes that's 1/3 fewer sequential stage
+        # materializations, at real sizes one shuffle less per round
+        contrib = e.join(r.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("(rank * w) DIV outw").alias("c"),
+        )
+        r = (
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(f"({damping_num} * c) DIV {damping_den}")
+                ).alias("rank"),
+            )
+        )
+        if i % checkpoint_every == 0 or i == n_iter:
+            # the final checkpoint also materializes r before e is
+            # unpersisted below -- without it the returned (lazy) plan
+            # would recompute the whole chain against an evicted cache
+            r = r.localCheckpoint()
+    e.unpersist()
+    return r.select("node", F.col("rank").cast("bigint").alias("rank_scaled"))
