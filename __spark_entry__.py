@@ -374,6 +374,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota curation: keep the 20 lowest doc_ids per source
+    host (two-phase salted top-k, so a hot host never funnels into one
+    task). Output (doc_id, host, host_rank)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import host_cap
+
+    return host_cap(_docs(spark, sf_dir), k=20, host_col="source")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3/10 hash sample: bucket = first 32 md5 bits of
+    the id mod 10; kept iff bucket < 3. Map-side codegen predicate --
+    reproducible held-out splits across engines."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), num=3, den=10)
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate n-gram stats (Lee et al. 2021 signal):
+    per doc, distinct word-trigram count and how many of those occur
+    in >= 2 documents. (doc_id, n_grams, dup_grams)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_docs(spark, sf_dir))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental dedup: new batch = doc_id % 3 == 0,
+    base corpus = doc_id % 2 == 0 (ids % 6 == 0 are in BOTH, so the
+    anti-join genuinely drops true duplicates -- the corpus itself has
+    no repeated texts); keep new rows whose md5(text) is absent from
+    the base. was_maybe = the Bloom verdict (1 = the anti-join path
+    was taken), itself md5-deterministic and oracle-replayed.
+    m_bits=1024/k=3 at this scale yields kept rows on both paths plus
+    a handful of Bloom false-positives."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup(
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 2 == 0),
+        m_bits=1024,
+        k=3,
+    )
+
+
 def _link_pages(docs: DataFrame) -> DataFrame:
     """Deterministic link-corpus synthesis shared by q_extract_links /
     q_host_pagerank: every document becomes a page on host
@@ -681,6 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "host_cap": q_host_cap,
+        "hash_sample": q_hash_sample,
+        "dup_ngrams": q_dup_ngrams,
+        "incremental_dedup": q_incremental_dedup,
         "extract_links": q_extract_links,
         "host_pagerank": q_host_pagerank,
         "simhash": q_simhash,
@@ -953,6 +1008,65 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        # two-phase salted top-k == plain per-host row_number top-k
+        "host_cap": """
+            SELECT doc_id, host, CAST(rn AS INTEGER) AS host_rank
+            FROM (
+              SELECT doc_id, source AS host,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        # bucket = first 32 bits of md5(cast(id as string)), mod 10
+        "hash_sample": """
+            SELECT doc_id, bucket FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          ::UBIGINT % 10 AS BIGINT) AS bucket
+              FROM documents
+            ) WHERE bucket < 3
+        """,
+        # distinct trigrams per doc; dup = gram document-frequency >= 2
+        "dup_ngrams": _SHINGLE_CTE + """
+            , p AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+            gc AS (SELECT g, count(*) AS df FROM p GROUP BY g)
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gc.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_grams
+            FROM p JOIN gc USING (g)
+            GROUP BY p.doc_id
+        """,
+        # Bloom replay: bit set = any base digest's word-j position;
+        # maybe = all k probe positions present; kept = anti-join
+        "incremental_dedup": """
+            WITH nw AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), bs AS (
+              SELECT DISTINCT md5(coalesce(text, '')) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            ), bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(h, 1 + 8 * CAST(j AS INTEGER), 8))
+                       ::UBIGINT % 1024 AS p
+              FROM bs CROSS JOIN range(3) t(j)
+            ), probes AS (
+              SELECT doc_id, h,
+                     ('0x' || substr(h, 1 + 8 * CAST(j AS INTEGER), 8))
+                       ::UBIGINT % 1024 AS p
+              FROM nw CROSS JOIN range(3) t(j)
+            ), flg AS (
+              SELECT doc_id, h,
+                     CAST(min(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END)
+                          AS INTEGER) AS was_maybe
+              FROM probes LEFT JOIN bits b USING (p)
+              GROUP BY doc_id, h
+            )
+            SELECT doc_id, h, was_maybe FROM flg
+            WHERE NOT EXISTS (SELECT 1 FROM bs WHERE bs.h = flg.h)
         """,
         "minhash_sig": _SHINGLE_CTE + f"SELECT doc_id, {mh} FROM s",
         # band j of a 4-hash LSH is minhash j alone, so two docs share a

@@ -1,0 +1,124 @@
+"""Unit tests for corpus-curation operators (operators/corpus.py):
+per-host quota, deterministic hash sampling, duplicate n-gram stats,
+Bloom-gated incremental dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.operators.corpus import (
+    build_bloom,
+    duplicate_ngram_stats,
+    hash_sample,
+    host_cap,
+    incremental_dedup,
+)
+
+
+def _skewed_docs(spark, n_hot=200, n_cold=5):
+    rows = [(i, "hot.example") for i in range(n_hot)]
+    rows += [(1000 + i, f"cold{i}.example") for i in range(n_cold)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_host_cap_matches_plain_rank(spark):
+    """The two-phase salted top-k must equal the textbook single
+    row_number() per host, including rank values."""
+    docs = _skewed_docs(spark)
+    got = host_cap(docs, k=7, n_salts=4).collect()
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = (
+        docs.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 7)
+        .select("doc_id", F.col("source").alias("host"), "host_rank")
+        .collect()
+    )
+    key = lambda r: (r["host"], r["host_rank"])  # noqa: E731
+    assert sorted([tuple(r) for r in got], key=lambda t: (t[1], t[2])) == sorted(
+        [tuple(r) for r in want], key=lambda t: (t[1], t[2])
+    )
+    # the hot host is capped, cold hosts keep everything
+    hosts = [r["host"] for r in got]
+    assert hosts.count("hot.example") == 7
+    assert hosts.count("cold0.example") == 1
+
+
+def test_host_cap_k_larger_than_host(spark):
+    docs = _skewed_docs(spark, n_hot=3, n_cold=2)
+    got = host_cap(docs, k=10, n_salts=4).collect()
+    assert len(got) == 5  # nothing dropped
+
+
+def test_hash_sample_is_deterministic_partition_of_ids(spark):
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["bucket"] for r in hash_sample(docs, 3, 10).collect()}
+    b = {r["doc_id"]: r["bucket"] for r in hash_sample(docs, 3, 10).collect()}
+    assert a == b
+    assert all(0 <= v < 3 for v in a.values())
+    # num=den keeps everything; num=0 keeps nothing
+    assert hash_sample(docs, 10, 10).count() == 300
+    assert hash_sample(docs, 0, 10).count() == 0
+    # a 3/10 sample is a subset of the 5/10 sample (bucket monotone)
+    big = {r["doc_id"] for r in hash_sample(docs, 5, 10).collect()}
+    assert set(a) <= big
+
+
+def test_duplicate_ngram_stats_handmade(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c", "b c d"
+            (2, "a b c x"),        # grams: "a b c", "b c x"
+            (3, "zz yy"),          # short doc -> one whole-text gram
+            (4, "zz yy"),          # identical short doc
+            (5, "q r s t"),        # all-unique grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["dup_grams"])
+           for r in duplicate_ngram_stats(docs).collect()}
+    assert got == {
+        1: (2, 1),   # shares "a b c" with doc 2
+        2: (2, 1),
+        3: (1, 1),   # whole-text gram shared with doc 4
+        4: (1, 1),
+        5: (2, 0),
+    }
+
+
+@pytest.mark.parametrize("m_bits", [8, 1 << 16])
+def test_incremental_dedup_equals_anti_join(spark, m_bits):
+    """Exactness must hold at both extremes: a saturated 8-bit Bloom
+    (everything takes the maybe/anti-join path) and a roomy one
+    (most rows take the definite-new fast path)."""
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"text {i * 2}") for i in range(50)],  # evens overlap base
+        "doc_id bigint, text string",
+    )
+    got = incremental_dedup(new, base, m_bits=m_bits, k=3).collect()
+    kept = sorted(r["doc_id"] for r in got)
+    want = sorted(
+        r["doc_id"]
+        for r in new.join(
+            base.select(
+                F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+            ).distinct(),
+            F.md5(F.encode(F.col("text"), "UTF-8")) == F.col("h"),
+            "left_anti",
+        ).collect()
+    )
+    assert kept == want
+    if m_bits == 8:
+        assert all(r["was_maybe"] == 1 for r in got)  # saturated filter
+
+
+def test_build_bloom_validates_params(spark):
+    df = spark.createDataFrame([("00" * 16,)], "h string")
+    with pytest.raises(ValueError):
+        build_bloom(df, m_bits=1 << 10, k=5)
+    with pytest.raises(ValueError):
+        build_bloom(df, m_bits=12, k=3)

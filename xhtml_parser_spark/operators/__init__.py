@@ -1,5 +1,12 @@
 from .parse import parse_pages, parse_nodes, parse_attrs, parse_full, PARSED_SCHEMA
 from .links import extract_links, host_link_graph, pagerank
+from .corpus import (
+    host_cap,
+    hash_sample,
+    duplicate_ngram_stats,
+    incremental_dedup,
+    build_bloom,
+)
 
 __all__ = [
     "parse_pages",
@@ -10,4 +17,9 @@ __all__ = [
     "extract_links",
     "host_link_graph",
     "pagerank",
+    "host_cap",
+    "hash_sample",
+    "duplicate_ngram_stats",
+    "incremental_dedup",
+    "build_bloom",
 ]

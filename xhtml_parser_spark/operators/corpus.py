@@ -1,0 +1,303 @@
+"""Corpus-curation operators for web-scale training-data pipelines:
+per-host quotas, deterministic hash sampling, corpus-wide duplicate
+n-gram statistics, and Bloom-gated incremental dedup.
+
+These are the selection/curation steps a Common-Crawl-style pipeline
+runs between extraction and training-set assembly. Scale notes:
+
+  host_cap            two-phase (salted) top-k per host: phase 1 caps
+                      each (host, salt) shard to k rows so the phase-2
+                      per-host shuffle carries at most salt*k rows per
+                      host no matter how hot the host is -- a plain
+                      row_number() over host would funnel a 10^9-page
+                      host into ONE task
+  hash_sample         pure map-side (md5-bucket predicate, codegen);
+                      no shuffle, deterministic across engines
+  duplicate_ngram_stats
+                      one Arrow shingling pass (map-side), then
+                      relational gram-frequency join: shuffles distinct
+                      (doc, gram) pairs twice (gram-count aggregate +
+                      join back) and aggregates per doc
+  incremental_dedup   Bloom-gated anti-join of a new batch against a
+                      base corpus: the base is folded into an m-bit
+                      Bloom bitmap (one binary row per partition,
+                      OR-combined on the driver, broadcast back), so
+                      only the maybe-duplicate sliver of the new batch
+                      pays the anti-join shuffle; definite-new rows
+                      never shuffle at all
+
+All outputs are integers / md5 hex strings so the DuckDB oracle can
+replay them exactly (including the Bloom maybe-flag, which is pure
+md5 arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .dedup import shingle_list
+
+
+def host_cap(
+    docs: DataFrame,
+    k: int,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-host quota: keep at most ``k`` documents per host, the k
+    smallest ``id_col`` values (deterministic). Output
+    (doc_id, host, host_rank) with host_rank in 1..k.
+
+    Two-phase exact top-k: phase 1 partitions by (host, salt) where
+    salt = doc_id % n_salts and keeps k rows per shard; phase 2 ranks
+    the survivors per host. The phase-2 input is bounded at
+    n_salts * k rows per host, so a host with 10^9 pages costs the
+    same as one with 10^3 -- the skew-safe shape of "top-k per key"
+    at web scale (a single row_number() over host is the textbook
+    hot-key funnel).
+    """
+    h = F.col(host_col).alias("host")
+    base = docs.select(F.col(id_col).alias("doc_id"), h)
+    salt = (F.col("doc_id") % F.lit(n_salts)).alias("salt")
+    w1 = Window.partitionBy("host", "salt").orderBy("doc_id")
+    phase1 = (
+        base.select("doc_id", "host", salt)
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        phase1.withColumn("host_rank", F.row_number().over(w2))
+        .where(F.col("host_rank") <= k)
+        .select("doc_id", "host", F.col("host_rank").cast("int").alias("host_rank"))
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5-derived bucket
+    (first 32 bits of md5(id) mod den) is < num -- i.e. a num/den
+    sample that is stable across runs, engines, and partitionings.
+    Output (doc_id, bucket).
+
+    Pure map-side codegen predicate (no shuffle, no RNG state); the
+    same row set is selected by any engine that has md5, which is what
+    makes held-out splits reproducible across a pipeline rewrite.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(den)
+    ).alias("bucket")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), bucket)
+        .where(F.col("bucket") < num)
+        .select("doc_id", F.col("bucket").cast("bigint").alias("bucket"))
+    )
+
+
+def _shingle_only_batches(text_col: str, id_col: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sh": [sorted(set(shingle_list(t))) for t in pdf[text_col]],
+                }
+            )
+
+    return run
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicate n-gram fraction (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    at shingle granularity): for each document, how many of its
+    distinct word-trigrams occur in at least one OTHER document.
+    Output (doc_id, n_grams, dup_grams); the downstream filter divides.
+
+    Shingling (the per-row heavy step) is ONE map-side Arrow pass --
+    shingles are embarrassingly per-document, so shuffling raw tokens
+    to form grams relationally would move the whole corpus for no
+    reason. Only distinct (doc, gram) pairs shuffle: once into the
+    gram-frequency aggregate (map-side partial agg, so the wire
+    carries one row per distinct gram per map task) and once to join
+    document-frequency back. Gram strings could be md5-compressed
+    before the shuffle at 100 TB; kept raw here so the oracle join is
+    byte-transparent.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("sh", ArrayType(StringType())),
+        ]
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    sh = src.mapInPandas(_shingle_only_batches(text_col, "doc_id"), schema)
+    pairs = sh.select("doc_id", F.explode("sh").alias("g"))
+    gram_df = pairs.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        pairs.join(gram_df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-gated incremental dedup
+# --------------------------------------------------------------------------
+
+
+def _bloom_positions_np(hexes, m_bits: int, k: int):
+    """k bit positions per md5 hex digest: position j = the j-th
+    big-endian 32-bit word of the digest, mod m_bits (k <= 4)."""
+    import numpy as np
+
+    if len(hexes) == 0:
+        return np.empty((0, k), dtype=np.int64)
+    buf = bytes.fromhex("".join(hexes))
+    words = np.frombuffer(buf, dtype=">u4").reshape(-1, 4).astype(np.int64)
+    return words[:, :k] % m_bits
+
+
+def _bitmap_batches(m_bits: int, k: int):
+    """Fold a partition's digests into one m_bits-wide bitmap row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(m_bits, dtype=bool)
+        seen = False
+        for pdf in batches:
+            seen = True
+            pos = _bloom_positions_np(pdf["h"].tolist(), m_bits, k)
+            bits[pos.ravel()] = True
+        if seen:
+            packed = np.packbits(bits, bitorder="little")
+            yield pd.DataFrame({"bm": [packed.tobytes()]})
+
+    return run
+
+
+def build_bloom(base_hashes: DataFrame, m_bits: int, k: int) -> bytes:
+    """Aggregate an m_bits Bloom bitmap over ``base_hashes`` (a
+    single-column DF of md5 hex digests named ``h``). One binary row
+    of m_bits/8 bytes per partition is collected and OR-combined on
+    the driver -- the collect is O(partitions * m_bits/8), independent
+    of row count, so a 10^12-row base costs the same driver memory as
+    a 10^3-row one. m_bits up to ~2^33 (1 GiB bitmap) is broadcastable
+    on a real cluster; size m_bits ~ 10 * expected distinct digests
+    for a ~1% false-maybe rate with k=4.
+    """
+    import numpy as np
+
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (positions come from md5's four 32-bit words)")
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    rows = base_hashes.select("h").mapInPandas(
+        _bitmap_batches(m_bits, k), StructType([StructField("bm", BinaryType())])
+    ).collect()
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def _maybe_flag_batches(bloom_bc, m_bits: int, k: int):
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.unpackbits(
+            np.frombuffer(bloom_bc.value, dtype=np.uint8), bitorder="little"
+        ).view(bool)
+        for pdf in batches:
+            pos = _bloom_positions_np(pdf["h"].tolist(), m_bits, k)
+            maybe = (
+                bits[pos].all(axis=1).astype(np.int32)
+                if len(pdf)
+                else np.empty(0, dtype=np.int32)
+            )
+            out = pdf[["doc_id", "h"]].copy()
+            out["was_maybe"] = maybe
+            yield out
+
+    return run
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing BASE corpus without
+    shuffling either side in full: exact result = rows of ``new_docs``
+    whose md5(text) digest does not occur in ``base_docs``, i.e. a
+    plain anti-join -- but the anti-join's shuffle is paid only by the
+    sliver of new rows whose k Bloom probes all hit.
+
+    Output (doc_id, h, was_maybe): every kept (genuinely new) row,
+    with was_maybe=1 iff the Bloom filter could not rule it out (these
+    are the Bloom's false positives among kept rows -- the measured FP
+    rate, for free). Both the kept set AND the flag are deterministic
+    md5 arithmetic, so the DuckDB oracle replays the filter
+    bit-for-bit.
+
+    Scale shape at 10^12 base docs: build_bloom's collect is bounded
+    by partitions * m_bits/8 bytes (not rows); the broadcast ships
+    m_bits/8 bytes once per executor; definite-new rows take the
+    map-side fast path and never shuffle. The daily-increment pattern
+    would persist the bitmap alongside the snapshot and fold only the
+    new day's digests in.
+    """
+    md5_of = lambda c: F.md5(F.encode(F.coalesce(F.col(c), F.lit("")), "UTF-8"))  # noqa: E731
+    base_h = base_docs.select(md5_of(text_col).alias("h")).distinct()
+    bloom = build_bloom(base_h, m_bits, k)
+    bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
+
+    new_h = new_docs.select(F.col(id_col).alias("doc_id"), md5_of(text_col).alias("h"))
+    flagged = new_h.mapInPandas(
+        _maybe_flag_batches(bc, m_bits, k),
+        StructType(
+            [
+                StructField("doc_id", new_docs.schema[id_col].dataType),
+                StructField("h", StringType()),
+                StructField("was_maybe", IntegerType()),
+            ]
+        ),
+    )
+    definite_new = flagged.where(F.col("was_maybe") == 0)
+    survivors = (
+        flagged.where(F.col("was_maybe") == 1)
+        .join(base_h, "h", "left_anti")
+    )
+    return definite_new.unionByName(survivors.select("doc_id", "h", "was_maybe"))
