@@ -425,6 +425,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: lang-agreement -> quality ->
+    repetition -> exact dedup -> host cap -> hash sample, with exact
+    per-stage survivor counts. (stage_ord, stage, rows_kept)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
 def _link_pages(docs: DataFrame) -> DataFrame:
     """Deterministic link-corpus synthesis shared by q_extract_links /
     q_host_pagerank: every document becomes a page on host
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "dup_ngrams": q_dup_ngrams,
         "incremental_dedup": q_incremental_dedup,
+        "curation_funnel": q_curation_funnel,
         "extract_links": q_extract_links,
         "host_pagerank": q_host_pagerank,
         "simhash": q_simhash,
@@ -1038,6 +1049,64 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS dup_grams
             FROM p JOIN gc USING (g)
             GROUP BY p.doc_id
+        """,
+        # the curation funnel replayed stage by stage: per-row signals
+        # (lang prediction, word count, top word) -> cumulative filter
+        # flags -> dedup/host row_number windows -> sample predicate
+        "curation_funnel": f"""
+            WITH w AS (
+              SELECT doc_id, lang AS rec_lang, source AS host,
+                     md5(coalesce(text, '')) AS h,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '[ \\t\\n]+'), x -> x <> '') AS wraw,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id, rec_lang, host, h, len(wraw) AS n_words,
+                     coalesce((SELECT max(cnt) FROM (
+                         SELECT count(*) AS cnt FROM unnest(wraw) AS u(x)
+                         GROUP BY x)), 0) AS top_word_cnt,
+                     {lc}
+              FROM w
+            ), g AS (
+              SELECT *, {best} AS g FROM c
+            ), fl AS (
+              SELECT doc_id, host, h,
+                     ({pred}) = rec_lang AS f_lang,
+                     ({pred}) = rec_lang AND n_words >= 30 AS f_qual,
+                     ({pred}) = rec_lang AND n_words >= 30
+                       AND 8 * top_word_cnt <= n_words AS f_rep
+              FROM g
+            ), s4 AS (
+              SELECT * FROM (
+                SELECT doc_id, host, h,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id) AS dr
+                FROM fl WHERE f_rep
+              ) WHERE dr = 1
+            ), s5 AS (
+              SELECT * FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY doc_id) AS hr
+                FROM s4
+              ) WHERE hr <= 6
+            ), s6 AS (
+              SELECT doc_id FROM s5
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT % 10 < 9
+            )
+            SELECT CAST(0 AS INTEGER) AS stage_ord, 'input' AS stage,
+                   (SELECT count(*) FROM fl)::BIGINT AS rows_kept
+            UNION ALL SELECT 1, 'lang',
+                   (SELECT count(*) FROM fl WHERE f_lang)::BIGINT
+            UNION ALL SELECT 2, 'quality',
+                   (SELECT count(*) FROM fl WHERE f_qual)::BIGINT
+            UNION ALL SELECT 3, 'repetition',
+                   (SELECT count(*) FROM fl WHERE f_rep)::BIGINT
+            UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM s4)::BIGINT
+            UNION ALL SELECT 5, 'host_cap', (SELECT count(*) FROM s5)::BIGINT
+            UNION ALL SELECT 6, 'sample', (SELECT count(*) FROM s6)::BIGINT
         """,
         # Bloom replay: bit set = any base digest's word-j position;
         # maybe = all k probe positions present; kept = anti-join

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from xhtml_parser_spark.operators.corpus import (
     build_bloom,
+    curation_funnel,
     duplicate_ngram_stats,
     hash_sample,
     host_cap,
@@ -114,6 +115,39 @@ def test_incremental_dedup_equals_anti_join(spark, m_bits):
     assert kept == want
     if m_bits == 8:
         assert all(r["was_maybe"] == 1 for r in got)  # saturated filter
+
+
+def test_curation_funnel_every_stage_drops(spark):
+    """Handcrafted corpus where each stage removes a known doc."""
+    good = "the and of " * 4 + " ".join(f"w{i}" for i in range(20))
+    rep = "the and of " + "spam " * 30 + "x y z"  # top word 30 of ~36
+    rows = [
+        (1, good, "en", "h1"),            # survives everything
+        (2, good, "en", "h1"),            # exact dup of 1 -> dedup drop
+        (3, good, "fr", "h1"),            # pred en != fr -> lang drop
+        (4, "the and of tiny", "en", "h1"),  # 4 words -> quality drop
+        (5, rep, "en", "h1"),             # repetition drop
+        (6, good + " tail6", "en", "h1"),  # survives; h1 now has 3 survivors
+        (7, good + " tail7", "en", "h1"),  # host_cap k=2 drops the 3rd
+        (8, good + " tail8", "en", "h2"),  # other host, survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    got = {
+        r["stage"]: r["rows_kept"]
+        for r in curation_funnel(
+            docs, min_words=10, rep_mult=8, k_host=2,
+            sample_num=1, sample_den=1,  # keep-all sample stage
+        ).collect()
+    }
+    assert got == {
+        "input": 8,
+        "lang": 7,        # doc 3 out
+        "quality": 6,     # doc 4 out
+        "repetition": 5,  # doc 5 out
+        "dedup": 4,       # doc 2 out
+        "host_cap": 3,    # one of 1/6/7 out (h1 capped at 2)
+        "sample": 3,
+    }
 
 
 def test_build_bloom_validates_params(spark):

@@ -6,6 +6,7 @@ from .corpus import (
     duplicate_ngram_stats,
     incremental_dedup,
     build_bloom,
+    curation_funnel,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "duplicate_ngram_stats",
     "incremental_dedup",
     "build_bloom",
+    "curation_funnel",
 ]

@@ -170,6 +170,128 @@ def duplicate_ngram_stats(
     )
 
 
+def curation_funnel(
+    docs: DataFrame,
+    target_match_col: str = "lang",
+    min_words: int = 30,
+    rep_mult: int = 8,
+    k_host: int = 6,
+    sample_num: int = 9,
+    sample_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """The end-to-end training-data curation funnel, composed from the
+    individual operators and counted per stage:
+
+      input -> lang (classifier agrees with recorded lang) ->
+      quality (n_words >= min_words) ->
+      repetition (rep_mult * top_word_cnt <= n_words) ->
+      dedup (first doc per md5(text)) ->
+      host_cap (k_host smallest ids per host) ->
+      sample (md5 bucket < sample_num of sample_den)
+
+    Output: (stage_ord, stage, rows_kept) -- seven rows, every number
+    exactly replayable in SQL.
+
+    Scale shape: TWO scans of the text column total -- one projection
+    computing all per-row signals (digest, predicted language, word
+    count) and one explode pass for the word-mode (top word count,
+    joined back as slim integers); the joined signal table is
+    persisted before the head/tail fan-out so neither scan repeats.
+    Everything downstream operates on slim survivor rows: a
+    row_number window on the digest, then the host-cap rank expressed
+    as a windowed running sum over dedup survivors (so dedup + host +
+    sample flags come out of ONE pass and ONE aggregation, not three
+    chained count jobs). The per-stage counts are conditional
+    aggregations with map-side partial agg.
+
+    The persist is left live because the returned DataFrame reads
+    through it (Spark's CacheManager also silently substitutes it
+    into any identical sub-plan); callers running the funnel inside a
+    larger job can unpersist via spark.catalog.clearCache() after the
+    action.
+    """
+    from pyspark import StorageLevel
+    from .textops import _words, pred_lang_expr
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_match_col).alias("rec_lang"),
+        F.col(host_col).alias("host"),
+        F.md5(F.encode(t, "UTF-8")).alias("h"),
+        pred_lang_expr(text_col).alias("pred_lang"),
+        F.size(_words(t)).alias("n_words"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    sig = (
+        sig.join(top, "doc_id", "left")
+        .withColumn("top_word_cnt", F.coalesce("top_word_cnt", F.lit(0)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    f_lang = F.col("pred_lang") == F.col("rec_lang")
+    f_qual = f_lang & (F.col("n_words") >= min_words)
+    f_rep = f_qual & (F.lit(rep_mult) * F.col("top_word_cnt") <= F.col("n_words"))
+
+    # dedup rank among repetition survivors; host rank = running count
+    # of dedup survivors per host (rank-among-a-filtered-set without a
+    # second filtered window); sample = map-side predicate
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(sample_den)
+    )
+    surv = (
+        sig.where(f_rep)
+        .withColumn(
+            "dr", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .withColumn(
+            "hr",
+            F.sum((F.col("dr") == 1).cast("long")).over(
+                Window.partitionBy("host")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    f_dedup = F.col("dr") == 1
+    f_host = f_dedup & (F.col("hr") <= k_host)
+    f_sample = f_host & (bucket < sample_num)
+
+    head = sig.agg(
+        F.count("*").alias("c_input"),
+        F.sum(f_lang.cast("long")).alias("c_lang"),
+        F.sum(f_qual.cast("long")).alias("c_quality"),
+        F.sum(f_rep.cast("long")).alias("c_repetition"),
+    )
+    tail = surv.agg(
+        F.sum(f_dedup.cast("long")).alias("c_dedup"),
+        F.sum(f_host.cast("long")).alias("c_host_cap"),
+        F.sum(f_sample.cast("long")).alias("c_sample"),
+    )
+    stages = ["input", "lang", "quality", "repetition", "dedup", "host_cap", "sample"]
+    stack = ", ".join(f"{i}, '{s}', c_{s}" for i, s in enumerate(stages))
+    return (
+        head.crossJoin(tail)
+        .selectExpr(f"stack({len(stages)}, {stack}) AS (stage_ord, stage, rows_kept)")
+        .select(
+            F.col("stage_ord").cast("int").alias("stage_ord"),
+            "stage",
+            F.col("rows_kept").cast("bigint").alias("rows_kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom-gated incremental dedup
 # --------------------------------------------------------------------------

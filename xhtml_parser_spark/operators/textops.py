@@ -49,9 +49,9 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language ID: predicted = argmax of marker hits, ties
-    broken in fixed language order. Output (doc_id, pred_lang)."""
+def pred_lang_expr(text_col: str = "text") -> "F.Column":
+    """The lang_id prediction as a reusable column expression:
+    argmax of marker-word hits, ties broken in fixed language order."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     w = _words(F.lower(t))
     def _contains(arr):
@@ -69,7 +69,13 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for lg in langs:  # first language reaching the max wins
         cond = counts[lg] == best
         pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: predicted = argmax of marker hits, ties
+    broken in fixed language order. Output (doc_id, pred_lang)."""
+    return docs.select(F.col(id_col), pred_lang_expr(text_col).alias("pred_lang"))
 
 
 def repetition_signals(
