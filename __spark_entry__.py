@@ -425,6 +425,37 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup over documents reformatted into
+    8-word paragraphs (deterministically, so the oracle rebuilds the
+    identical corpus): first corpus-wide occurrence of each paragraph
+    wins, survivors reassemble in order.
+    (doc_id, clean_text, n_paras, kept_paras)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n]+"),
+        lambda w: w != F.lit(""),
+    )
+    # materialize ws as an attribute BEFORE the higher-order transform:
+    # an expression column inside a lambda is re-evaluated per element
+    with_ws = docs.select("doc_id", ws.alias("ws"))
+    n_paras = F.ceil(F.size("ws") / F.lit(8.0)).cast("int")
+    para_text = F.when(F.size("ws") == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.array_join(F.slice(F.col("ws"), i * 8 + 1, F.lit(8)), " "),
+            ),
+            "\n",
+        )
+    )
+    pages = with_ws.select("doc_id", para_text.alias("text"))
+    return paragraph_dedup(pages)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: lang-agreement -> quality ->
     repetition -> exact dedup -> host cap -> hash sample, with exact
@@ -747,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "incremental_dedup": q_incremental_dedup,
         "curation_funnel": q_curation_funnel,
+        "paragraph_dedup": q_paragraph_dedup,
         "extract_links": q_extract_links,
         "host_pagerank": q_host_pagerank,
         "simhash": q_simhash,
@@ -1049,6 +1081,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS dup_grams
             FROM p JOIN gc USING (g)
             GROUP BY p.doc_id
+        """,
+        # paragraph dedup over the deterministically re-paragraphed
+        # corpus: winner = min (doc_id, pos) per paragraph digest
+        # (encoded doc_id*1e6+pos; docs here have ~13 paragraphs),
+        # survivors string_agg back in order
+        "paragraph_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            ), p AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(ws[u.i*8+1 : u.i*8+8], ' ') AS para
+              FROM w,
+                   unnest(range(0, CAST(ceil(len(ws)/8.0) AS INT))) AS u(i)
+            ), ph AS (
+              SELECT doc_id, pos, para, md5(para) AS h FROM p
+            ), win AS (
+              SELECT h, min(doc_id * 1000000 + pos) AS wk FROM ph GROUP BY h
+            ), kept AS (
+              SELECT ph.* FROM ph JOIN win USING (h)
+              WHERE ph.doc_id * 1000000 + ph.pos = win.wk
+            ), counts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+              FROM ph GROUP BY doc_id
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS kept_paras
+              FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   c.n_paras, coalesce(r.kept_paras, 0) AS kept_paras
+            FROM counts c LEFT JOIN rebuilt r USING (doc_id)
         """,
         # the curation funnel replayed stage by stage: per-row signals
         # (lang prediction, word count, top word) -> cumulative filter

@@ -42,18 +42,33 @@ PY_OPS = (
 
 
 def audit_plan(plan: str) -> dict:
+    # Two rendering artifacts would overcount: (1) AQE appends an
+    # "== Initial Plan ==" section re-printing the whole pre-adaptive
+    # plan with fresh plan_ids -- cut it; (2) every InMemoryTableScan
+    # re-prints the cached relation's full lineage, so a persisted
+    # subtree's exchanges appear once per cache READ while executing
+    # once -- dedup Exchange nodes by their plan_id.
+    plan = plan.split("== Initial Plan ==")[0]
     # \bExchange\b does NOT match inside "ReusedExchange" (no word
     # boundary between 'd' and 'E'), so the count is already net of
     # reuse -- do not subtract again
-    n_exch = len(re.findall(r"\bExchange\b", plan))
+    exch_ids = re.findall(r"\bExchange\b[^\n]*?plan_id=(\d+)", plan)
+    n_exch = len(set(exch_ids)) if exch_ids else len(re.findall(r"\bExchange\b", plan))
     n_reused = len(re.findall(r"\bReusedExchange\b", plan))
     return {
         "exchanges": n_exch,
         "reused": n_reused,
         "bhj": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
         "smj": len(re.findall(r"\bSortMergeJoin\b", plan)),
-        "python": sum(plan.count(op) for op in PY_OPS[:2])
-        + len(re.findall(r"MapInArrow|FlatMapGroupsInPandas|BatchEvalPython", plan)),
+        # dedup python-stage LINES: the same physical node re-printed
+        # under a cached-relation lineage must not count twice
+        "python": len(
+            {
+                ln.lstrip(" :+-*()0123456789")
+                for ln in plan.splitlines()
+                if any(op in ln for op in PY_OPS)
+            }
+        ),
         # executedPlan().toString() renders codegen stages as "*(n) Op"
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": "PushedFilters: [" in plan
@@ -117,7 +132,10 @@ def main() -> None:
         "# PLAN_AUDIT — physical-plan metrics for every registered query",
         "",
         f"Input: `{args.sf}`; FINAL adaptive (post-AQE) physical plans after",
-        "one execution per query. Regenerate: `python jobs/plan_audit.py`.",
+        "one execution per query. Exchange counts are deduped by plan_id and",
+        "the `== Initial Plan ==` section is excluded, so a persisted subtree",
+        "re-printed under each InMemoryTableScan counts once -- these are the",
+        "shuffles that actually executed. Regenerate: `python jobs/plan_audit.py`.",
         "",
         "| query | exchanges | reused | bcast joins | sortmerge joins | python stages | codegen spans | pushed filters |",
         "|---|---|---|---|---|---|---|---|",

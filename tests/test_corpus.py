@@ -150,6 +150,30 @@ def test_curation_funnel_every_stage_drops(spark):
     }
 
 
+def test_paragraph_dedup_first_wins(spark):
+    from xhtml_parser_spark.operators.corpus import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),        # beta seen in doc 1 -> dropped
+            (3, "alpha\nbeta"),        # everything seen -> empty doc
+            (4, ""),                   # one empty paragraph, first seen
+            (5, "eps\neps"),           # within-doc dup: keep first only
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["kept_paras"])
+           for r in paragraph_dedup(docs).collect()}
+    assert got == {
+        1: ("alpha\nbeta\ngamma", 3, 3),
+        2: ("delta", 2, 1),
+        3: ("", 2, 0),
+        4: ("", 1, 1),
+        5: ("eps", 2, 1),
+    }
+
+
 def test_build_bloom_validates_params(spark):
     df = spark.createDataFrame([("00" * 16,)], "h string")
     with pytest.raises(ValueError):

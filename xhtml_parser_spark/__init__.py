@@ -49,6 +49,14 @@ _LAZY = {
     "ivf_topk": ("xhtml_parser_spark.operators.similarity", "ivf_topk"),
     "embedding_neardup_pairs": (
         "xhtml_parser_spark.operators.similarity", "embedding_neardup_pairs"),
+    "host_cap": ("xhtml_parser_spark.operators.corpus", "host_cap"),
+    "hash_sample": ("xhtml_parser_spark.operators.corpus", "hash_sample"),
+    "duplicate_ngram_stats": (
+        "xhtml_parser_spark.operators.corpus", "duplicate_ngram_stats"),
+    "paragraph_dedup": ("xhtml_parser_spark.operators.corpus", "paragraph_dedup"),
+    "incremental_dedup": ("xhtml_parser_spark.operators.corpus", "incremental_dedup"),
+    "build_bloom": ("xhtml_parser_spark.operators.corpus", "build_bloom"),
+    "curation_funnel": ("xhtml_parser_spark.operators.corpus", "curation_funnel"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
     "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),

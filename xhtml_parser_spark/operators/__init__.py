@@ -7,6 +7,7 @@ from .corpus import (
     incremental_dedup,
     build_bloom,
     curation_funnel,
+    paragraph_dedup,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "incremental_dedup",
     "build_bloom",
     "curation_funnel",
+    "paragraph_dedup",
 ]

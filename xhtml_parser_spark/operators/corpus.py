@@ -292,6 +292,67 @@ def curation_funnel(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: split each document on
+    ``sep``, drop every paragraph that already occurred earlier in the
+    corpus (first occurrence wins, ordered by (doc_id, position)),
+    and reassemble the survivors in original order. Output
+    (doc_id, clean_text, n_paras, kept_paras); documents whose every
+    paragraph was seen elsewhere come back with clean_text = ''.
+
+    This is the dedup used by CCNet/RefinedWeb-class pipelines for
+    boilerplate paragraphs that exact doc-level dedup misses (cookie
+    banners, nav footers) -- see Wenzek et al. 2020 (CCNet) section
+    3.1.
+
+    Scale shape: posexplode -> md5(paragraph) -> ONE min_by aggregate
+    per digest (map-side partial agg; the shuffle carries one row per
+    distinct paragraph per map task) -> self-join back on the digest
+    -> groupBy doc to reassemble. Keeping or dropping is decided by
+    integer (doc_id, pos) comparison, so the result is deterministic
+    and SQL-replayable. Paragraph strings could be md5-only through
+    the winner aggregate at 100 TB; kept raw here so the oracle join
+    stays byte-transparent.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(t, sep)).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.encode(F.col("para"), "UTF-8")))
+    # first corpus-wide occurrence of each paragraph: min (doc_id, pos)
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("win")
+    )
+    kept = paras.join(winners, "h").where(
+        (F.col("doc_id") == F.col("win.doc_id")) & (F.col("pos") == F.col("win.pos"))
+    )
+    counts = paras.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("kept_paras"),
+    )
+    return (
+        counts.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paras",
+            F.coalesce("kept_paras", F.lit(0)).cast("bigint").alias("kept_paras"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom-gated incremental dedup
 # --------------------------------------------------------------------------
