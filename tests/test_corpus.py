@@ -174,6 +174,90 @@ def test_paragraph_dedup_first_wins(spark):
     }
 
 
+def _random_corpus(n_docs=200, seed=7):
+    """Deterministic random corpus with real collision structure:
+    small vocab, geometric doc lengths, 20% exact-dup docs, newlines
+    sprinkled in so paragraphs exist."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(n_docs):
+        if texts and rng.random() < 0.2:
+            texts.append(rng.choice(texts))  # exact dup
+            continue
+        n = rng.randint(0, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        s = " ".join(words)
+        # fold some spaces to newlines for paragraph structure
+        s = "\n".join(p for p in s.split(" w3 ")) if "w3" in s else s
+        texts.append(s)
+    return [(i, t, f"h{i % 7}") for i, t in enumerate(texts)]
+
+
+def test_paragraph_dedup_matches_python_replica(spark):
+    from xhtml_parser_spark.operators.corpus import paragraph_dedup
+
+    rows = _random_corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["kept_paras"])
+           for r in paragraph_dedup(docs).collect()}
+
+    seen: set[str] = set()
+    want = {}
+    for i, t, _ in rows:  # replica: first occurrence in (doc_id, pos) order
+        paras = (t or "").split("\n")
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[i] = ("\n".join(kept), len(paras), len(kept))
+    assert got == want
+
+
+def test_host_cap_matches_python_replica(spark):
+    from xhtml_parser_spark.operators.corpus import host_cap
+
+    rows = _random_corpus()
+    docs = spark.createDataFrame(
+        [(i, h) for i, _, h in rows], "doc_id bigint, source string"
+    )
+    got = sorted(tuple(r) for r in host_cap(docs, k=9, n_salts=3).collect())
+    by_host: dict[str, list[int]] = {}
+    for i, _, h in sorted(rows):
+        by_host.setdefault(h, []).append(i)
+    want = sorted(
+        (i, h, rank + 1)
+        for h, ids in by_host.items()
+        for rank, i in enumerate(sorted(ids)[:9])
+    )
+    assert got == want
+
+
+def test_duplicate_ngram_stats_matches_python_replica(spark):
+    from xhtml_parser_spark.operators.corpus import duplicate_ngram_stats
+    from xhtml_parser_spark.operators.dedup import shingle_list
+
+    rows = _random_corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["dup_grams"])
+           for r in duplicate_ngram_stats(docs).collect()}
+    sets = {i: set(shingle_list(t)) for i, t, _ in rows}
+    from collections import Counter
+
+    df = Counter(g for s in sets.values() for g in s)
+    want = {
+        i: (len(s), sum(1 for g in s if df[g] >= 2)) for i, s in sets.items()
+    }
+    assert got == want
+
+
 def test_build_bloom_validates_params(spark):
     df = spark.createDataFrame([("00" * 16,)], "h string")
     with pytest.raises(ValueError):

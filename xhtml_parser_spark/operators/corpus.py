@@ -299,9 +299,12 @@ def paragraph_dedup(
     sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style paragraph-level dedup: split each document on
-    ``sep``, drop every paragraph that already occurred earlier in the
-    corpus (first occurrence wins, ordered by (doc_id, position)),
-    and reassemble the survivors in original order. Output
+    ``sep`` (a Java regex in the split; keep it a literal like the
+    default newline, since survivors are re-joined with the same
+    string verbatim), drop every paragraph that already occurred
+    earlier in the corpus (first occurrence wins, ordered by
+    (doc_id, position)), and reassemble the survivors in original
+    order. Output
     (doc_id, clean_text, n_paras, kept_paras); documents whose every
     paragraph was seen elsewhere come back with clean_text = ''.
 
