@@ -1093,10 +1093,15 @@ def oracle_sql() -> dict[str, str]:
                                  '[ \\t\\n]+'), x -> x <> '') AS ws
               FROM documents
             ), p AS (
+              -- a zero-word document still carries ONE empty paragraph
+              -- (the Spark side splits '' into ['']), hence greatest(1,..);
+              -- DuckDB's array_to_string([]) is NULL, hence coalesce
               SELECT doc_id, u.i AS pos,
-                     array_to_string(ws[u.i*8+1 : u.i*8+8], ' ') AS para
+                     coalesce(array_to_string(ws[u.i*8+1 : u.i*8+8], ' '),
+                              '') AS para
               FROM w,
-                   unnest(range(0, CAST(ceil(len(ws)/8.0) AS INT))) AS u(i)
+                   unnest(range(0, greatest(1,
+                       CAST(ceil(len(ws)/8.0) AS INT)))) AS u(i)
             ), ph AS (
               SELECT doc_id, pos, para, md5(para) AS h FROM p
             ), win AS (

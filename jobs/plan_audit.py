@@ -54,7 +54,12 @@ def audit_plan(plan: str) -> dict:
     # reuse -- do not subtract again
     exch_ids = re.findall(r"\bExchange\b[^\n]*?plan_id=(\d+)", plan)
     n_exch = len(set(exch_ids)) if exch_ids else len(re.findall(r"\bExchange\b", plan))
-    n_reused = len(re.findall(r"\bReusedExchange\b", plan))
+    reused_ids = re.findall(r"\bReusedExchange\b[^\n]*?plan_id=(\d+)", plan)
+    n_reused = (
+        len(set(reused_ids))
+        if reused_ids
+        else len(re.findall(r"\bReusedExchange\b", plan))
+    )
     return {
         "exchanges": n_exch,
         "reused": n_reused,

@@ -36,7 +36,6 @@ def test_host_cap_matches_plain_rank(spark):
         .select("doc_id", F.col("source").alias("host"), "host_rank")
         .collect()
     )
-    key = lambda r: (r["host"], r["host_rank"])  # noqa: E731
     assert sorted([tuple(r) for r in got], key=lambda t: (t[1], t[2])) == sorted(
         [tuple(r) for r in want], key=lambda t: (t[1], t[2])
     )
@@ -256,6 +255,51 @@ def test_duplicate_ngram_stats_matches_python_replica(spark):
         i: (len(s), sum(1 for g in s if df[g] >= 2)) for i, s in sets.items()
     }
     assert got == want
+
+
+def test_curation_funnel_zero_survivors_counts_are_zero(spark):
+    """SUM over zero rows is NULL in Spark; the funnel must coalesce
+    so stage counts read 0 (matching the oracle's count(*))."""
+    docs = spark.createDataFrame(
+        [(1, "tiny", "en", "h1")], "doc_id bigint, text string, lang string, source string"
+    )
+    got = {r["stage"]: r["rows_kept"]
+           for r in curation_funnel(docs, min_words=100).collect()}
+    assert got == {
+        "input": 1, "lang": 1, "quality": 0, "repetition": 0,
+        "dedup": 0, "host_cap": 0, "sample": 0,
+    }
+
+
+def test_paragraph_dedup_oracle_handles_wordless_docs(spark):
+    """The entry-query oracle must keep zero-word documents (they
+    carry one empty paragraph on the Spark side) -- regression for a
+    row-count mismatch on corpora containing empty/NULL/whitespace
+    texts."""
+    import duckdb
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    import tempfile
+
+    rows = [(0, "a b c d e f g h i j"), (1, ""), (2, None), (3, "  \t ")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "documents.parquet")
+        docs.toPandas().to_parquet(p)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        oracle = con.execute(entrymod.oracle_sql()["paragraph_dedup"]).fetchall()
+        got = entrymod.queries()["paragraph_dedup"](spark, d).collect()
+    assert len(oracle) == len(got) == 4
+    o = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    s = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["kept_paras"]) for r in got}
+    assert o == s
+    # the three wordless docs share the '' paragraph: first one wins
+    assert s[1] == ("", 1, 1) and s[2] == ("", 1, 0) and s[3] == ("", 1, 0)
 
 
 def test_build_bloom_validates_params(spark):

@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -138,15 +139,20 @@ def duplicate_ngram_stats(
     distinct word-trigrams occur in at least one OTHER document.
     Output (doc_id, n_grams, dup_grams); the downstream filter divides.
 
-    Shingling (the per-row heavy step) is ONE map-side Arrow pass --
-    shingles are embarrassingly per-document, so shuffling raw tokens
-    to form grams relationally would move the whole corpus for no
-    reason. Only distinct (doc, gram) pairs shuffle: once into the
-    gram-frequency aggregate (map-side partial agg, so the wire
-    carries one row per distinct gram per map task) and once to join
-    document-frequency back. Gram strings could be md5-compressed
-    before the shuffle at 100 TB; kept raw here so the oracle join is
-    byte-transparent.
+    Shingling (the per-row heavy step) is ONE map-side Arrow pass,
+    persisted before the plan fans out -- the exploded pairs feed both
+    the gram-frequency aggregate and the join probe side, which
+    without the persist would duplicate the scan+shingle subtree under
+    each join input. Shingles are embarrassingly per-document, so
+    shuffling raw tokens to form grams relationally would move the
+    whole corpus for no reason. Only distinct (doc, gram) pairs
+    shuffle: once into the gram-frequency aggregate (map-side partial
+    agg, so the wire carries one row per distinct gram per map task)
+    and once to join document-frequency back. Gram strings could be
+    md5-compressed before the shuffle at 100 TB; kept raw here so the
+    oracle join is byte-transparent. The persist is left live because
+    the returned DataFrame reads through it; clear with
+    spark.catalog.clearCache() after the action if needed.
     """
     schema = StructType(
         [
@@ -156,7 +162,9 @@ def duplicate_ngram_stats(
     )
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
     sh = src.mapInPandas(_shingle_only_batches(text_col, "doc_id"), schema)
-    pairs = sh.select("doc_id", F.explode("sh").alias("g"))
+    pairs = sh.select("doc_id", F.explode("sh").alias("g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gram_df = pairs.groupBy("g").agg(F.count("*").alias("df"))
     return (
         pairs.join(gram_df, "g")
@@ -213,7 +221,6 @@ def curation_funnel(
     larger job can unpersist via spark.catalog.clearCache() after the
     action.
     """
-    from pyspark import StorageLevel
     from .textops import _words, pred_lang_expr
 
     t = F.coalesce(F.col(text_col), F.lit(""))
@@ -268,16 +275,19 @@ def curation_funnel(
     f_host = f_dedup & (F.col("hr") <= k_host)
     f_sample = f_host & (bucket < sample_num)
 
+    def _cnt(flag, name):  # SUM over zero rows is NULL, not 0
+        return F.coalesce(F.sum(flag.cast("long")), F.lit(0)).alias(name)
+
     head = sig.agg(
         F.count("*").alias("c_input"),
-        F.sum(f_lang.cast("long")).alias("c_lang"),
-        F.sum(f_qual.cast("long")).alias("c_quality"),
-        F.sum(f_rep.cast("long")).alias("c_repetition"),
+        _cnt(f_lang, "c_lang"),
+        _cnt(f_qual, "c_quality"),
+        _cnt(f_rep, "c_repetition"),
     )
     tail = surv.agg(
-        F.sum(f_dedup.cast("long")).alias("c_dedup"),
-        F.sum(f_host.cast("long")).alias("c_host_cap"),
-        F.sum(f_sample.cast("long")).alias("c_sample"),
+        _cnt(f_dedup, "c_dedup"),
+        _cnt(f_host, "c_host_cap"),
+        _cnt(f_sample, "c_sample"),
     )
     stages = ["input", "lang", "quality", "repetition", "dedup", "host_cap", "sample"]
     stack = ", ".join(f"{i}, '{s}', c_{s}" for i, s in enumerate(stages))
@@ -374,18 +384,24 @@ def _bloom_positions_np(hexes, m_bits: int, k: int):
 
 
 def _bitmap_batches(m_bits: int, k: int):
-    """Fold a partition's digests into one m_bits-wide bitmap row."""
+    """Fold a partition's digests into one m_bits-wide bitmap row.
+    The working array stays PACKED (m_bits/8 bytes; little bit order:
+    bit j of byte b is position b*8+j) -- an unpacked bool array would
+    cost 8x the bitmap size per task, which at the ~2^33-bit sizes the
+    docstring budgets for is the difference between 1 GiB and 8 GiB of
+    executor memory."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(m_bits, dtype=bool)
+        packed = np.zeros(m_bits // 8, dtype=np.uint8)
         seen = False
         for pdf in batches:
             seen = True
-            pos = _bloom_positions_np(pdf["h"].tolist(), m_bits, k)
-            bits[pos.ravel()] = True
+            pos = _bloom_positions_np(pdf["h"].tolist(), m_bits, k).ravel()
+            np.bitwise_or.at(
+                packed, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
         if seen:
-            packed = np.packbits(bits, bitorder="little")
             yield pd.DataFrame({"bm": [packed.tobytes()]})
 
     return run
@@ -417,21 +433,18 @@ def build_bloom(base_hashes: DataFrame, m_bits: int, k: int) -> bytes:
 
 
 def _maybe_flag_batches(bloom_bc, m_bits: int, k: int):
+    """Probe the PACKED bitmap directly ((byte >> (pos & 7)) & 1) --
+    no unpacked copy, so the per-executor footprint is exactly the
+    broadcast's m_bits/8 bytes."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.unpackbits(
-            np.frombuffer(bloom_bc.value, dtype=np.uint8), bitorder="little"
-        ).view(bool)
+        packed = np.frombuffer(bloom_bc.value, dtype=np.uint8)
         for pdf in batches:
             pos = _bloom_positions_np(pdf["h"].tolist(), m_bits, k)
-            maybe = (
-                bits[pos].all(axis=1).astype(np.int32)
-                if len(pdf)
-                else np.empty(0, dtype=np.int32)
-            )
+            hit = (packed[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
             out = pdf[["doc_id", "h"]].copy()
-            out["was_maybe"] = maybe
+            out["was_maybe"] = hit.all(axis=1).astype(np.int32)
             yield out
 
     return run
@@ -445,11 +458,19 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Dedup a NEW batch against an existing BASE corpus without
-    shuffling either side in full: exact result = rows of ``new_docs``
-    whose md5(text) digest does not occur in ``base_docs``, i.e. a
-    plain anti-join -- but the anti-join's shuffle is paid only by the
-    sliver of new rows whose k Bloom probes all hit.
+    """Dedup a NEW batch against an existing BASE corpus: exact result
+    = rows of ``new_docs`` whose md5(text) digest does not occur in
+    ``base_docs``, i.e. a plain anti-join -- but on the NEW side only
+    the sliver of rows whose k Bloom probes all hit pays the anti-join
+    shuffle; definite-new rows take the map-side fast path. The BASE
+    side still pays one digest projection + distinct shuffle per run
+    (unavoidable without precomputed state); a daily-increment
+    deployment amortizes it by persisting the distinct base digests
+    bucketed by digest alongside the snapshot -- then the anti-join is
+    shuffle-free on the base side too and only the bitmap fold reads
+    it. When the maybe sliver is small enough to broadcast, AQE
+    converts the anti-join to a broadcast join automatically (it does
+    at test scale).
 
     Output (doc_id, h, was_maybe): every kept (genuinely new) row,
     with was_maybe=1 iff the Bloom filter could not rule it out (these
@@ -480,7 +501,7 @@ def incremental_dedup(
                 StructField("was_maybe", IntegerType()),
             ]
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # ONE probe pass feeds both branches
     definite_new = flagged.where(F.col("was_maybe") == 0)
     survivors = (
         flagged.where(F.col("was_maybe") == 1)
