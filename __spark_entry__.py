@@ -466,6 +466,82 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(_docs(spark, sf_dir))
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word-trigrams also occur in the 'benchmark' slice
+    (doc_id % 41 == 0 stands in for an eval set). The benchmark docs
+    themselves score bench_grams == n_grams, so the policy filter has
+    real positives. (doc_id, n_grams, bench_grams)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, docs.where(F.col("doc_id") % 41 == 0))
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage removal (ExactSubstr at trigram granularity):
+    every word covered by a corpus-duplicated trigram is dropped,
+    survivors reassemble in order.
+    (doc_id, clean_text, n_words, kept_words)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import remove_duplicate_ngrams
+
+    return remove_duplicate_ngrams(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII in every 7th document (the corpus
+    itself has none): an email, a +1-555-NNNN phone, and a dotted-quad
+    IP, all derived from doc_id so the oracle rebuilds the same text."""
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.lit(" contact u"), did.cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        (1000 + did % 9000).cast("string"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 200).cast("string"),
+    )
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 7 == 0, pii).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the PII-augmented corpus: emails, phones,
+    dotted-quad IPs replaced by fixed tokens; counts over the raw text.
+    (doc_id, clean_text, n_emails, n_phones, n_ipv4)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import pii_scrub
+
+    return pii_scrub(_pii_augmented(_docs(spark, sf_dir)))
+
+
+def _gopher_augmented(docs: DataFrame) -> DataFrame:
+    """Plant bullet/ellipsis lines (every 5th doc) and # symbols (every
+    11th) so the Gopher line signals are non-trivially exercised."""
+    did = F.col("doc_id")
+    head = F.when(
+        did % 5 == 0, F.lit("- item one\n* item two\nto be continued...\n")
+    ).otherwise(F.lit(""))
+    tail = F.when(did % 11 == 0, F.lit(" ###")).otherwise(F.lit(""))
+    t = F.concat(head, F.coalesce(F.col("text"), F.lit("")), tail)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality signals (word lengths, alpha-word count,
+    bullet/ellipsis lines, symbol count) as exact integers.
+    (doc_id, n_words, word_chars, max_word_len, alpha_words,
+    bullet_lines, ellipsis_lines, hash_cnt)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import gopher_quality
+
+    return gopher_quality(_gopher_augmented(_docs(spark, sf_dir)))
+
+
 def _link_pages(docs: DataFrame) -> DataFrame:
     """Deterministic link-corpus synthesis shared by q_extract_links /
     q_host_pagerank: every document becomes a page on host
@@ -779,6 +855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "curation_funnel": q_curation_funnel,
         "paragraph_dedup": q_paragraph_dedup,
+        "decontam": q_decontam,
+        "dedup_passages": q_dedup_passages,
+        "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
         "extract_links": q_extract_links,
         "host_pagerank": q_host_pagerank,
         "simhash": q_simhash,
@@ -936,6 +1016,12 @@ def _host_pagerank_sql(n_iter: int = 5, scale: int = 10**9) -> str:
 def oracle_sql() -> dict[str, str]:
     # NB: DuckDB regexes receive backslash escapes through regular
     # string literals unchanged ('\t' is passed to RE2 verbatim).
+    # PII patterns spliced from the operator module so both engines
+    # compile the exact same regex text.
+    from xhtml_parser_spark.operators.textops import EMAIL_RE as _PII_EMAIL
+    from xhtml_parser_spark.operators.textops import IPV4_RE as _PII_IPV4
+    from xhtml_parser_spark.operators.textops import PHONE_RE as _PII_PHONE
+
     stop_list = "['the','a','of','and','to','in','is','it','that','for']"
     # minhash j = min over shingles of the j-th 32-bit word of
     # md5(shingle), rendered as 8 lowercase hex chars (one md5 yields
@@ -1081,6 +1167,132 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS dup_grams
             FROM p JOIN gc USING (g)
             GROUP BY p.doc_id
+        """,
+        # benchmark decontamination: distinct-trigram overlap with the
+        # doc_id % 41 slice; benchmark members score bench_grams=n_grams
+        "decontam": _SHINGLE_CTE + """
+            , p AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+            b AS (SELECT DISTINCT g FROM (
+                    SELECT unnest(list_distinct(sh)) AS g FROM s
+                    WHERE doc_id % 41 = 0))
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bench_grams
+            FROM p LEFT JOIN b ON p.g = b.g
+            GROUP BY p.doc_id
+        """,
+        # duplicated-passage removal: every word covered by a trigram
+        # with corpus-wide occurrence count >= 2 is dropped; survivors
+        # string_agg back in position order
+        "dedup_passages": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '[ \\t\\n]+'), x -> x <> '') AS ws
+              FROM documents
+            ), wp AS (
+              SELECT doc_id, u.i - 1 AS pos, ws[CAST(u.i AS INTEGER)] AS wd
+              FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+            ), gr AS (
+              SELECT doc_id, u.i - 1 AS pos,
+                     ws[CAST(u.i AS INTEGER)] || ' ' ||
+                     ws[CAST(u.i AS INTEGER) + 1] || ' ' ||
+                     ws[CAST(u.i AS INTEGER) + 2] AS g
+              FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+            ), dup AS (
+              SELECT g FROM (SELECT g, count(*) AS c FROM gr GROUP BY g)
+              WHERE c >= 2
+            ), cov AS (
+              SELECT DISTINCT gr.doc_id, gr.pos + u.j AS pos
+              FROM gr JOIN dup USING (g), unnest(range(0, 3)) AS u(j)
+            ), kept AS (
+              SELECT wp.* FROM wp ANTI JOIN cov USING (doc_id, pos)
+            ), counts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+              FROM wp GROUP BY doc_id
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS kept_words
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(c.n_words, 0) AS n_words,
+                   coalesce(r.kept_words, 0) AS kept_words
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # PII scrub over the deterministically augmented corpus; the
+        # patterns are spliced from operators/textops.py verbatim
+        "pii_scrub": """
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example.com or +1-555-'
+                               || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                               || ' from 10.'
+                               || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                          ELSE '' END AS txt
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(txt,
+                       '__EMAIL__', '<EMAIL>', 'g'),
+                       '__PHONE__', '<PHONE>', 'g'),
+                       '__IP__', '<IP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(txt, '__EMAIL__'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(txt, '__PHONE__'))
+                        AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(txt, '__IP__'))
+                        AS BIGINT) AS n_ipv4
+            FROM t
+        """.replace("__EMAIL__", _PII_EMAIL)
+           .replace("__PHONE__", _PII_PHONE)
+           .replace("__IP__", _PII_IPV4),
+        # Gopher quality signals over the bullet/ellipsis/#-augmented
+        # corpus; every signal an exact integer
+        "gopher_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '- item one' || chr(10) || '* item two'
+                               || chr(10) || 'to be continued...' || chr(10)
+                          ELSE '' END
+                     || coalesce(text, '')
+                     || CASE WHEN doc_id % 11 = 0 THEN ' ###' ELSE '' END
+                       AS txt
+              FROM documents
+            ), s AS (
+              SELECT doc_id, txt,
+                     list_filter(regexp_split_to_array(txt, '[ \\t\\n]+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(string_split(txt, chr(10)),
+                                 x -> x <> '') AS ls
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(txt, '[ \\t\\n]', '', 'g'))
+                        AS BIGINT) AS word_chars,
+                   CAST(coalesce(list_max(list_transform(ws,
+                        x -> length(x))), 0) AS BIGINT) AS max_word_len,
+                   CAST(len(list_filter(ws,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                        AS BIGINT) AS alpha_words,
+                   CAST(len(list_filter(ls,
+                        x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+                        AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(ls, x -> x LIKE '%...'))
+                        AS BIGINT) AS ellipsis_lines,
+                   CAST(len(regexp_extract_all(txt, '#')) AS BIGINT)
+                        AS hash_cnt
+            FROM s
         """,
         # paragraph dedup over the deterministically re-paragraphed
         # corpus: winner = min (doc_id, pos) per paragraph digest

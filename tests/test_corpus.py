@@ -308,3 +308,104 @@ def test_build_bloom_validates_params(spark):
         build_bloom(df, m_bits=1 << 10, k=5)
     with pytest.raises(ValueError):
         build_bloom(df, m_bits=12, k=3)
+
+
+def test_decontaminate_handmade(spark):
+    from xhtml_parser_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shares "a b c" with the benchmark
+            (2, "x y z w"),      # clean
+            (3, "a b c"),        # exactly one benchmark gram
+            (4, "zz"),           # short doc -> whole-text gram, clean
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q q a b c q q")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["bench_grams"])
+           for r in decontaminate(docs, bench).collect()}
+    assert got == {1: (2, 1), 2: (2, 0), 3: (1, 1), 4: (1, 0)}
+
+
+def test_decontaminate_self_benchmark_is_total(spark):
+    from xhtml_parser_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here {i}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    got = decontaminate(docs, docs).collect()
+    assert all(r["bench_grams"] == r["n_grams"] for r in got)
+
+
+def test_remove_duplicate_ngrams_handmade(spark):
+    from xhtml_parser_spark.operators.corpus import remove_duplicate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # "a b c" dup with doc 2 -> drop a,b,c
+            (2, "z a b c y"),   # covered positions 1..3 -> keep z,y
+            (3, "p q r s"),     # unique -> intact
+            (4, "m m m m m m"), # self-repeating trigram -> fully covered
+            (5, "xx yy"),       # < n words, no grams -> intact
+            (6, None),          # null text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_words"], r["kept_words"])
+           for r in remove_duplicate_ngrams(docs, n=3, min_count=2).collect()}
+    assert got == {
+        1: ("d e", 5, 2),
+        2: ("z y", 5, 2),
+        3: ("p q r s", 4, 4),
+        4: ("", 6, 0),
+        5: ("xx yy", 2, 2),
+        6: ("", 0, 0),
+    }
+
+
+def test_remove_duplicate_ngrams_matches_python_replica(spark):
+    """Differential vs a direct per-corpus Python replica on a random
+    small-vocabulary corpus (dense duplicate structure)."""
+    import random
+
+    from collections import Counter
+
+    from xhtml_parser_spark.operators.corpus import remove_duplicate_ngrams
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for i in range(60)
+    ]
+    n = 3
+    words = {i: [w for w in t.split(" ") if w] for i, t in rows}
+    cnt = Counter(
+        " ".join(ws[j : j + n])
+        for ws in words.values()
+        for j in range(len(ws) - n + 1)
+    )
+    want = {}
+    for i, ws in words.items():
+        cov = set()
+        for j in range(len(ws) - n + 1):
+            if cnt[" ".join(ws[j : j + n])] >= 2:
+                cov.update(range(j, j + n))
+        kept = [w for j, w in enumerate(ws) if j not in cov]
+        want[i] = (" ".join(kept), len(ws), len(kept))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_words"], r["kept_words"])
+           for r in remove_duplicate_ngrams(docs, n=n, min_count=2).collect()}
+    assert got == want
+
+
+def test_remove_duplicate_ngrams_validates_n(spark):
+    from xhtml_parser_spark.operators.corpus import remove_duplicate_ngrams
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        remove_duplicate_ngrams(docs, n=1)

@@ -62,3 +62,54 @@ def test_repetition_signals(spark):
     assert (got[1]["n_lines"], got[1]["n_distinct_lines"]) == (4, 2)
     assert (got[2]["n_lines"], got[2]["top_word_cnt"], got[2]["n_words"]) == (0, 0, 0)
     assert (got[3]["top_word_cnt"], got[3]["n_words"]) == (1, 4)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from xhtml_parser_spark.operators.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call +44-201-9999 or +1-555-1234 twice"),
+            (3, "from 192.168.0.1 to 10.0.0.255"),
+            (4, "clean text only"),
+            (5, None),
+            (6, "mix u@e.io +1-222-3333 1.2.3.4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> now"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ipv4"]) == (1, 0, 0)
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> twice"
+    assert got[2]["n_phones"] == 2
+    assert got[3]["clean_text"] == "from <IP> to <IP>"
+    assert got[3]["n_ipv4"] == 2
+    assert got[4]["clean_text"] == "clean text only"
+    assert got[5]["clean_text"] == ""
+    assert got[6]["clean_text"] == "mix <EMAIL> <PHONE> <IP>"
+
+
+def test_gopher_quality_signals(spark):
+    from xhtml_parser_spark.operators.textops import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "- bullet\n* bullet2\nplain tail...\nword longest ##"),
+            (2, "12 345 abc"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    r = got[1]
+    assert (r["bullet_lines"], r["ellipsis_lines"], r["hash_cnt"]) == (2, 1, 2)
+    assert r["max_word_len"] == len("bullet2")
+    r2 = got[2]
+    assert (r2["n_words"], r2["word_chars"], r2["alpha_words"]) == (3, 8, 1)
+    for d in (3, 4):
+        z = got[d]
+        assert (z["n_words"], z["word_chars"], z["max_word_len"],
+                z["alpha_words"], z["bullet_lines"], z["ellipsis_lines"],
+                z["hash_cnt"]) == (0, 0, 0, 0, 0, 0, 0)

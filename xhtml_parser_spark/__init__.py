@@ -57,6 +57,11 @@ _LAZY = {
     "incremental_dedup": ("xhtml_parser_spark.operators.corpus", "incremental_dedup"),
     "build_bloom": ("xhtml_parser_spark.operators.corpus", "build_bloom"),
     "curation_funnel": ("xhtml_parser_spark.operators.corpus", "curation_funnel"),
+    "decontaminate": ("xhtml_parser_spark.operators.corpus", "decontaminate"),
+    "remove_duplicate_ngrams": (
+        "xhtml_parser_spark.operators.corpus", "remove_duplicate_ngrams"),
+    "pii_scrub": ("xhtml_parser_spark.operators.textops", "pii_scrub"),
+    "gopher_quality": ("xhtml_parser_spark.operators.textops", "gopher_quality"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
     "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),

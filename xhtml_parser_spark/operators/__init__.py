@@ -8,7 +8,10 @@ from .corpus import (
     build_bloom,
     curation_funnel,
     paragraph_dedup,
+    decontaminate,
+    remove_duplicate_ngrams,
 )
+from .textops import pii_scrub, gopher_quality
 
 __all__ = [
     "parse_pages",
@@ -26,4 +29,8 @@ __all__ = [
     "build_bloom",
     "curation_funnel",
     "paragraph_dedup",
+    "decontaminate",
+    "remove_duplicate_ngrams",
+    "pii_scrub",
+    "gopher_quality",
 ]

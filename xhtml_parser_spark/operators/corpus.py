@@ -1,6 +1,7 @@
 """Corpus-curation operators for web-scale training-data pipelines:
 per-host quotas, deterministic hash sampling, corpus-wide duplicate
-n-gram statistics, and Bloom-gated incremental dedup.
+n-gram statistics, benchmark decontamination, duplicated-passage
+removal, and Bloom-gated incremental dedup.
 
 These are the selection/curation steps a Common-Crawl-style pipeline
 runs between extraction and training-set assembly. Scale notes:
@@ -174,6 +175,141 @@ def duplicate_ngram_stats(
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
             .cast("bigint")
             .alias("dup_grams"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Lee et al.
+    overlap rule at shingle granularity): for each training document,
+    count how many of its distinct word-trigrams also occur anywhere
+    in the ``benchmark`` (eval-set) corpus. Output
+    (doc_id, n_grams, bench_grams); the downstream policy drops or
+    flags docs with bench_grams > 0 (or a fraction threshold).
+
+    Scale shape: the training side is shingled in ONE map-side Arrow
+    pass; the benchmark side (eval sets are tiny next to a 100 TB
+    corpus) collapses to a distinct-gram dimension that Spark
+    broadcast-joins, so the only shuffle is the per-doc aggregate of
+    already-joined slim rows (map-side partial agg). Nothing about the
+    plan grows with corpus size except the number of map tasks.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("sh", ArrayType(StringType())),
+        ]
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    pairs = (
+        src.mapInPandas(_shingle_only_batches(text_col, "doc_id"), schema)
+        .select("doc_id", F.explode("sh").alias("g"))
+    )
+    bench_grams = (
+        benchmark.select(F.col(bench_text_col).alias(bench_text_col))
+        .mapInPandas(
+            _shingle_only_batches(bench_text_col, bench_text_col),
+            StructType(
+                [
+                    StructField("doc_id", benchmark.schema[bench_text_col].dataType),
+                    StructField("sh", ArrayType(StringType())),
+                ]
+            ),
+        )
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        pairs.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("bench_grams"),
+        )
+    )
+
+
+def remove_duplicate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-passage removal (the Lee et al. 2021 ExactSubstr idea
+    at word-n-gram granularity): drop every word that is covered by an
+    n-gram occurring >= ``min_count`` times corpus-wide (total
+    occurrences, so within-document repetition counts too), then
+    reassemble the survivors in order. Output
+    (doc_id, clean_text, n_words, kept_words); documents shorter than
+    ``n`` words have no grams and come back intact.
+
+    Unlike suffix-array ExactSubstr this removes EVERY copy of a
+    duplicated span, not all-but-one -- that makes the result a pure
+    function of the corpus (deterministic, order-free) and therefore
+    SQL-replayable; the keep-one-copy policy needs paragraph_dedup /
+    exact_dedup instead.
+
+    Scale shape: ONE posexplode of the corpus into slim
+    (doc_id, pos, word) rows, persisted because three consumers read
+    it (gram build, word counts, the keep anti-join) -- at 100 TB this
+    intermediate would be written as a table once rather than cached.
+    Grams are a per-doc window (lead), so gram building shuffles the
+    words table once by doc; the gram-frequency aggregate has map-side
+    partial agg; covered positions explode <= n rows per duplicated
+    gram occurrence and dedup before the anti-join.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (unigram removal is a stopword filter)")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.filter(F.split(t, "[ \t\n]+"), lambda w: w != F.lit(""))
+    words = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(ws).alias("pos", "w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    grams = (
+        words.select("doc_id", "pos", F.concat_ws(" ", *parts).alias("g"),
+                     F.lead("w", n - 1).over(w).isNotNull().alias("full"))
+        .where(F.col("full"))
+        .drop("full")
+    )
+    dup_g = grams.groupBy("g").agg(F.count("*").alias("cnt")).where(
+        F.col("cnt") >= min_count
+    ).select("g")
+    covered = (
+        grams.join(dup_g, "g")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    counts = words.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_words"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("kept_words"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(counts, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("kept_words", F.lit(0)).cast("bigint").alias("kept_words"),
         )
     )
 

@@ -124,6 +124,100 @@ def repetition_signals(
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle. Kept inside the
+# Java-regex / RE2 common subset: character classes, bounded + greedy
+# quantifiers, no alternation / lookaround / backrefs -- the constructs
+# where backtracking (Java) and leftmost-longest (RE2) agree.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction (the RefinedWeb/FineWeb scrub step): replace
+    email addresses, +CC-NNN-NNNN phone numbers, and dotted-quad IPs
+    with fixed tokens. Output
+    (doc_id, clean_text, n_emails, n_phones, n_ipv4); counts are over
+    the RAW text (the patterns are mutually non-overlapping: '@' vs
+    '+...-' vs digits-dots-only).
+
+    Pure map-side codegen (regexp_replace / regexp_extract_all
+    built-ins) -- no shuffle, no Python; the scan cost is the regex
+    passes themselves. Replacement order email -> phone -> ip so a
+    redaction token never feeds a later pattern.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _cnt(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")
+
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        _cnt(EMAIL_RE).alias("n_emails"),
+        _cnt(PHONE_RE).alias("n_phones"),
+        _cnt(IPV4_RE).alias("n_ipv4"),
+    )
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 table A1) as exact
+    integers; downstream filters divide / threshold:
+    (doc_id, n_words, word_chars, max_word_len, alpha_words,
+    bullet_lines, ellipsis_lines, hash_cnt).
+
+      mean word length      = word_chars / n_words
+      non-alpha-word frac   = 1 - alpha_words / n_words
+      bullet/ellipsis fracs = *_lines / line count (repetition_signals
+                              carries n_lines)
+      symbol-to-word ratio  = hash_cnt / n_words
+
+    All per-row array built-ins; word_chars is length(text minus
+    whitespace) rather than an interpreted per-word fold. No shuffle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(t).alias("ws"),
+        F.filter(F.split(t, "\n"), lambda x: x != F.lit("")).alias("lines"),
+        F.length(F.regexp_replace(t, "[ \t\n]", "")).cast("bigint").alias("word_chars"),
+        F.size(F.regexp_extract_all(t, F.lit("#"), 0)).cast("bigint").alias("hash_cnt"),
+    )
+    ws, lines = F.col("ws"), F.col("lines")
+    return base.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        "word_chars",
+        F.coalesce(F.array_max(F.transform(ws, F.length)), F.lit(0))
+        .cast("bigint")
+        .alias("max_word_len"),
+        F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        )
+        .cast("bigint")
+        .alias("bullet_lines"),
+        F.size(F.filter(lines, lambda x: x.endswith("...")))
+        .cast("bigint")
+        .alias("ellipsis_lines"),
+        "hash_cnt",
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace-normalized md5 document fingerprint (doc_id, fp)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
