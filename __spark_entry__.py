@@ -476,7 +476,11 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.corpus import decontaminate
 
     docs = _docs(spark, sf_dir)
-    return decontaminate(docs, docs.where(F.col("doc_id") % 41 == 0))
+    return decontaminate(
+        docs,
+        docs.where(F.col("doc_id") % 41 == 0),
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +492,19 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtml_parser_spark.operators.corpus import remove_duplicate_ngrams
 
     return remove_duplicate_ngrams(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concat all docs' tokens in doc_id
+    order, cut into 512-token sequences; per doc, its global start
+    offset and first/last sequence index. Computed as a two-level
+    parallel prefix sum (bucket_size=4096 so the bucket level is
+    genuinely exercised at every SF).
+    (doc_id, n_tokens, start_offset, first_seq, last_seq)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, bucket_size=4096)
 
 
 def _pii_augmented(docs: DataFrame) -> DataFrame:
@@ -857,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "decontam": q_decontam,
         "dedup_passages": q_dedup_passages,
+        "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "extract_links": q_extract_links,
@@ -1223,6 +1241,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN counts c USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # sequence packing: the two-level parallel prefix sum must equal
+        # ONE global ordered running sum (the semantics it distributes)
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(
+                          coalesce(text, ''), '[ \\t\\n]+'),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN -1
+                        ELSE start_offset // 512 END AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_tokens = 0 THEN -1
+                        ELSE (start_offset + n_tokens - 1) // 512
+                        END AS BIGINT) AS last_seq
+            FROM o
         """,
         # PII scrub over the deterministically augmented corpus; the
         # patterns are spliced from operators/textops.py verbatim

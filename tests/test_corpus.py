@@ -409,3 +409,46 @@ def test_remove_duplicate_ngrams_validates_n(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         remove_duplicate_ngrams(docs, n=1)
+
+
+def test_pack_sequences_matches_single_window(spark):
+    """The two-level parallel prefix sum must equal one global ordered
+    running sum, including across bucket boundaries and zero-token
+    docs; sparse non-contiguous ids exercise empty buckets."""
+    import random
+
+    from xhtml_parser_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(3)
+    rows = [
+        (i * 13 + (i % 3), " ".join("w" for _ in range(rng.randrange(0, 9))))
+        for i in range(200)
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            seq_len=7,
+            bucket_size=64,
+        ).collect()
+    }
+    off = 0
+    for i, text in sorted(rows):
+        n = len([w for w in text.split(" ") if w])
+        fs = -1 if n == 0 else off // 7
+        ls = -1 if n == 0 else (off + n - 1) // 7
+        assert got[i] == (n, off, fs, ls), i
+        off += n
+
+
+def test_pack_sequences_degenerate_bucket_sizes(spark):
+    """bucket_size=1 (every doc its own bucket) and a huge bucket
+    (single window) must agree."""
+    from xhtml_parser_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id bigint, text string"
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 4, bucket_size=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, 4, bucket_size=1 << 30).collect()))
+    assert a == b

@@ -58,6 +58,7 @@ _LAZY = {
     "build_bloom": ("xhtml_parser_spark.operators.corpus", "build_bloom"),
     "curation_funnel": ("xhtml_parser_spark.operators.corpus", "curation_funnel"),
     "decontaminate": ("xhtml_parser_spark.operators.corpus", "decontaminate"),
+    "pack_sequences": ("xhtml_parser_spark.operators.corpus", "pack_sequences"),
     "remove_duplicate_ngrams": (
         "xhtml_parser_spark.operators.corpus", "remove_duplicate_ngrams"),
     "pii_scrub": ("xhtml_parser_spark.operators.textops", "pii_scrub"),

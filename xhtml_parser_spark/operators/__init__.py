@@ -9,6 +9,7 @@ from .corpus import (
     curation_funnel,
     paragraph_dedup,
     decontaminate,
+    pack_sequences,
     remove_duplicate_ngrams,
 )
 from .textops import pii_scrub, gopher_quality
@@ -30,6 +31,7 @@ __all__ = [
     "curation_funnel",
     "paragraph_dedup",
     "decontaminate",
+    "pack_sequences",
     "remove_duplicate_ngrams",
     "pii_scrub",
     "gopher_quality",

@@ -185,6 +185,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C / Lee et al.
     overlap rule at shingle granularity): for each training document,
@@ -199,6 +200,9 @@ def decontaminate(
     broadcast-joins, so the only shuffle is the per-doc aggregate of
     already-joined slim rows (map-side partial agg). Nothing about the
     plan grows with corpus size except the number of map tasks.
+    ``n_partitions`` opts into an upfront round-robin repartition for
+    the skinny-scan/heavy-compute case (few input splits would
+    otherwise serialize the Arrow shingling into few tasks).
     """
     schema = StructType(
         [
@@ -207,6 +211,8 @@ def decontaminate(
         ]
     )
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+    if n_partitions:
+        src = src.repartition(n_partitions)
     pairs = (
         src.mapInPandas(_shingle_only_batches(text_col, "doc_id"), schema)
         .select("doc_id", F.explode("sh").alias("g"))
@@ -311,6 +317,73 @@ def remove_duplicate_ngrams(
             F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
             F.coalesce("kept_words", F.lit(0)).cast("bigint").alias("kept_words"),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Training-sequence packing (the concat-and-chunk step of LM data
+    prep): lay every document's tokens end-to-end in doc_id order and
+    cut the stream into fixed ``seq_len``-token training sequences.
+    Output per doc: (doc_id, n_tokens, start_offset, first_seq,
+    last_seq) -- the global token offset where the doc starts and the
+    range of training sequences it lands in (inclusive; -1/-1 for
+    zero-token docs). Token count = whitespace word count (swap in any
+    integer tokenizer column upstream).
+
+    The global running sum is computed as a TWO-LEVEL parallel prefix
+    sum, not one global window (a single unpartitioned window funnels
+    the whole corpus through one task): docs bucket by
+    doc_id div bucket_size; per-bucket token totals aggregate map-side
+    (one tiny row per bucket), the bucket-prefix offsets cumulate in a
+    window over just the bucket rows (thousands of rows at 10^12 docs,
+    one task but trivially sized), broadcast-join back, and the
+    within-bucket running sum is a window partitioned BY bucket --
+    fully parallel. Exactly the oracle's single-window semantics, at
+    any scale.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(t, "[ \t\n]+"), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+        (F.col(id_col) / F.lit(bucket_size)).cast("bigint").alias("bkt"),
+    )
+    bucket_tot = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_off = bucket_tot.select(
+        "bkt", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff")
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(F.broadcast(bucket_off), "bkt")
+        .withColumn(
+            "start_offset",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+    )
+    first_seq = F.when(
+        F.col("n_tokens") == 0, F.lit(-1)
+    ).otherwise(F.floor(F.col("start_offset") / seq_len))
+    last_seq = F.when(F.col("n_tokens") == 0, F.lit(-1)).otherwise(
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len)
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        first_seq.cast("bigint").alias("first_seq"),
+        last_seq.cast("bigint").alias("last_seq"),
     )
 
 
