@@ -1282,18 +1282,24 @@ def oracle_sql() -> dict[str, str]:
                           ELSE '' END AS txt
               FROM documents
             )
+            , s1 AS (
+              SELECT doc_id, txt AS t0,
+                     regexp_replace(txt, '__EMAIL__', '<EMAIL>', 'g') AS t1
+              FROM t
+            ), s2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1, '__PHONE__', '<PHONE>', 'g') AS t2
+              FROM s1
+            )
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(txt,
-                       '__EMAIL__', '<EMAIL>', 'g'),
-                       '__PHONE__', '<PHONE>', 'g'),
-                       '__IP__', '<IP>', 'g') AS clean_text,
-                   CAST(len(regexp_extract_all(txt, '__EMAIL__'))
+                   regexp_replace(t2, '__IP__', '<IP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(t0, '__EMAIL__'))
                         AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(txt, '__PHONE__'))
+                   CAST(len(regexp_extract_all(t1, '__PHONE__'))
                         AS BIGINT) AS n_phones,
-                   CAST(len(regexp_extract_all(txt, '__IP__'))
+                   CAST(len(regexp_extract_all(t2, '__IP__'))
                         AS BIGINT) AS n_ipv4
-            FROM t
+            FROM s2
         """.replace("__EMAIL__", _PII_EMAIL)
            .replace("__PHONE__", _PII_PHONE)
            .replace("__IP__", _PII_IPV4),

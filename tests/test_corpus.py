@@ -452,3 +452,13 @@ def test_pack_sequences_degenerate_bucket_sizes(spark):
     a = sorted(map(tuple, pack_sequences(docs, 4, bucket_size=1).collect()))
     b = sorted(map(tuple, pack_sequences(docs, 4, bucket_size=1 << 30).collect()))
     assert a == b
+
+
+def test_pack_sequences_validates_params(spark):
+    from xhtml_parser_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=8, bucket_size=0)

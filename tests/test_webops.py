@@ -113,3 +113,30 @@ def test_gopher_quality_signals(spark):
         assert (z["n_words"], z["word_chars"], z["max_word_len"],
                 z["alpha_words"], z["bullet_lines"], z["ellipsis_lines"],
                 z["hash_cnt"]) == (0, 0, 0, 0, 0, 0, 0)
+
+
+def test_pii_scrub_staged_counts_match_redactions(spark):
+    """A phone embedded in an email's local part is consumed by the
+    email redaction: counted once as an email, zero times as a phone
+    (counts are per replacement stage, not raw-text global)."""
+    from xhtml_parser_spark.operators.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach +1-555-1234@relay.example.com ok"),
+            (2, "ip-ish domain u@1.2.3.4.ab tail"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    r1 = got[1]
+    assert r1["clean_text"] == "reach <EMAIL> ok"
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ipv4"]) == (1, 0, 0)
+    r2 = got[2]
+    assert r2["clean_text"] == "ip-ish domain <EMAIL> tail"
+    assert (r2["n_emails"], r2["n_ipv4"]) == (1, 0)
+    # every emitted token is counted: tokens in clean_text == n_*
+    for r in got.values():
+        assert r["clean_text"].count("<EMAIL>") == r["n_emails"]
+        assert r["clean_text"].count("<PHONE>") == r["n_phones"]
+        assert r["clean_text"].count("<IP>") == r["n_ipv4"]

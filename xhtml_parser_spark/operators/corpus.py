@@ -129,6 +129,19 @@ def _shingle_only_batches(text_col: str, id_col: str):
     return run
 
 
+def _shingle_sets_batches(text_col: str):
+    """Shingles only -- no id column, so the text never rides back out
+    of the Python worker alongside its grams."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"sh": [sorted(set(shingle_list(t))) for t in pdf[text_col]]}
+            )
+
+    return run
+
+
 def duplicate_ngram_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,6 +199,7 @@ def decontaminate(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     n_partitions: int | None = None,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C / Lee et al.
     overlap rule at shingle granularity): for each training document,
@@ -203,6 +217,10 @@ def decontaminate(
     ``n_partitions`` opts into an upfront round-robin repartition for
     the skinny-scan/heavy-compute case (few input splits would
     otherwise serialize the Arrow shingling into few tasks).
+    ``broadcast_bench=False`` switches the gram join to a shuffle join
+    for the rare benchmark too large to broadcast (the hint is a hard
+    requirement to Spark, not advisory -- an oversized broadcast fails
+    the job rather than degrading).
     """
     schema = StructType(
         [
@@ -220,20 +238,17 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.col(bench_text_col).alias(bench_text_col))
         .mapInPandas(
-            _shingle_only_batches(bench_text_col, bench_text_col),
-            StructType(
-                [
-                    StructField("doc_id", benchmark.schema[bench_text_col].dataType),
-                    StructField("sh", ArrayType(StringType())),
-                ]
-            ),
+            _shingle_sets_batches(bench_text_col),
+            StructType([StructField("sh", ArrayType(StringType()))]),
         )
         .select(F.explode("sh").alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     return (
-        pairs.join(F.broadcast(bench_grams), "g", "left")
+        pairs.join(bench_grams, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
@@ -267,6 +282,8 @@ def remove_duplicate_ngrams(
     (doc_id, pos, word) rows, persisted because three consumers read
     it (gram build, word counts, the keep anti-join) -- at 100 TB this
     intermediate would be written as a table once rather than cached.
+    The gram table persists as well: its window (per-doc sort + lead)
+    feeds both the frequency aggregate and the covered-position probe.
     Grams are a per-doc window (lead), so gram building shuffles the
     words table once by doc; the gram-frequency aggregate has map-side
     partial agg; covered positions explode <= n rows per duplicated
@@ -282,11 +299,16 @@ def remove_duplicate_ngrams(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    # persisted too: dup_g and the covered-position probe both consume
+    # grams, and the per-doc sort + lead window would otherwise
+    # re-evaluate under each (ReusedExchange dedupes the shuffle write,
+    # not the window compute)
     grams = (
         words.select("doc_id", "pos", F.concat_ws(" ", *parts).alias("g"),
                      F.lead("w", n - 1).over(w).isNotNull().alias("full"))
         .where(F.col("full"))
         .drop("full")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_g = grams.groupBy("g").agg(F.count("*").alias("cnt")).where(
         F.col("cnt") >= min_count
@@ -345,16 +367,30 @@ def pack_sequences(
     one task but trivially sized), broadcast-join back, and the
     within-bucket running sum is a window partitioned BY bucket --
     fully parallel. Exactly the oracle's single-window semantics, at
-    any scale.
+    any scale. All divisions are integral (SQL ``div``): ``/`` would
+    route the bigint offsets through doubles and lose exactness past
+    2^53 cumulative tokens -- precisely the scale this is for. The
+    slim (doc_id, n_tokens, bkt) projection is persisted because both
+    the bucket-total aggregate and the join probe consume it (the
+    probe side has no exchange for ReuseExchange to dedupe, so the
+    text scan + tokenization would otherwise run twice).
     """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(
             F.filter(F.split(t, "[ \t\n]+"), lambda w: w != F.lit(""))
         ).cast("bigint").alias("n_tokens"),
-        (F.col(id_col) / F.lit(bucket_size)).cast("bigint").alias("bkt"),
-    )
+        F.col(id_col).cast("bigint").alias("_id"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"_id div {int(bucket_size)}").alias("bkt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bucket_tot = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
     wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     bucket_off = bucket_tot.select(
@@ -372,11 +408,12 @@ def pack_sequences(
             F.col("boff") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
         )
     )
-    first_seq = F.when(
-        F.col("n_tokens") == 0, F.lit(-1)
-    ).otherwise(F.floor(F.col("start_offset") / seq_len))
+    sl = int(seq_len)
+    first_seq = F.when(F.col("n_tokens") == 0, F.lit(-1)).otherwise(
+        F.expr(f"start_offset div {sl}")
+    )
     last_seq = F.when(F.col("n_tokens") == 0, F.lit(-1)).otherwise(
-        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len)
+        F.expr(f"(start_offset + n_tokens - 1) div {sl}")
     )
     return placed.select(
         "doc_id",

@@ -33,6 +33,12 @@ def _words(text) -> "F.Column":
     return F.filter(F.split(F.coalesce(text, F.lit("")), _WS), lambda w: w != F.lit(""))
 
 
+def _lines(text) -> "F.Column":
+    """Non-empty lines; shared by repetition_signals and gopher_quality
+    so their line-count denominators can never drift apart."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), "\n"), lambda x: x != F.lit(""))
+
+
 def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_chars, n_words, stop_cnt, punct_cnt, token_cnt) --
     integer quality features; ratios are downstream divisions."""
@@ -93,7 +99,7 @@ def repetition_signals(
     two-level aggregate with map-side partial aggregation) rather than
     as an interpreted O(words^2) higher-order expression."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    lines = _lines(t)
     line_stats = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).cast("bigint").alias("n_lines"),
@@ -136,34 +142,45 @@ IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """PII redaction (the RefinedWeb/FineWeb scrub step): replace
     email addresses, +CC-NNN-NNNN phone numbers, and dotted-quad IPs
-    with fixed tokens. Output
-    (doc_id, clean_text, n_emails, n_phones, n_ipv4); counts are over
-    the RAW text (the patterns are mutually non-overlapping: '@' vs
-    '+...-' vs digits-dots-only).
+    with fixed tokens, in that order. Output
+    (doc_id, clean_text, n_emails, n_phones, n_ipv4).
+
+    Each count is taken on the text AS SEEN BY that replacement stage
+    (emails on the raw text, phones after email redaction, IPs after
+    phone redaction), so n_* always equals the number of tokens that
+    stage actually emitted -- a phone embedded in an email's local
+    part is redacted once as part of the email, counted zero times as
+    a phone. Counting every pattern on the raw text instead would
+    over-count such nested matches relative to the redactions.
 
     Pure map-side codegen (regexp_replace / regexp_extract_all
     built-ins) -- no shuffle, no Python; the scan cost is the regex
-    passes themselves. Replacement order email -> phone -> ip so a
-    redaction token never feeds a later pattern.
+    passes themselves. The staged text is carried as intermediate
+    projection columns, not recomputed per count.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
 
-    def _cnt(pat):
-        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")
+    def _cnt(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
 
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ),
-        IPV4_RE,
-        "<IP>",
+    s0 = docs.select(F.col(id_col).alias("doc_id"), t.alias("t0"))
+    s1 = s0.select(
+        "doc_id",
+        "t0",
+        F.regexp_replace(F.col("t0"), EMAIL_RE, "<EMAIL>").alias("t1"),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        clean.alias("clean_text"),
-        _cnt(EMAIL_RE).alias("n_emails"),
-        _cnt(PHONE_RE).alias("n_phones"),
-        _cnt(IPV4_RE).alias("n_ipv4"),
+    s2 = s1.select(
+        "doc_id",
+        "t0",
+        "t1",
+        F.regexp_replace(F.col("t1"), PHONE_RE, "<PHONE>").alias("t2"),
+    )
+    return s2.select(
+        "doc_id",
+        F.regexp_replace(F.col("t2"), IPV4_RE, "<IP>").alias("clean_text"),
+        _cnt(F.col("t0"), EMAIL_RE).alias("n_emails"),
+        _cnt(F.col("t1"), PHONE_RE).alias("n_phones"),
+        _cnt(F.col("t2"), IPV4_RE).alias("n_ipv4"),
     )
 
 
@@ -188,7 +205,7 @@ def gopher_quality(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         _words(t).alias("ws"),
-        F.filter(F.split(t, "\n"), lambda x: x != F.lit("")).alias("lines"),
+        _lines(t).alias("lines"),
         F.length(F.regexp_replace(t, "[ \t\n]", "")).cast("bigint").alias("word_chars"),
         F.size(F.regexp_extract_all(t, F.lit("#"), 0)).cast("bigint").alias("hash_cnt"),
     )
