@@ -609,6 +609,7 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("node_id").cast("bigint").alias("node_id"),
         "tag",
+        "anchor_text",
         "link_url",
         "link_host",
     )
@@ -1521,23 +1522,24 @@ def oracle_sql() -> dict[str, str]:
         # synthesis structure)
         "extract_links": _LINKD_CTE + """
 SELECT doc_id, CAST(3 AS BIGINT) AS node_id, 'a' AS tag,
+       'x' AS anchor_text,
        'https://h' || k1 || '.example.org/p/' ||
            CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS link_url,
        'h' || k1 || '.example.org' AS link_host
 FROM d
 UNION ALL
-SELECT doc_id, CAST(5 AS BIGINT), 'a',
+SELECT doc_id, CAST(5 AS BIGINT), 'a', 'y',
        'https://h' || s || '.example.org/a/t/page' ||
            CAST(doc_id % 5 AS VARCHAR) || '.html',
        'h' || s || '.example.org'
 FROM d
 UNION ALL
-SELECT doc_id, CAST(7 AS BIGINT), 'a',
+SELECT doc_id, CAST(7 AS BIGINT), 'a', 'z',
        'https://h' || k3 || '.example.org/q',
        'h' || k3 || '.example.org'
 FROM d
 UNION ALL
-SELECT doc_id, CAST(9 AS BIGINT), 'link',
+SELECT doc_id, CAST(9 AS BIGINT), 'link', '',
        'https://h' || s || '.example.org/css/m' ||
            CAST(doc_id % 7 AS VARCHAR) || '.css',
        'h' || s || '.example.org'

@@ -79,10 +79,12 @@ def link_pages(spark):
 def test_extract_links_kernel(spark, link_pages):
     from xhtml_parser_spark.operators.links import extract_links
 
+    rows = extract_links(link_pages).collect()
     got = {
         (r["url"], r["node_id"]): (r["tag"], r["href"], r["link_url"], r["link_host"])
-        for r in extract_links(link_pages).collect()
+        for r in rows
     }
+    texts = {(r["url"], r["node_id"]): r["anchor_text"] for r in rows}
     a = "https://a.com/d/x.html"
     assert got[(a, 3)] == ("a", "../p.html", "https://a.com/p.html", "a.com")
     # entity-decoded &amp;, lowercased host, :443 stripped, tracker
@@ -105,6 +107,33 @@ def test_extract_links_kernel(spark, link_pages):
     # documents contribute nothing
     assert (a, 7) not in got
     assert len(got) == 7
+    # anchor text: descendant text nodes; void elements are empty
+    assert texts[(a, 3)] == "t" and texts[(a, 5)] == "u"
+    assert texts[(a, 9)] == "" and texts[(a, 10)] == ""
+    assert texts[(a, 11)] == "dup" and texts[(a, 13)] == "m"
+    assert texts[("https://b.com/", 3)] == "b"
+
+
+def test_extract_links_anchor_text_nested_and_entities(spark):
+    from xhtml_parser_spark.operators.links import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://n.com/",
+                b'<html><body><a href="/1"><b>bold</b> tail &amp; more</a>'
+                b'<a href="/2"></a>'
+                b'<a href="/3">pre<i>mid<u>deep</u></i>post</a>'
+                b"</body></html>",
+            )
+        ],
+        "url string, html binary",
+    )
+    texts = {
+        r["node_id"]: r["anchor_text"] for r in extract_links(pages).collect()
+    }
+    # concatenated descendant text in document order, entities decoded
+    assert texts == {3: "bold tail & more", 7: "", 8: "premiddeeppost"}
 
 
 def test_host_link_graph_filters_and_weights(spark, link_pages):

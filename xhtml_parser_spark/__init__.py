@@ -64,6 +64,9 @@ _LAZY = {
     "pii_scrub": ("xhtml_parser_spark.operators.textops", "pii_scrub"),
     "gopher_quality": ("xhtml_parser_spark.operators.textops", "gopher_quality"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
+    "run_curation": ("xhtml_parser_spark.plans", "run_curation"),
+    "read_curated": ("xhtml_parser_spark.plans", "read_curated"),
+    "funnel_signals": ("xhtml_parser_spark.operators.corpus", "funnel_signals"),
     "read_extracted": ("xhtml_parser_spark.plans.extract_job", "read_extracted"),
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
     "read_parsed": ("xhtml_parser_spark.sources.parse_datasource", "read_parsed"),

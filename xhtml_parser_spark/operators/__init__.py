@@ -7,6 +7,7 @@ from .corpus import (
     incremental_dedup,
     build_bloom,
     curation_funnel,
+    funnel_signals,
     paragraph_dedup,
     decontaminate,
     pack_sequences,
@@ -29,6 +30,7 @@ __all__ = [
     "incremental_dedup",
     "build_bloom",
     "curation_funnel",
+    "funnel_signals",
     "paragraph_dedup",
     "decontaminate",
     "pack_sequences",

@@ -424,6 +424,44 @@ def pack_sequences(
     )
 
 
+def funnel_signals(
+    docs: DataFrame,
+    target_match_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """The per-document signal projection every funnel stage filters
+    on: (doc_id, rec_lang, host, h, pred_lang, n_words, top_word_cnt).
+    TWO text scans total -- one projection computing the per-row
+    signals (digest, predicted language, word count) and one explode
+    pass for the word mode, joined back as slim integers. Shared by
+    curation_funnel (in-plan, persisted) and run_curation (written as
+    the checkpointed signals stage)."""
+    from .textops import _words, pred_lang_expr
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_match_col).alias("rec_lang"),
+        F.col(host_col).alias("host"),
+        F.md5(F.encode(t, "UTF-8")).alias("h"),
+        pred_lang_expr(text_col).alias("pred_lang"),
+        F.size(_words(t)).alias("n_words"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    return (
+        sig.join(top, "doc_id", "left")
+        .withColumn("top_word_cnt", F.coalesce("top_word_cnt", F.lit(0)))
+    )
+
+
 def curation_funnel(
     docs: DataFrame,
     target_match_col: str = "lang",
@@ -467,29 +505,13 @@ def curation_funnel(
     larger job can unpersist via spark.catalog.clearCache() after the
     action.
     """
-    from .textops import _words, pred_lang_expr
-
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(target_match_col).alias("rec_lang"),
-        F.col(host_col).alias("host"),
-        F.md5(F.encode(t, "UTF-8")).alias("h"),
-        pred_lang_expr(text_col).alias("pred_lang"),
-        F.size(_words(t)).alias("n_words"),
-    )
-    top = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_word_cnt"))
-    )
-    sig = (
-        sig.join(top, "doc_id", "left")
-        .withColumn("top_word_cnt", F.coalesce("top_word_cnt", F.lit(0)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sig = funnel_signals(
+        docs,
+        target_match_col=target_match_col,
+        text_col=text_col,
+        id_col=id_col,
+        host_col=host_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     f_lang = F.col("pred_lang") == F.col("rec_lang")
     f_qual = f_lang & (F.col("n_words") >= min_words)

@@ -39,6 +39,7 @@ LINKS_SCHEMA = StructType(
         StructField("node_id", IntegerType()),
         StructField("tag", StringType()),
         StructField("href", BinaryType()),
+        StructField("text", BinaryType()),
     ]
 )
 
@@ -56,14 +57,24 @@ def _links_arrow_batches(batches):
     ranges, 4-byte name compare against 'href', first-wins dedup per
     node via np.unique on the (nondecreasing) owner sequence. No
     per-node Python loop; one buffer concat + two span gathers per
-    batch, exactly like _nodes_arrow_batches."""
+    batch, exactly like _nodes_arrow_batches.
+
+    Anchor TEXT (the link's label: concatenated descendant text nodes,
+    entity-decoded, in document order) rides the same pass for free --
+    the packed DOM's contiguity invariant means node t is a descendant
+    of anchor a iff a < t <= last_descendant[a], so per-anchor
+    text-node ranges are two searchsorted calls over the text-node
+    index vector and the concatenation is one grouped span gather.
+    Mirrors reference Node::text + descendants iteration
+    (src/node.rs:214-253, src/document.rs:733-811)."""
     import numpy as np
     import pyarrow as pa
 
-    from ..kernel.parser import _get_cparser
+    from ..kernel.parser import TEXT, _get_cparser
     from .parse import (
         _binary_from_spans,
         _doc_packed,
+        _gather_spans,
         _html_views,
         _string_from_spans,
     )
@@ -81,13 +92,16 @@ def _links_arrow_batches(batches):
         tag_ge: list = []
         val_gs: list = []
         val_ge: list = []
+        txt_gs: list = []
+        txt_ge: list = []
+        txt_cnt: list = []
         chunks: list = []
         base = 0
         for j in range(rb.num_rows):
             packed = _doc_packed(cp, get_html(j))
             if packed is None:
                 continue
-            buf, _par, kind, ls, le, _d, _ld, at_s, at_e = packed[:9]
+            buf, _par, kind, ls, le, _d, ld, at_s, at_e = packed[:9]
             a_ns, a_ne, a_vs, a_ve = packed[9:]
             if len(kind) <= 1 or len(a_ns) == 0:
                 continue
@@ -126,6 +140,22 @@ def _links_arrow_batches(batches):
                 continue
             owner_u, first = np.unique(owner, return_index=True)
             flat = flat[first]
+            # descendant text-node ranges per kept anchor: contiguity
+            # invariant => descendants of a are exactly (a, ld[a]]
+            txt = np.flatnonzero(kind == TEXT)
+            lo = np.searchsorted(txt, owner_u, side="right")
+            hi = np.searchsorted(txt, ld[owner_u], side="right")
+            cnt_t = (hi - lo).astype(np.int64)
+            tot_t = int(cnt_t.sum())
+            if tot_t:
+                toff = np.zeros(len(cnt_t) + 1, np.int64)
+                np.cumsum(cnt_t, out=toff[1:])
+                sel = txt[
+                    np.repeat(lo - toff[:-1], cnt_t) + np.arange(tot_t)
+                ]
+                txt_gs.append(ls[sel].astype(np.int64) + base)
+                txt_ge.append(le[sel].astype(np.int64) + base)
+            txt_cnt.append(cnt_t)
             doc_idx.append(np.full(len(owner_u), j, dtype=np.int64))
             node_ids.append(owner_u.astype(np.int32))
             tag_gs.append(ls[owner_u].astype(np.int64) + base)
@@ -137,6 +167,30 @@ def _links_arrow_batches(batches):
         if not doc_idx:
             continue
         bigbuf = np.concatenate(chunks)
+        # grouped span gather: spans were appended in anchor order, so
+        # the gathered bytes ARE the per-anchor concatenations; the
+        # anchor-level value offsets are the grouped byte counts
+        cnt_all = np.concatenate(txt_cnt)
+        if txt_gs:
+            tdata, tsoff = _gather_spans(
+                bigbuf, np.concatenate(txt_gs), np.concatenate(txt_ge)
+            )
+        else:
+            tdata = np.empty(0, np.uint8)
+            tsoff = np.zeros(1, np.int64)
+        grp = np.repeat(np.arange(len(cnt_all)), cnt_all)
+        per_anchor = np.bincount(
+            grp, weights=np.diff(tsoff), minlength=len(cnt_all)
+        ).astype(np.int64)
+        aoff = np.zeros(len(cnt_all) + 1, np.int64)
+        np.cumsum(per_anchor, out=aoff[1:])
+        if aoff[-1] > np.iinfo(np.int32).max:
+            raise ValueError("batch anchor-text payload exceeds 2 GiB")
+        text_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(cnt_all),
+            [None, pa.py_buffer(aoff.astype(np.int32)), pa.py_buffer(tdata)],
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 urls.take(pa.array(np.concatenate(doc_idx))),
@@ -147,15 +201,18 @@ def _links_arrow_batches(batches):
                 _binary_from_spans(
                     pa, bigbuf, np.concatenate(val_gs), np.concatenate(val_ge)
                 ),
+                text_arr,
             ],
             names=[f.name for f in LINKS_SCHEMA.fields],
         )
 
 
 def extract_links(pages: DataFrame) -> DataFrame:
-    """(url, node_id, tag, href, link_url, link_host) for every
-    href-carrying <a>/<link>/<area> element, href resolved against the
-    page url and normalized. Map-side only; failed-parse documents
+    """(url, node_id, tag, href, anchor_text, link_url, link_host) for
+    every href-carrying <a>/<link>/<area> element, href resolved
+    against the page url and normalized; anchor_text = the element's
+    concatenated descendant text (entity-decoded, document order; ''
+    for void/empty anchors). Map-side only; failed-parse documents
     contribute no rows (join parse_pages on url for their errors)."""
     raw = pages.select("url", "html").mapInArrow(
         _links_arrow_batches, LINKS_SCHEMA
@@ -170,6 +227,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
         "node_id",
         "tag",
         href.alias("href"),
+        F.decode(F.col("text"), "UTF-8").alias("anchor_text"),
         normalized.alias("link_url"),
         url_host(normalized).alias("link_host"),
     )
