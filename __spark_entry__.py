@@ -507,6 +507,51 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=512, bucket_size=4096)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness decisions over synthesized per-host robots
+    bodies exercising all four grammar shapes -- star-group disallow,
+    exact-agent precedence over star, inapplicable group (default
+    allow), and longest-prefix matching on the url path. The oracle
+    recomputes every decision analytically from host/doc arithmetic.
+    (doc_id, host, allowed)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.robots import parse_robots, robots_filter
+
+    docs = _docs(spark, sf_dir)
+    s = (F.col("id") % 4).cast("int")
+    body = (
+        F.when(s == 0, F.lit("User-agent: *\nDisallow: /a\n"))
+        .when(
+            s == 1,
+            F.lit(
+                "User-agent: trainbot\nAllow: /a/b\nDisallow: /a\n\n"
+                "User-agent: *\nDisallow: /\n"
+            ),
+        )
+        .when(s == 2, F.lit("User-agent: otherbot\nDisallow: /\n"))
+        .otherwise(F.lit("User-agent: *  # comment\nDisallow: /a/b/idx7\n"))
+    )
+    robots = spark.range(23).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        body.alias("body"),
+    )
+    rules = parse_robots(robots, "trainbot")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.org/a/b/idx"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    )
+    out = robots_filter(urls, rules)
+    return out.select(
+        F.regexp_extract("url", "idx(\\d+)\\.html", 1).cast("bigint").alias("doc_id"),
+        "host",
+        F.col("allowed").cast("int").alias("allowed"),
+    )
+
+
 def _pii_augmented(docs: DataFrame) -> DataFrame:
     """Deterministically plant PII in every 7th document (the corpus
     itself has none): an email, a +1-555-NNNN phone, and a dotted-quad
@@ -876,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "dedup_passages": q_dedup_passages,
         "pack_sequences": q_pack_sequences,
+        "robots_filter": q_robots_filter,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "extract_links": q_extract_links,
@@ -1242,6 +1288,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN counts c USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # robots decisions replayed analytically: host class s = id%23
+        # then s%4 picks the grammar shape; every url's path is
+        # /a/b/idx<doc_id>.html so the longest-match outcome is pure
+        # doc_id arithmetic
+        "robots_filter": """
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.org'
+                       AS host,
+                   CAST(CASE (doc_id % 23) % 4
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN 1
+                        WHEN 2 THEN 1
+                        ELSE CASE WHEN CAST(doc_id AS VARCHAR) LIKE '7%'
+                                  THEN 0 ELSE 1 END
+                        END AS INTEGER) AS allowed
+            FROM documents
         """,
         # sequence packing: the two-level parallel prefix sum must equal
         # ONE global ordered running sum (the semantics it distributes)

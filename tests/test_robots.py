@@ -1,0 +1,106 @@
+"""robots.txt parsing + politeness filtering (operators/robots.py)."""
+
+from __future__ import annotations
+
+from xhtml_parser_spark.operators.robots import parse_robots, robots_filter
+
+
+def _rules(spark, bodies, agent="trainbot"):
+    df = spark.createDataFrame(bodies, "host string, body string")
+    return parse_robots(df, agent)
+
+
+def test_parse_robots_groups_and_precedence(spark):
+    bodies = [
+        # exact-agent group beats '*'; consecutive UA lines share rules
+        ("a.com",
+         "User-agent: other\nUser-agent: trainbot\nDisallow: /priv\n"
+         "Allow: /priv/ok\n\nUser-agent: *\nDisallow: /\n"),
+        # only '*' group applies; comments + unknown directives ignored
+        ("b.com",
+         "# banner\nUser-agent: *  # all\nCrawl-delay: 5\n"
+         "Disallow: /x  # no x\nAllow:\n"),
+        # no applicable group at all
+        ("c.com", "User-agent: otherbot\nDisallow: /\n"),
+        # empty body
+        ("d.com", ""),
+    ]
+    got = {(r["host"], r["allow"], r["path"])
+           for r in _rules(spark, bodies).collect()}
+    assert got == {
+        ("a.com", 0, "/priv"),
+        ("a.com", 1, "/priv/ok"),
+        ("b.com", 0, "/x"),
+    }
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    bodies = [
+        ("a.com",
+         "User-agent: trainbot\nDisallow: /p\nAllow: /p/pub\nDisallow: /p/pub/no\n"),
+        # tie on length: Allow wins
+        ("t.com", "User-agent: *\nDisallow: /zz\nAllow: /zz\n"),
+    ]
+    rules = _rules(spark, bodies)
+    urls = [
+        "https://a.com/p/secret",        # /p disallow
+        "https://a.com/p/pub/page",      # /p/pub allow (longer)
+        "https://a.com/p/pub/no/deep",   # /p/pub/no disallow (longest)
+        "https://a.com/other",           # no matching rule -> allowed
+        "https://a.com",                 # authority-only -> path '/'
+        "https://t.com/zz/x",            # tie -> allow
+        "https://norules.com/anything",  # host without robots -> allowed
+    ]
+    udf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["allowed"] for r in robots_filter(udf, rules).collect()}
+    assert got == {
+        "https://a.com/p/secret": 0,
+        "https://a.com/p/pub/page": 1,
+        "https://a.com/p/pub/no/deep": 0,
+        "https://a.com/other": 1,
+        "https://a.com": 1,
+        "https://t.com/zz/x": 1,
+        "https://norules.com/anything": 1,
+    }
+
+
+def test_robots_matches_python_replica(spark):
+    """Differential vs a direct per-host Python replica on generated
+    rule/url combinations."""
+    hosts = [f"h{i}.com" for i in range(12)]
+    bodies = []
+    for i, h in enumerate(hosts):
+        parts = ["User-agent: trainbot" if i % 3 else "User-agent: *"]
+        if i % 2:
+            parts.append("Disallow: /a")
+        if i % 4 < 2:
+            parts.append("Allow: /a/b")
+        if i % 5 == 0:
+            parts.append("Disallow: /a/b/c")
+        bodies.append((h, "\n".join(parts) + "\n"))
+    paths = ["/", "/a", "/a/x", "/a/b", "/a/b/q", "/a/b/c", "/a/b/c/d", "/z"]
+    urls = [f"https://{h}{p}" for h in hosts for p in paths]
+
+    def replica(host, path):
+        i = hosts.index(host)
+        rules = []
+        if i % 2:
+            rules.append((0, "/a"))
+        if i % 4 < 2:
+            rules.append((1, "/a/b"))
+        if i % 5 == 0:
+            rules.append((0, "/a/b/c"))
+        best = None
+        for allow, rp in rules:
+            if path.startswith(rp):
+                key = (len(rp), allow)
+                if best is None or key > best[0]:
+                    best = (key, allow)
+        return 1 if best is None else best[1]
+
+    rules = _rules(spark, bodies)
+    udf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["allowed"] for r in robots_filter(udf, rules).collect()}
+    for h in hosts:
+        for p in paths:
+            assert got[f"https://{h}{p}"] == replica(h, p), (h, p)

@@ -63,6 +63,8 @@ _LAZY = {
         "xhtml_parser_spark.operators.corpus", "remove_duplicate_ngrams"),
     "pii_scrub": ("xhtml_parser_spark.operators.textops", "pii_scrub"),
     "gopher_quality": ("xhtml_parser_spark.operators.textops", "gopher_quality"),
+    "parse_robots": ("xhtml_parser_spark.operators.robots", "parse_robots"),
+    "robots_filter": ("xhtml_parser_spark.operators.robots", "robots_filter"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),
     "run_curation": ("xhtml_parser_spark.plans", "run_curation"),
     "read_curated": ("xhtml_parser_spark.plans", "read_curated"),

@@ -14,6 +14,7 @@ from .corpus import (
     remove_duplicate_ngrams,
 )
 from .textops import pii_scrub, gopher_quality
+from .robots import parse_robots, robots_filter
 
 __all__ = [
     "parse_pages",
@@ -37,4 +38,6 @@ __all__ = [
     "remove_duplicate_ngrams",
     "pii_scrub",
     "gopher_quality",
+    "parse_robots",
+    "robots_filter",
 ]
