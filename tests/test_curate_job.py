@@ -127,3 +127,15 @@ def test_curate_cli_roundtrip(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["complete"] and summary["metrics"]["input"] == 120
+
+
+def test_run_curation_refuses_changed_input(spark, tmp_path):
+    docs = _corpus(spark)
+    a = os.path.join(str(tmp_path), "docsA")
+    b = os.path.join(str(tmp_path), "docsB")
+    docs.write.parquet(a)
+    docs.where(F.col("doc_id") < 60).write.parquet(b)
+    out = os.path.join(str(tmp_path), "curated")
+    run_curation(spark, a, out, "r1", max_stages=1)
+    with pytest.raises(ValueError, match="params"):
+        run_curation(spark, b, out, "r2")

@@ -104,3 +104,45 @@ def test_robots_matches_python_replica(spark):
     for h in hosts:
         for p in paths:
             assert got[f"https://{h}{p}"] == replica(h, p), (h, p)
+
+
+def test_robots_tabs_and_nonsplitting_unknown_directives(spark):
+    bodies = [
+        # RFC 9309 WS includes tabs; Crawl-delay between UA lines must
+        # not split the group (Google parser behavior)
+        ("tab.com",
+         "User-agent:\ttrainbot\nCrawl-delay: 5\nUser-agent: alias\n"
+         "Disallow:\t/private\t\nAllow: /private/ok # inline\n"),
+    ]
+    rules = _rules(spark, bodies)
+    got = {(r["allow"], r["path"]) for r in rules.collect()}
+    assert got == {(0, "/private"), (1, "/private/ok")}
+    urls = spark.createDataFrame(
+        [("https://tab.com/private/x",), ("https://tab.com/private/ok/y",)],
+        "url string",
+    )
+    dec = {r["url"]: r["allowed"]
+           for r in robots_filter(urls, rules).collect()}
+    assert dec == {
+        "https://tab.com/private/x": 0,
+        "https://tab.com/private/ok/y": 1,
+    }
+
+
+def test_robots_filter_query_only_and_scheme_edge_urls(spark):
+    bodies = [("a.com", "User-agent: *\nDisallow: /\n")]
+    rules = _rules(spark, bodies)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com?q=1",),       # query-only: path falls back to '/'
+            ("HTTP2+x://a.com/p",),       # exotic scheme still parses host
+            ("https://A.COM/p",),         # host lowercased like url_host
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://a.com?q=1": 0,
+        "HTTP2+x://a.com/p": 0,
+        "https://A.COM/p": 0,
+    }

@@ -8,14 +8,17 @@ decision is exactly replayable by the SQL oracle.
 
 Grammar subset (the practically-universal core of REP / RFC 9309):
 
-  * lines are split on '\\n'; a trailing ' #comment' and surrounding
-    whitespace are stripped; blank / unknown-directive lines are kept
-    only as group separators
+  * lines are split on '\\n'; a trailing '#comment' and surrounding
+    spaces/tabs are stripped (RFC 9309 WS = %x20 / %x09); blank and
+    unknown-directive lines are IGNORED entirely -- they neither carry
+    rules nor interrupt a group (a Crawl-delay between two User-agent
+    lines does not split them; this matches Google's reference parser)
   * directives (case-insensitive names): ``User-agent:``, ``Allow:``,
     ``Disallow:`` with literal path-prefix values (no '*'/'$'
     wildcards -- documented out, like the reference's feature gates)
-  * CONSECUTIVE User-agent lines share the rule group that follows
-    (RFC 9309 §2.1); a User-agent line after rules starts a new group
+  * User-agent lines not separated by a RULE line share the rule group
+    that follows (RFC 9309 §2.1); a User-agent line after rules starts
+    a new group
   * group selection per RFC 9309 §2.2.1: if any group names the agent
     exactly (case-insensitive), those groups apply; otherwise groups
     naming ``*`` apply; otherwise everything is allowed
@@ -55,14 +58,20 @@ def parse_robots(
             "pos", "raw"
         ),
     )
-    # strip comments + whitespace; classify
-    val = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    # strip comments + whitespace (spaces AND tabs -- F.trim only
+    # removes spaces, and RFC 9309 WS is %x20/%x09); classify
+    def _strip(col):
+        return F.regexp_replace(
+            F.regexp_replace(col, "^[ \t]+", ""), "[ \t]+$", ""
+        )
+
+    val = _strip(F.regexp_replace(F.col("raw"), "#.*$", ""))
     lines = lines.select(
         "host",
         "pos",
         val.alias("line"),
-        F.lower(F.trim(F.regexp_extract(val, "^([A-Za-z-]+):", 1))).alias("d"),
-        F.trim(F.regexp_extract(val, "^[A-Za-z-]+:(.*)$", 1)).alias("v"),
+        F.lower(_strip(F.regexp_extract(val, "^([A-Za-z-]+)[ \t]*:", 1))).alias("d"),
+        _strip(F.regexp_extract(val, "^[A-Za-z-]+[ \t]*:(.*)$", 1)).alias("v"),
     ).withColumn(
         "kind",
         F.when(F.col("d") == "user-agent", F.lit("ua"))
@@ -124,13 +133,19 @@ def robots_filter(
     tie-break is encoded in the max_by key (length * 2 + allow), so a
     single aggregate decides -- no window re-sort over the joined rows.
     """
+    from ..functions.urls import _SCHEME_RE, url_host
+
+    # host via the shared helper (lowercased, query/fragment-safe);
+    # path = authority-to-query/fragment span, '/' when absent (what a
+    # crawler would fetch for an authority-only url)
+    rest = F.regexp_replace(F.col(url_col), _SCHEME_RE, "")
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(url_col, "^[a-z+]+://([^/]+)", 1).alias("host"),
-        # path = everything from the first '/' after the authority;
-        # an authority-only url gets '/' (what a crawler would fetch)
+        url_host(F.col(url_col)).alias("host"),
         F.coalesce(
-            F.nullif(F.regexp_extract(url_col, "^[a-z+]+://[^/]+(/.*)$", 1), F.lit("")),
+            F.nullif(
+                F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), F.lit("")
+            ),
             F.lit("/"),
         ).alias("path"),
     )

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.corpus import funnel_signals, hash_sample, host_cap
+from ..sources.listing import files_digest, list_files
 from ..sources.table import SnapshotTable
 
 STAGES = ("signals", "filtered", "dedup", "host_cap", "sample", "metrics")
@@ -50,6 +51,24 @@ STAGES = ("signals", "filtered", "dedup", "host_cap", "sample", "metrics")
 
 def _params_dict(**kw: Any) -> dict[str, Any]:
     return {k: v for k, v in sorted(kw.items())}
+
+
+def _input_digest(input_path: str) -> str:
+    """Fingerprint of the input's file listing: resuming against a
+    DIFFERENT input must refuse (committed stages were computed from
+    the old corpus; mixing them with new-input downstream stages
+    produces a silently wrong funnel). Same guard class as
+    extract_job's fused resume fingerprint."""
+    if os.path.isdir(input_path):
+        try:
+            return files_digest(list_files(input_path, (".parquet",)))
+        except FileNotFoundError:
+            return "empty-dir"
+    try:
+        st = os.stat(input_path)
+        return f"{os.path.basename(input_path)}:{st.st_size}"
+    except OSError:
+        return "unknown"
 
 
 class _Stage:
@@ -106,6 +125,7 @@ def run_curation(
     with per-stage status and the metric rows once available.
     """
     params = _params_dict(
+        input_digest=_input_digest(input_path),
         target_match_col=target_match_col,
         min_words=min_words,
         rep_mult=rep_mult,
