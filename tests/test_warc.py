@@ -399,3 +399,58 @@ def test_run_extract_warc_resume_refuses_changed_listing(spark, tmp_path):
     with pytest.raises(ValueError, match="input listing"):
         run_extract(spark, str(wdir), out, run_id="b", n_slices=2,
                     input_format="warc")
+
+
+def test_wat_sink_roundtrip(spark, tmp_path):
+    """pages -> WAT shards -> read back: per-page JSON metadata records
+    whose Links list matches extract_links exactly (href, anchor text,
+    resolved url), including empty lists for link-free and failed-parse
+    pages."""
+    import datetime
+    import glob
+    import gzip as _gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators.links import extract_links
+    from xhtml_parser_spark.sources.warc import iter_wat_records, write_wat_shards
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        ("https://a.com/d/x.html",
+         b'<html><body><a href="../p.html">go <b>now</b></a>'
+         b'<link rel="s" href="/m.css"/></body></html>', ts),
+        ("https://b.com/", b"<html><body><p>no links</p></body></html>", ts),
+        ("https://bad.com/", b"<root><dangling", ts),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, warc_ts timestamp")
+    out = str(tmp_path / "wat")
+    write_wat_shards(pages, out)
+    got = {}
+    for p in sorted(glob.glob(out + "/*.wat.gz")):
+        with _gzip.open(p, "rb") as fh:
+            for url, rts, js in iter_wat_records(fh):
+                got[url] = (rts, json.loads(js))
+    assert set(got) == {r[0] for r in rows} and all(t == ts for t, _ in got.values())
+    want_links = {}
+    for r in extract_links(pages).collect():
+        want_links.setdefault(r["url"], []).append(
+            {"node_id": r["node_id"], "tag": r["tag"], "href": r["href"],
+             "text": r["anchor_text"], "url": r["link_url"]}
+        )
+    for url, (_, env) in got.items():
+        meta = env["Envelope"]
+        assert meta["WARC-Header-Metadata"]["WARC-Target-URI"] == url
+        links = meta["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"]["Links"]
+        norm = [
+            {"node_id": l["node_id"], "tag": l["tag"], "href": l["href"],
+             "text": l["text"], "url": l["url"]}
+            for l in links
+        ]
+        assert norm == sorted(
+            want_links.get(url, []), key=lambda d: d["node_id"]
+        ), url
+    assert got["https://b.com/"][1]["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"]["HTML-Metadata"]["Links"] == []

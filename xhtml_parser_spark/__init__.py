@@ -73,6 +73,8 @@ _LAZY = {
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
     "read_parsed": ("xhtml_parser_spark.sources.parse_datasource", "read_parsed"),
     "read_warc": ("xhtml_parser_spark.sources.warc", "read_warc"),
+    "wat_metadata": ("xhtml_parser_spark.sources.warc", "wat_metadata"),
+    "write_wat_shards": ("xhtml_parser_spark.sources.warc", "write_wat_shards"),
     "SnapshotTable": ("xhtml_parser_spark.sources.table", "SnapshotTable"),
     "synthesize_pages": ("xhtml_parser_spark.sources", "synthesize_pages"),
     "get_spark": ("xhtml_parser_spark.session", "get_spark"),

@@ -17,6 +17,10 @@ possible on CC's S3 buckets). This module provides:
     the WET (extracted-text ``conversion`` record) counterpart, the
     crawl ecosystem's exchange format for exactly this pipeline's
     output;
+  * ``wat_metadata`` / ``write_wat_shards`` / ``iter_wat_records`` --
+    the WAT (JSON ``metadata`` record) counterpart: per-page link
+    list (href + anchor text + resolved url) from one extract_links
+    DOM pass, completing the WARC/WET/WAT trio;
   * a Spark Python Data Source ``xps_warc`` scanning ``.warc(.gz)``
     files into the standard PAGES_SCHEMA -- one partition per file
     group (listing/grouping shared with the other python sources), the
@@ -363,6 +367,91 @@ def write_wet_shards(parsed, out_dir: str, text_col: str = "text") -> None:
     crawl-ecosystem-facing sink: downstream consumers that already read
     CC WET files ingest this pipeline's output unchanged."""
     _write_shards(parsed, out_dir, text_col, write_wet_gz, ".wet.gz")
+
+
+def iter_wat_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """(url, ts, json_bytes) for each ``metadata`` record in a WAT
+    stream."""
+    return _iter_typed_records(fh, b"metadata", strip_http=False)
+
+
+def write_wat_gz(
+    path: str, rows: Iterable[tuple[str, datetime.datetime, bytes]]
+) -> int:
+    """WAT sink: per-page metadata as WARC ``metadata`` records with a
+    JSON block -- the Common Crawl companion format carrying the link
+    graph and page metadata (one gzip member per record). Deterministic
+    like write_warc_gz. Returns the record count."""
+    return _write_members_gz(
+        path,
+        (
+            _record_bytes(
+                b"metadata", url, ts, js,
+                extra=b"Content-Type: application/json\r\n",
+            )
+            for url, ts, js in rows
+        ),
+    )
+
+
+def wat_metadata(pages):
+    """CC-WAT-style metadata per page as (url, warc_ts, wat:binary):
+    the JSON Envelope carries WARC-Target-URI plus the page's out-link
+    list -- (node_id, tag, href, text, url) per href-carrying element,
+    node-id ordered, from ONE extract_links DOM pass. Pages with no
+    links (or a failed parse -- WAT generators emit a record per
+    response either way) carry an empty Links array.
+
+    The JSON is deterministic: to_json renders struct fields in
+    declaration order and the Links array is array_sort'ed by its
+    leading node_id field, so identical input produces identical
+    bytes (the same guarantee as the WARC/WET writers)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.links import extract_links
+
+    links = extract_links(pages)
+    per_url = links.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("node_id"),
+                    F.col("tag"),
+                    F.col("href"),
+                    F.col("anchor_text").alias("text"),
+                    F.col("link_url").alias("url"),
+                )
+            )
+        ).alias("links")
+    )
+    base = pages.select("url", "warc_ts").join(per_url, "url", "left")
+    empty = F.array().cast(per_url.schema["links"].dataType)
+    envelope = F.struct(
+        F.struct(
+            F.struct(F.col("url").alias("WARC-Target-URI")).alias(
+                "WARC-Header-Metadata"
+            ),
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.coalesce(F.col("links"), empty).alias("Links")
+                    ).alias("HTML-Metadata")
+                ).alias("HTTP-Response-Metadata")
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope")
+    )
+    return base.select(
+        "url", "warc_ts", F.encode(F.to_json(envelope), "UTF-8").alias("wat")
+    )
+
+
+def write_wat_shards(pages, out_dir: str) -> None:
+    """Distributed WAT export of a pages DataFrame (url, warc_ts,
+    html): one .wat.gz shard per partition carrying the per-page JSON
+    metadata records (see wat_metadata). Completes the crawl-ecosystem
+    sink trio: WARC (raw pages) / WET (extracted text) / WAT (metadata
+    + link graph)."""
+    _write_shards(wat_metadata(pages), out_dir, "wat", write_wat_gz, ".wat.gz")
 
 
 def write_warc_shards(pages, out_dir: str, html_col: str = "html") -> None:
