@@ -507,6 +507,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=512, bucket_size=4096)
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate with an integer surprisal proxy:
+    unigram counts from the doc_id % 5 == 0 reference slice, every doc
+    scored by sum(length(bin(total div cnt))) with an OOV penalty.
+    (doc_id, n_tokens, surprisal_bits)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import lm_surprisal
+
+    docs = _docs(spark, sf_dir)
+    return lm_surprisal(docs, docs.where(F.col("doc_id") % 5 == 0))
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness decisions over synthesized per-host robots
     bodies exercising all four grammar shapes -- star-group disallow,
@@ -922,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "pack_sequences": q_pack_sequences,
         "robots_filter": q_robots_filter,
+        "lm_surprisal": q_lm_surprisal,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "extract_links": q_extract_links,
@@ -1288,6 +1301,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN counts c USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # LM surprisal replay: same unigram model (ref slice = id%5),
+        # same integer bit-length formula, same OOV penalty
+        "lm_surprisal": """
+            WITH rw AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                  coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS w
+              FROM documents WHERE doc_id % 5 = 0
+            ), m AS (
+              SELECT w, count(*) AS cnt FROM rw GROUP BY w
+            ), tot AS (
+              SELECT count(*) AS total FROM rw
+            ), dw AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                  coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                     CASE WHEN m.cnt IS NOT NULL
+                          THEN length(bin(CAST(tot.total // m.cnt AS BIGINT)))
+                          ELSE length(bin(CAST(tot.total AS BIGINT))) + 8
+                     END AS bits
+              FROM dw LEFT JOIN m USING (w) CROSS JOIN tot
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(bits) AS BIGINT) AS surprisal_bits
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.surprisal_bits, 0) AS surprisal_bits
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # robots decisions replayed analytically: host class s = id%23
         # then s%4 picks the grammar shape; every url's path is

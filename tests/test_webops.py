@@ -140,3 +140,45 @@ def test_pii_scrub_staged_counts_match_redactions(spark):
         assert r["clean_text"].count("<EMAIL>") == r["n_emails"]
         assert r["clean_text"].count("<PHONE>") == r["n_phones"]
         assert r["clean_text"].count("<IP>") == r["n_ipv4"]
+
+
+def test_lm_surprisal_integer_model(spark):
+    """Unigram surprisal: common reference words cost few bits, rare
+    ones more, OOV the fixed penalty; differential vs a direct Python
+    replica."""
+    import pytest as _pytest
+
+    from xhtml_parser_spark.operators.textops import lm_surprisal
+
+    ref = spark.createDataFrame(
+        [(100, "a a a a b b c d"), (101, "a a b e")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "zzz a"),      # one OOV token
+            (3, ""),           # empty doc
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_bits"])
+           for r in lm_surprisal(docs, ref).collect()}
+    total = 12  # 8 + 4 reference tokens
+    cnt = {"a": 6, "b": 3, "c": 1, "d": 1, "e": 1}
+
+    def bits(w):
+        if w not in cnt:
+            return len(bin(total)) - 2 + 8
+        return len(bin(total // cnt[w])) - 2
+
+    assert got[1] == (3, bits("a") + bits("b") + bits("c"))
+    assert got[2] == (2, bits("zzz") + bits("a"))
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    # sanity (bits = floor(log2(1/p)) + 1): a (p=1/2) costs 2,
+    # c (p=1/12) costs 4, OOV costs len(bin(12)) + 8 = 12
+    assert bits("a") == 2 and bits("c") == 4 and bits("zzz") == 12
+
+    with _pytest.raises(ValueError):
+        lm_surprisal(docs, spark.createDataFrame([(0, "")], "doc_id bigint, text string"))

@@ -63,6 +63,7 @@ _LAZY = {
         "xhtml_parser_spark.operators.corpus", "remove_duplicate_ngrams"),
     "pii_scrub": ("xhtml_parser_spark.operators.textops", "pii_scrub"),
     "gopher_quality": ("xhtml_parser_spark.operators.textops", "gopher_quality"),
+    "lm_surprisal": ("xhtml_parser_spark.operators.textops", "lm_surprisal"),
     "parse_robots": ("xhtml_parser_spark.operators.robots", "parse_robots"),
     "robots_filter": ("xhtml_parser_spark.operators.robots", "robots_filter"),
     "run_extract": ("xhtml_parser_spark.plans", "run_extract"),

@@ -13,7 +13,7 @@ from .corpus import (
     pack_sequences,
     remove_duplicate_ngrams,
 )
-from .textops import pii_scrub, gopher_quality
+from .textops import pii_scrub, gopher_quality, lm_surprisal
 from .robots import parse_robots, robots_filter
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "remove_duplicate_ngrams",
     "pii_scrub",
     "gopher_quality",
+    "lm_surprisal",
     "parse_robots",
     "robots_filter",
 ]

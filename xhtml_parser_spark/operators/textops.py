@@ -235,6 +235,70 @@ def gopher_quality(
     )
 
 
+def lm_surprisal(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    oov_extra_bits: int = 8,
+) -> DataFrame:
+    """CCNet-style language-model quality gate (Wenzek et al. 2020
+    §3.2) with an INTEGER surprisal proxy: train a unigram count model
+    on ``ref_docs`` (the "clean" reference corpus -- CCNet uses
+    Wikipedia), then score every document by
+
+        surprisal(w)   = length(bin(total_tokens div cnt(w)))
+                       ~ floor(log2(1/p(w))) + 1, exactly computed in
+                         integer arithmetic (no float log whose last
+                         bit differs across engines)
+        oov surprisal  = length(bin(total_tokens)) + oov_extra_bits
+
+    Output (doc_id, n_tokens, surprisal_bits); the downstream filter
+    thresholds surprisal_bits / n_tokens (mean bits per token --
+    monotone in perplexity), e.g. keeping the head/middle of the
+    distribution exactly as CCNet buckets by perplexity.
+
+    Scale shape: the model is one partial-agg word count over the
+    reference (a small fraction of the corpus); scoring explodes the
+    corpus to words and joins the count dimension -- Spark broadcasts
+    it when it fits (vocabularies are ~10^6-10^8 rows; at the high end
+    AQE picks a shuffle join and the plan still holds). One aggregate
+    back to docs. Everything integer, so the oracle replays bit-for-bit.
+    """
+    ref_words = ref_docs.select(
+        F.explode(_words(F.coalesce(F.col(ref_text_col), F.lit("")))).alias("w")
+    )
+    model = ref_words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = ref_words.count()  # one job; the scalar pins the model
+    if total == 0:
+        raise ValueError("reference corpus has no tokens")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w"))
+    oov_bits = len(bin(total)) - 2 + oov_extra_bits
+    scored = words.join(model, "w", "left").select(
+        "doc_id",
+        F.when(
+            F.col("cnt").isNotNull(),
+            # integral div (float '/' would lose exactness for huge totals)
+            F.length(F.bin(F.expr(f"CAST({int(total)} AS BIGINT) div cnt"))),
+        )
+        .otherwise(F.lit(oov_bits))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("surprisal_bits"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("surprisal_bits", F.lit(0)).cast("bigint").alias("surprisal_bits"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace-normalized md5 document fingerprint (doc_id, fp)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
