@@ -835,6 +835,51 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML5 encoding prescan + UTF-8 transcode over deterministically
+    mis-encoded pages: 8 cases by doc_id % 8 (three BOMs, quoted /
+    unquoted / http-equiv meta forms, the spec's utf-16-label->utf-8
+    quirk, and a meta pushed past the 1024-byte prescan window). The
+    payload is the doc text projected to ASCII, so every legacy-codec
+    decode is the identity on the bytes and the oracle reconstructs
+    the exact transcoded string analytically."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators import transcode_utf8
+
+    docs = _docs(spark, sf_dir)
+    ascii_txt = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "")
+    payload = F.concat(F.lit("<p>"), ascii_txt, F.lit("</p>"))
+    m = F.col("doc_id") % 8
+    enc = lambda tmpl: F.encode(F.concat(F.lit(tmpl), payload), "UTF-8")  # noqa: E731
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf"),
+                enc('<meta charset="iso-8859-1">'),
+            ),
+        )
+        .when(m == 1, F.encode(F.concat(F.lit("\ufeff"), payload), "UTF-16LE"))
+        .when(m == 2, F.encode(F.concat(F.lit("\ufeff"), payload), "UTF-16BE"))
+        .when(m == 3, enc('<meta charset="UTF-8">'))
+        .when(m == 4, enc("<meta charset = latin1 >"))
+        .when(
+            m == 5,
+            enc('<meta http-equiv="Content-Type" content="text/html; charset=KOI8-R">'),
+        )
+        .when(m == 6, enc('<meta charset="utf-16">'))
+        .otherwise(enc("<!--" + "x" * 1100 + '--><meta charset="utf-8">'))
+    )
+    pages = docs.select(F.col("doc_id"), html.alias("html"))
+    return transcode_utf8(pages).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("charset"),
+        F.col("charset_src").alias("src"),
+        F.col("charset_label").alias("label"),
+        F.col("text_utf8"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational pipeline operators (window dedup B9, lineage agg B7, pushdown)
 # ---------------------------------------------------------------------------
@@ -953,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "url_normalize": q_url_normalize,
+        "charset_sniff": q_charset_sniff,
         "events_dedup": q_events_dedup,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
@@ -1914,6 +1960,41 @@ FROM d
                        AS norm_url,
                    hostport AS host
             FROM n
+        """,
+        "charset_sniff": """
+            WITH a AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')
+                         AS t,
+                     doc_id % 8 AS m
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                          WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'utf-8'
+                          WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'koi8-r'
+                          WHEN 6 THEN 'utf-8'
+                          ELSE 'windows-1252' END AS charset,
+                   CASE WHEN m IN (0, 1, 2) THEN 'bom'
+                        WHEN m = 7 THEN 'default'
+                        ELSE 'meta' END AS src,
+                   CASE m WHEN 0 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8'
+                          WHEN 4 THEN 'latin1' WHEN 5 THEN 'koi8-r'
+                          WHEN 6 THEN 'utf-16' ELSE '' END AS label,
+                   CASE m
+                     WHEN 0 THEN '<meta charset="iso-8859-1"><p>' || t || '</p>'
+                     WHEN 1 THEN '<p>' || t || '</p>'
+                     WHEN 2 THEN '<p>' || t || '</p>'
+                     WHEN 3 THEN '<meta charset="UTF-8"><p>' || t || '</p>'
+                     WHEN 4 THEN '<meta charset = latin1 ><p>' || t || '</p>'
+                     WHEN 5 THEN '<meta http-equiv="Content-Type" ' ||
+                                 'content="text/html; charset=KOI8-R"><p>' ||
+                                 t || '</p>'
+                     WHEN 6 THEN '<meta charset="utf-16"><p>' || t || '</p>'
+                     ELSE '<!--' || repeat('x', 1100) ||
+                          '--><meta charset="utf-8"><p>' || t || '</p>'
+                   END AS text_utf8
+            FROM a
         """,
         "events_dedup": """
             SELECT user_id, event_type, event_id FROM events

@@ -1,0 +1,166 @@
+"""HTML5 encoding prescan + transcode operator tests.
+
+The sniff must behave like the WHATWG prescan subset documented in
+functions/charset.py; the transcode must round real legacy bytes into
+the exact UTF-8 the Python codec machinery defines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xhtml_parser_spark.operators.charset import (
+    decode_bytes,
+    sniff_charset_pages,
+    transcode_utf8,
+)
+
+
+def _sniff(spark, pages: list[bytes | None]) -> list[tuple[str, str, str]]:
+    df = spark.createDataFrame(
+        [(bytearray(p) if p is not None else None,) for p in pages], "html binary"
+    )
+    out = sniff_charset_pages(df).collect()
+    return [(r["charset"], r["charset_src"], r["charset_label"]) for r in out]
+
+
+def test_bom_beats_meta(spark):
+    got = _sniff(spark, [
+        b'\xef\xbb\xbf<meta charset="iso-8859-1">',
+        b"\xfe\xff\x00<",
+        b"\xff\xfe<\x00",
+    ])
+    assert got == [
+        ("utf-8", "bom", "iso-8859-1"),  # label still surfaced
+        ("utf-16be", "bom", ""),
+        ("utf-16le", "bom", ""),
+    ]
+
+
+def test_meta_forms(spark):
+    got = _sniff(spark, [
+        b'<html><head><meta charset="UTF-8"></head>',
+        b"<meta charset='Shift_JIS'>",
+        b"<meta charset = latin1 >",
+        b'<meta http-equiv="Content-Type" content="text/html; charset=KOI8-R">',
+        b"<meta/charset=gb2312>",          # slash counts as separator
+        b'<meta charset="utf-16le">',      # spec quirk: utf-16 label -> utf-8
+        b'<meta charset="iso-8859-7">',    # valid but unlisted -> default
+        b'<meta charset="no-such-thing">',
+        b"<p>the word charset=utf-8 in prose</p>",   # not tag-shaped
+        b'<metadata charset="utf-8">',     # tag name is not meta
+        b"",
+        None,
+    ])
+    assert got == [
+        ("utf-8", "meta", "utf-8"),
+        ("shift_jis", "meta", "shift_jis"),
+        ("windows-1252", "meta", "latin1"),
+        ("koi8-r", "meta", "koi8-r"),
+        ("gbk", "meta", "gb2312"),
+        ("utf-8", "meta", "utf-16le"),
+        ("windows-1252", "default", "iso-8859-7"),
+        ("windows-1252", "default", "no-such-thing"),
+        ("windows-1252", "default", ""),
+        ("windows-1252", "default", ""),
+        ("windows-1252", "default", ""),
+        ("windows-1252", "default", ""),
+    ]
+
+
+def test_prescan_window_clips(spark):
+    inside = b"<!--" + b"x" * 900 + b'--><meta charset="utf-8">'
+    outside = b"<!--" + b"x" * 1100 + b'--><meta charset="utf-8">'
+    straddle = b"<!--" + b"x" * 1014 + b'--><meta charset="utf-8">'  # tag cut mid-attr
+    got = _sniff(spark, [inside, outside, straddle])
+    assert got == [
+        ("utf-8", "meta", "utf-8"),
+        ("windows-1252", "default", ""),
+        ("windows-1252", "default", ""),
+    ]
+
+
+def test_first_meta_wins(spark):
+    got = _sniff(spark, [b'<meta charset="koi8-r"><meta charset="utf-8">'])
+    assert got == [("koi8-r", "meta", "koi8-r")]
+
+
+def test_transcode_legacy_bytes(spark):
+    rows = [
+        (0, b"\x80 caf\xe9", "windows-1252"),          # cp1252 euro + e-acute
+        (1, "日本語".encode("shift_jis"), "shift_jis"),
+        (2, b"\xef\xbb\xbfhi", "utf-8"),               # BOM stripped
+        (3, b"\xff\xfe" + "ab".encode("utf-16-le"), "utf-16le"),  # BOM stripped
+        (4, b"abc", "martian-9"),                      # unknown -> cp1252
+        (5, None, "utf-8"),
+        (6, b"\xc0\xe1\xe2", "windows-1251"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b) if b is not None else None, c) for i, b, c in rows],
+        "doc_id long, html binary, cs string",
+    )
+    out = {
+        r["doc_id"]: r["text_utf8"]
+        for r in transcode_utf8(df, charset_col="cs").collect()
+    }
+    assert out[0] == "€ café"
+    assert out[1] == "日本語"
+    assert out[2] == "hi"
+    assert out[3] == "ab"
+    assert out[4] == "abc"
+    assert out[5] is None
+    assert out[6] == "Абв"
+    # the spark path IS decode_bytes per value
+    for i, b, c in rows:
+        assert out[i] == decode_bytes(b, c)
+
+
+def test_transcode_derives_sniff_columns(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b'<meta charset="utf-8">ok \xe2\x82\xac'),)], "html binary"
+    )
+    r = transcode_utf8(df).collect()[0]
+    assert (r["charset"], r["charset_src"]) == ("utf-8", "meta")
+    assert r["text_utf8"] == '<meta charset="utf-8">ok €'
+
+
+def test_sniff_replica_differential(spark):
+    """Spark prescan vs a from-scratch pure-Python replica over crafted
+    byte soups (incl. high bytes, quote styles, whitespace zoo)."""
+    import re
+
+    from xhtml_parser_spark.functions.charset import _LABELS
+
+    def replica(b: bytes | None) -> tuple[str, str, str]:
+        raw = b or b""
+        m = re.search(
+            b"<meta[\\t\\n\\x0c\\r /][^>]*charset[\\t\\n\\x0c\\r ]*=[\\t\\n\\x0c\\r ]*['\"]?[\\t\\n\\x0c\\r ]*([a-z0-9._:-]+)",
+            raw[:1024].lower(),
+        )
+        label = m.group(1).decode("ascii") if m else ""
+        if label.startswith(("utf-16", "utf16")):
+            norm = "utf-8"
+        else:
+            norm = _LABELS.get(label)
+        if raw[:3] == b"\xef\xbb\xbf":
+            return ("utf-8", "bom", label)
+        if raw[:2] == b"\xfe\xff":
+            return ("utf-16be", "bom", label)
+        if raw[:2] == b"\xff\xfe":
+            return ("utf-16le", "bom", label)
+        if norm:
+            return (norm, "meta", label)
+        return ("windows-1252", "default", label)
+
+    cases: list[bytes] = []
+    labels = ["utf-8", "SJIS", "GB18030", "bogus", "latin2", "utf16be"]
+    for i, lab in enumerate(labels):
+        q = ["", '"', "'"][i % 3]
+        ws = ["", " ", "\t\n"][i % 3]
+        cases.append(
+            b"\xfe\xff"[: i % 3]  # sometimes a partial/real BOM prefix
+            + b"<div>\x99\xff</div>"
+            + f"<meta {'http-equiv=x ' if i % 2 else ''}charset{ws}={ws}{q}{lab}{q}>".encode()
+        )
+    cases += [b"\xff\xfe", b"\xef\xbb", b"<meta charset=>", b"<meta charset>"]
+    assert _sniff(spark, cases) == [replica(c) for c in cases]

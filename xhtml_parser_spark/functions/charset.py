@@ -1,0 +1,198 @@
+"""HTML5 encoding prescan (charset sniffing) for binary web pages.
+
+Common-Crawl-style corpora store ``html`` as raw bytes: real crawls
+are a mix of UTF-8, windows-1252, shift_jis, ... and a pipeline that
+assumes UTF-8 silently mangles the long tail. This implements the
+WHATWG "prescan a byte stream to determine its encoding" subset that
+crawl pipelines actually rely on, as pure JVM built-ins (binary
+substring + one ISO-8859-1 decode + one RE2-safe regexp) so it runs
+inside whole-stage codegen with no Python in the path:
+
+  1. byte-order mark: EF BB BF -> utf-8, FE FF -> utf-16be,
+     FF FE -> utf-16le (BOM beats any in-document declaration);
+  2. else the FIRST ``<meta ... charset=label`` inside the first
+     ``prescan`` bytes (default 1024, the spec's window), covering
+     both the HTML5 ``<meta charset="...">`` form and the legacy
+     ``<meta http-equiv="content-type" content="...; charset=...">``
+     form (both spell ``charset=``); the label is normalized through
+     the WHATWG label table subset below, and a ``utf-16*`` label is
+     treated as utf-8 exactly as the spec's prescan step 5 demands;
+  3. else windows-1252 (the spec's default for unlabeled content).
+
+Subset notes (documented, deliberate):
+  * the meta match requires whitespace or ``/`` after ``meta`` and the
+    whole attribute inside the window -- a tag truncated by the
+    1024-byte cut is ignored, like the spec's incomplete-tag bail-out;
+  * an unknown label falls through to the default with src='default'
+    (the spec keeps scanning for another meta; real-world second metas
+    are ~nonexistent) -- the raw label is still surfaced for corpus
+    analytics, so nothing is lost;
+  * the label table covers the labels with measurable crawl share;
+    an unlisted-but-valid label (e.g. iso-8859-7) is treated as
+    unknown -- downstream transcoding only ever sees names it has a
+    decoder for.
+
+The decode window uses ISO-8859-1, a bijective byte<->char map, so the
+prescan itself is encoding-safe on arbitrary bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# WHATWG label table subset: label -> canonical encoding name.
+# https://encoding.spec.whatwg.org/#names-and-labels (public spec).
+_LABELS: dict[str, str] = {
+    # utf-8
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "unicode11utf8": "utf-8",
+    "unicode20utf8": "utf-8",
+    "x-unicode20utf8": "utf-8",
+    # windows-1252 (the latin1/ascii label family all mean cp1252 on
+    # the web per the spec)
+    "windows-1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "cp819": "windows-1252",
+    "ibm819": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "iso88591": "windows-1252",
+    "iso_8859-1": "windows-1252",
+    "iso_8859-1:1987": "windows-1252",
+    "iso-ir-100": "windows-1252",
+    "csisolatin1": "windows-1252",
+    "l1": "windows-1252",
+    "latin1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ansi_x3.4-1968": "windows-1252",
+    # other single-byte families common in crawls
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "x-cp1251": "windows-1251",
+    "koi8-r": "koi8-r",
+    "koi8_r": "koi8-r",
+    "koi8": "koi8-r",
+    "cskoi8r": "koi8-r",
+    "windows-1250": "windows-1250",
+    "cp1250": "windows-1250",
+    "x-cp1250": "windows-1250",
+    "windows-1254": "windows-1254",
+    "cp1254": "windows-1254",
+    "iso-8859-9": "windows-1254",
+    "latin5": "windows-1254",
+    "windows-1256": "windows-1256",
+    "cp1256": "windows-1256",
+    "iso-8859-2": "iso-8859-2",
+    "iso8859-2": "iso-8859-2",
+    "latin2": "iso-8859-2",
+    "iso-8859-15": "iso-8859-15",
+    "iso8859-15": "iso-8859-15",
+    "latin9": "iso-8859-15",
+    # CJK
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "ms932": "shift_jis",
+    "windows-31j": "shift_jis",
+    "euc-jp": "euc-jp",
+    "x-euc-jp": "euc-jp",
+    "cseucpkdfmtjapanese": "euc-jp",
+    "gbk": "gbk",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "chinese": "gbk",
+    "csgb2312": "gbk",
+    "x-gbk": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5",
+    "big5-hkscs": "big5",
+    "x-x-big5": "big5",
+    "cn-big5": "big5",
+    "csbig5": "big5",
+    "euc-kr": "euc-kr",
+    "korean": "euc-kr",
+    "ks_c_5601-1987": "euc-kr",
+    "ks_c_5601-1989": "euc-kr",
+    "ksc5601": "euc-kr",
+    "ksc_5601": "euc-kr",
+    "cseuckr": "euc-kr",
+    "windows-949": "euc-kr",
+}
+
+# <meta then whitespace-or-/ then anything-but-> up to charset= and an
+# optionally-quoted label. RE2-compatible (no lookaround/backrefs);
+# [^>]* keeps the whole match inside one tag so charset= in body text
+# or inside a comment's prose cannot hijack the sniff unless it sits
+# in something tag-shaped -- the same laxness browsers exhibit.
+_META_CHARSET_RE = "<meta[\\t\\n\\x0c\\r /][^>]*charset[\\t\\n\\x0c\\r ]*=[\\t\\n\\x0c\\r ]*['\"]?[\\t\\n\\x0c\\r ]*([a-z0-9._:-]+)"
+
+_EMPTY = bytes()
+
+
+def meta_charset_label(html: Column, prescan: int = 1024) -> Column:
+    """Raw (lowercased) label of the first in-window ``charset=`` meta
+    declaration; '' when none. Surfaced separately from the decision so
+    corpus analytics can count declared-vs-effective encodings."""
+    head = F.decode(
+        F.substring(F.coalesce(html, F.lit(_EMPTY)), 1, prescan), "ISO-8859-1"
+    )
+    return F.regexp_extract(F.lower(head), _META_CHARSET_RE, 1)
+
+
+def _normalize_label(label: Column) -> Column:
+    """WHATWG label -> canonical name as ONE map lookup (null when
+    unknown). utf-16 labels become utf-8 (the prescan's step-5 quirk:
+    content declared utf-16 inside an 8-bit byte stream obviously
+    isn't, and the spec says assume utf-8)."""
+    table = F.create_map(
+        *[F.lit(x) for k in sorted(_LABELS) for x in (k, _LABELS[k])]
+    )
+    return F.when(
+        label.startswith("utf-16") | label.startswith("utf16"), F.lit("utf-8")
+    ).otherwise(F.element_at(table, label))
+
+
+def sniff_charset(html: Column, prescan: int = 1024) -> Column:
+    """Effective encoding per the prescan: struct(charset, src, label).
+
+    ``src`` is 'bom' | 'meta' | 'default'; ``charset`` is the decision
+    (canonical name); ``label`` is the raw declared label ('' if none).
+    Unknown declared labels that normalize to nothing usable fall back
+    to the windows-1252 default but keep src='meta' ONLY when the label
+    was known -- an unrecognized label is reported as src='default' so
+    downstream transcoding never trusts it.
+    """
+    b = F.coalesce(html, F.lit(_EMPTY))
+    b3 = F.substring(b, 1, 3)
+    b2 = F.substring(b, 1, 2)
+    label = meta_charset_label(html, prescan)
+    norm = _normalize_label(label)
+    meta_ok = norm.isNotNull()
+    charset = (
+        F.when(b3 == F.lit(b"\xef\xbb\xbf"), F.lit("utf-8"))
+        .when(b2 == F.lit(b"\xfe\xff"), F.lit("utf-16be"))
+        .when(b2 == F.lit(b"\xff\xfe"), F.lit("utf-16le"))
+        .when(meta_ok, norm)
+        .otherwise(F.lit("windows-1252"))
+    )
+    src = (
+        F.when(
+            (b3 == F.lit(b"\xef\xbb\xbf"))
+            | (b2 == F.lit(b"\xfe\xff"))
+            | (b2 == F.lit(b"\xff\xfe")),
+            F.lit("bom"),
+        )
+        .when(meta_ok, F.lit("meta"))
+        .otherwise(F.lit("default"))
+    )
+    return F.struct(
+        charset.alias("charset"), src.alias("src"), label.alias("label")
+    )

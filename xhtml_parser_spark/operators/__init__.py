@@ -15,6 +15,7 @@ from .corpus import (
 )
 from .textops import pii_scrub, gopher_quality, lm_surprisal
 from .robots import parse_robots, robots_filter
+from .charset import sniff_charset_pages, transcode_utf8
 
 __all__ = [
     "parse_pages",
@@ -41,4 +42,6 @@ __all__ = [
     "lm_surprisal",
     "parse_robots",
     "robots_filter",
+    "sniff_charset_pages",
+    "transcode_utf8",
 ]

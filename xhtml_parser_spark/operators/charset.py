@@ -1,0 +1,111 @@
+"""Charset sniffing + UTF-8 transcoding over binary page tables.
+
+The extract pipeline's kernel is byte-exact on the reference fixtures,
+which are UTF-8/ASCII; a real Common-Crawl delivery is not. These two
+operators make the engine safe to point at raw crawl bytes:
+
+  * :func:`sniff_charset_pages` -- adds ``charset`` / ``charset_src``
+    / ``charset_label`` columns from the HTML5 prescan
+    (:mod:`..functions.charset`). Pure JVM built-ins, no shuffle,
+    whole-stage codegen -- at 100 TB this is a free rider on the scan.
+  * :func:`transcode_utf8` -- decodes ``html`` to a UTF-8 string
+    column using the sniffed (or caller-supplied) charset. The JVM's
+    ``decode`` expression only speaks the unicode family, so the
+    legacy single-byte/CJK decoders run as an Arrow-batched pandas
+    UDF over Python's codec machinery (the decode loop per value is
+    C inside ``bytes.decode``); ``errors='replace'`` keeps the output
+    a deterministic total function. Map-side only -- partitioning and
+    scale posture identical to the parse kernel's.
+
+WHATWG-name -> Python-codec notes: ``euc-kr`` decodes as ``cp949``
+(the spec's euc-kr IS the cp949 superset) and any BOM the declared
+encoding would re-read as U+FEFF is stripped first, as the spec's
+"decode" algorithm does.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.charset import sniff_charset
+
+_BOM = {
+    "utf-8": b"\xef\xbb\xbf",
+    "utf-16be": b"\xfe\xff",
+    "utf-16le": b"\xff\xfe",
+}
+
+# canonical (WHATWG) name -> python codec
+_PY_CODEC = {
+    "utf-8": "utf-8",
+    "utf-16be": "utf-16-be",
+    "utf-16le": "utf-16-le",
+    "windows-1252": "cp1252",
+    "windows-1251": "cp1251",
+    "windows-1250": "cp1250",
+    "windows-1254": "cp1254",
+    "windows-1256": "cp1256",
+    "koi8-r": "koi8_r",
+    "iso-8859-2": "iso8859_2",
+    "iso-8859-15": "iso8859_15",
+    "shift_jis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "gbk": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5",
+    "euc-kr": "cp949",
+}
+
+
+def sniff_charset_pages(
+    pages: DataFrame, html_col: str = "html", prescan: int = 1024
+) -> DataFrame:
+    """pages + (charset, charset_src, charset_label) from the prescan."""
+    s = sniff_charset(F.col(html_col), prescan)
+    return pages.select(
+        "*",
+        s["charset"].alias("charset"),
+        s["src"].alias("charset_src"),
+        s["label"].alias("charset_label"),
+    )
+
+
+def decode_bytes(raw: bytes | None, charset: str | None) -> str | None:
+    """One value of :func:`transcode_utf8` (shared with the tests'
+    replica): BOM strip + python-codec decode with replacement."""
+    if raw is None:
+        return None
+    name = charset if charset in _PY_CODEC else "windows-1252"
+    bom = _BOM.get(name)
+    if bom and raw[: len(bom)] == bom:
+        raw = raw[len(bom):]
+    return raw.decode(_PY_CODEC[name], errors="replace")
+
+
+def transcode_utf8(
+    pages: DataFrame,
+    html_col: str = "html",
+    charset_col: str | None = None,
+    out_col: str = "text_utf8",
+    prescan: int = 1024,
+) -> DataFrame:
+    """pages + ``out_col``: html decoded per the (sniffed) charset.
+
+    With ``charset_col=None`` the prescan columns are derived first
+    (and kept -- callers almost always want them next to the text).
+    An unknown charset value decodes as the windows-1252 default
+    rather than raising: at corpus scale one bad label must not kill
+    a 10^12-document job.
+    """
+    if charset_col is None:
+        pages = sniff_charset_pages(pages, html_col=html_col, prescan=prescan)
+        charset_col = "charset"
+
+    @F.pandas_udf("string")
+    def _decode(html: pd.Series, charset: pd.Series) -> pd.Series:
+        return pd.Series(
+            [decode_bytes(b, c) for b, c in zip(html, charset)], dtype=object
+        )
+
+    return pages.withColumn(out_col, _decode(F.col(html_col), F.col(charset_col)))
