@@ -85,6 +85,64 @@ def test_first_meta_wins(spark):
     assert got == [("koi8-r", "meta", "koi8-r")]
 
 
+def test_commented_meta_skipped(spark):
+    got = _sniff(spark, [
+        # spec prescan jumps past <!-- ... -->: the commented-out
+        # template leftover must not set the encoding
+        b'<!-- <meta charset="shift_jis"> --><meta charset="utf-8">',
+        b'<!--\n<meta charset="shift_jis">\n-->',          # only a comment
+        b'<!-- unterminated <meta charset="shift_jis">',   # hides the rest
+        b'<meta charset="koi8-r"><!-- <meta charset="utf-8"> -->',
+    ])
+    assert got == [
+        ("utf-8", "meta", "utf-8"),
+        ("windows-1252", "default", ""),
+        ("windows-1252", "default", ""),
+        ("koi8-r", "meta", "koi8-r"),
+    ]
+
+
+def test_charset_in_other_attribute_value_ignored(spark):
+    got = _sniff(spark, [
+        # prose mention inside a description meta: only http-equiv
+        # metas may carry charset inside an attribute VALUE (got-pragma)
+        b'<meta name="description" content="how to use charset=big5 in html">',
+        b'<meta name="description" content="see charset=big5">'
+        b'<meta charset="utf-8">',
+        # unquoted junk value followed by a REAL charset attribute
+        b"<meta name=desc content=x charset=koi8-r>",
+        # charset glued into another token is not an attribute
+        b"<meta xcharset=big5>",
+    ])
+    assert got == [
+        ("windows-1252", "default", ""),
+        ("utf-8", "meta", "utf-8"),
+        ("koi8-r", "meta", "koi8-r"),
+        ("windows-1252", "default", ""),
+    ]
+
+
+def test_window_cut_never_truncates_label(spark):
+    """A tag the 1024-byte cut truncates mid-value must be ignored
+    (spec bail-out), never half-read: 'koi8-r' -> 'koi8' or
+    'utf-16le' -> 'utf-16' (which would flip the utf-16 quirk on)."""
+    tags = [
+        (b'<meta charset="koi8-r">', "koi8-r"),
+        (b'<meta charset="utf-16le">', "utf-8"),   # quirk when fully read
+        (b"<meta charset=koi8-r>", "koi8-r"),      # unquoted: needs terminator
+    ]
+    pages, expect_full = [], {}
+    for t, (tag, full_cs) in enumerate(tags):
+        for pad in range(1024 - len(tag) - 2, 1026):
+            pages.append(b" " * pad + tag)
+            expect_full[len(pages) - 1] = full_cs
+    got = _sniff(spark, pages)
+    for i, (cs, src, label) in enumerate(got):
+        assert (cs, src) in ((expect_full[i], "meta"), ("windows-1252", "default")), (
+            i, cs, src, label
+        )
+
+
 def test_transcode_legacy_bytes(spark):
     rows = [
         (0, b"\x80 caf\xe9", "windows-1252"),          # cp1252 euro + e-acute
@@ -94,6 +152,14 @@ def test_transcode_legacy_bytes(spark):
         (4, b"abc", "martian-9"),                      # unknown -> cp1252
         (5, None, "utf-8"),
         (6, b"\xc0\xe1\xe2", "windows-1251"),
+        # header-cased names must normalize, not silently fall to cp1252
+        (7, "日本語".encode("shift_jis"), "Shift_JIS"),
+        (8, "é".encode(), "UTF-8"),
+        (9, b"x", " WINDOWS-1252 "),
+        # malformed utf-8 with cs=utf-8: python-lane replacement decode
+        (10, b"ok \xff end", "utf-8"),
+        # valid utf-8 + BOM: JVM fast lane, BOM stripped
+        (11, b"\xef\xbb\xbfcaf\xc3\xa9", "utf-8"),
     ]
     df = spark.createDataFrame(
         [(i, bytearray(b) if b is not None else None, c) for i, b, c in rows],
@@ -110,7 +176,13 @@ def test_transcode_legacy_bytes(spark):
     assert out[4] == "abc"
     assert out[5] is None
     assert out[6] == "Абв"
-    # the spark path IS decode_bytes per value
+    assert out[7] == "日本語"
+    assert out[8] == "é"
+    assert out[9] == "x"
+    assert out[10] == "ok � end"
+    assert out[11] == "café"
+    # both lanes agree with decode_bytes per value (valid utf-8 decodes
+    # identically in the JVM lane; everything else IS decode_bytes)
     for i, b, c in rows:
         assert out[i] == decode_bytes(b, c)
 
@@ -129,15 +201,26 @@ def test_sniff_replica_differential(spark):
     byte soups (incl. high bytes, quote styles, whitespace zoo)."""
     import re
 
-    from xhtml_parser_spark.functions.charset import _LABELS
+    from xhtml_parser_spark.functions.charset import (
+        _LABELS,
+        _META_ATTR_RE,
+        _META_PRAGMA_RE,
+    )
+
+    def clean(raw_val: str) -> str:
+        s = re.sub("(^[\"'\\t\\n\\x0c\\r ]+)|([\"'\\t\\n\\x0c\\r ;>/]+$)", "", raw_val)
+        return s if re.fullmatch("[a-z0-9._:-]+", s) else ""
 
     def replica(b: bytes | None) -> tuple[str, str, str]:
         raw = b or b""
-        m = re.search(
-            b"<meta[\\t\\n\\x0c\\r /][^>]*charset[\\t\\n\\x0c\\r ]*=[\\t\\n\\x0c\\r ]*['\"]?[\\t\\n\\x0c\\r ]*([a-z0-9._:-]+)",
-            raw[:1024].lower(),
-        )
-        label = m.group(1).decode("ascii") if m else ""
+        head = raw[:1024].decode("ISO-8859-1").lower()
+        head = re.sub("<!--[\\s\\S]*?-->", " ", head)
+        head = re.sub("<!--[\\s\\S]*$", " ", head)
+        attr = re.search(_META_ATTR_RE, head)
+        pragma = re.search(_META_PRAGMA_RE, head)
+        label = clean(attr.group(1)) if attr else ""
+        if not label and pragma:
+            label = clean(pragma.group(1))
         if label.startswith(("utf-16", "utf16")):
             norm = "utf-8"
         else:
@@ -162,5 +245,15 @@ def test_sniff_replica_differential(spark):
             + b"<div>\x99\xff</div>"
             + f"<meta {'http-equiv=x ' if i % 2 else ''}charset{ws}={ws}{q}{lab}{q}>".encode()
         )
-    cases += [b"\xff\xfe", b"\xef\xbb", b"<meta charset=>", b"<meta charset>"]
+    cases += [
+        b"\xff\xfe", b"\xef\xbb", b"<meta charset=>", b"<meta charset>",
+        b'x<!--<meta charset="sjis">-->  <meta charset=big5>',
+        b'<meta name="d" content="charset=big5">ok',
+        b'<meta http-equiv=content-type content="text/html; charset=euc-kr">',
+        b"<meta '  charset=gbk>",               # unterminated quote soup
+        b'<meta a="b>c" charset=big5>',         # '>' inside a quoted value
+        b'<!--' + b'z' * 40 + b'<meta charset="gbk">',  # comment hides meta
+        b'<meta charset=" utf-8 ">',            # quoted label with padding
+        b'<meta charset="utf 8">',              # invalid label chars
+    ]
     assert _sniff(spark, cases) == [replica(c) for c in cases]

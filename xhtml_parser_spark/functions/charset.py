@@ -20,9 +20,19 @@ inside whole-stage codegen with no Python in the path:
   3. else windows-1252 (the spec's default for unlabeled content).
 
 Subset notes (documented, deliberate):
-  * the meta match requires whitespace or ``/`` after ``meta`` and the
-    whole attribute inside the window -- a tag truncated by the
-    1024-byte cut is ignored, like the spec's incomplete-tag bail-out;
+  * comments are skipped exactly like the spec's prescan ("<!--" jumps
+    past the next "-->"; an unterminated one hides the rest of the
+    window) -- a commented-out meta cannot set the encoding;
+  * ``charset`` must be a REAL attribute of a ``<meta``-shaped tag
+    (quoted attribute values are consumed atomically, so a prose
+    mention inside name=description content="... charset=big5 ..."
+    cannot match), except the legacy pragma form where ``charset=``
+    inside the content value counts only when the same tag carries
+    ``http-equiv`` (the spec's got-pragma rule);
+  * the value must be COMPLETE inside the window (closing quote, or a
+    terminator after an unquoted label) -- a tag the 1024-byte cut
+    truncates mid-value is ignored, like the spec's incomplete-tag
+    bail-out, never half-read into a different (shorter) label;
   * an unknown label falls through to the default with src='default'
     (the spec keeps scanning for another meta; real-world second metas
     are ~nonexistent) -- the raw label is still surfaced for corpus
@@ -127,24 +137,76 @@ _LABELS: dict[str, str] = {
     "windows-949": "euc-kr",
 }
 
-# <meta then whitespace-or-/ then anything-but-> up to charset= and an
-# optionally-quoted label. RE2-compatible (no lookaround/backrefs);
-# [^>]* keeps the whole match inside one tag so charset= in body text
-# or inside a comment's prose cannot hijack the sniff unless it sits
-# in something tag-shaped -- the same laxness browsers exhibit.
-_META_CHARSET_RE = "<meta[\\t\\n\\x0c\\r /][^>]*charset[\\t\\n\\x0c\\r ]*=[\\t\\n\\x0c\\r ]*['\"]?[\\t\\n\\x0c\\r ]*([a-z0-9._:-]+)"
+# All regexes below are RE2-compatible (no lookaround/backrefs) like
+# the rest of the engine's oracle-replayable regex surface.
+#
+# The prescan skips comments (spec: "<!--" jumps to the next "-->"),
+# so comments are blanked out of the window first; replacing with a
+# space (not '') so stripping can never splice two fragments into a
+# tag that was never there. An unterminated "<!--" hides the rest of
+# the window, matching the spec's skip-to--->-or-EOF.
+_COMMENT_RE = "<!--[\\s\\S]*?-->"
+_COMMENT_OPEN_RE = "<!--[\\s\\S]*$"
+
+_WS = "\\t\\n\\x0c\\r "
+# A quoted attribute value consumed as one unit -- charset= inside
+# someone else's value (content="... charset=big5 ...") cannot match.
+_ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
+# The VALUE must be complete inside the window: a quoted value needs
+# its closing quote, an unquoted one a terminator character -- a tag
+# the 1024-byte cut truncates mid-value is ignored (the spec's
+# incomplete-tag bail-out). The single capture group keeps the
+# quotes/terminator; _clean_label strips them and validates.
+_VALUE = "(\"[^\"]*\"|'[^']*'|[a-z0-9._:-]+[" + _WS + ";>/\"'])"
+_EQ = "charset[" + _WS + "]*=[" + _WS + "]*"
+
+# charset as a REAL attribute of a meta tag: right after the tag-name
+# separator or after whole attributes ending in a separator.
+_META_ATTR_RE = (
+    "<meta[" + _WS + "/](?:" + _ATTRS + "*?[" + _WS + "/])?" + _EQ + _VALUE
+)
+# the legacy pragma form: charset may sit INSIDE the content value,
+# but only a meta that also carries http-equiv qualifies (the spec's
+# got-pragma rule; a name=description meta mentioning charset= in
+# prose must not hijack the sniff).
+_META_PRAGMA_RE = (
+    "<meta[" + _WS + "/]" + _ATTRS + "*?http-equiv[^>]*?" + _EQ + _VALUE
+)
 
 _EMPTY = bytes()
 
 
+def _clean_label(raw: Column) -> Column:
+    """Strip the captured value's quotes/terminator + surrounding
+    whitespace, then validate: anything that is not a pure label
+    token (spec: invalid label => that candidate fails) becomes ''."""
+    stripped = F.regexp_replace(
+        raw, "(^[\"'" + _WS + "]+)|([\"'" + _WS + ";>/]+$)", ""
+    )
+    return F.when(
+        stripped.rlike("^[a-z0-9._:-]+$"), stripped
+    ).otherwise(F.lit(""))
+
+
 def meta_charset_label(html: Column, prescan: int = 1024) -> Column:
-    """Raw (lowercased) label of the first in-window ``charset=`` meta
+    """Raw (lowercased) label of the first in-window ``charset`` meta
     declaration; '' when none. Surfaced separately from the decision so
-    corpus analytics can count declared-vs-effective encodings."""
+    corpus analytics can count declared-vs-effective encodings.
+
+    Precedence subset: the charset-ATTRIBUTE form wins over the
+    http-equiv pragma form when both appear in the window (the spec
+    orders by tag position; two conflicting forms in one document are
+    vanishingly rare and a fixed precedence keeps this one regexp per
+    form)."""
     head = F.decode(
         F.substring(F.coalesce(html, F.lit(_EMPTY)), 1, prescan), "ISO-8859-1"
     )
-    return F.regexp_extract(F.lower(head), _META_CHARSET_RE, 1)
+    head = F.lower(head)
+    head = F.regexp_replace(head, _COMMENT_RE, " ")
+    head = F.regexp_replace(head, _COMMENT_OPEN_RE, " ")
+    attr = _clean_label(F.regexp_extract(head, _META_ATTR_RE, 1))
+    pragma = _clean_label(F.regexp_extract(head, _META_PRAGMA_RE, 1))
+    return F.when(attr != "", attr).otherwise(pragma)
 
 
 def _normalize_label(label: Column) -> Column:
