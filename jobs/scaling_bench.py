@@ -260,6 +260,25 @@ def main() -> None:
     summary["efficiency"] = summary[gate_mode]["efficiency"]
     summary["gate"] = summary["efficiency"] >= 0.8
     summary["corpus_docs"] = N_DOCS
+    # Regime guard (measured, BENCH.md "why 2->8"): fixed job overhead
+    # is ~1.1 s, so short walls are overhead-dominated and the N->4N
+    # ratio is fiction -- a default-size (12k-doc) run must never pass
+    # as gate evidence. The flag is IN the JSON so a stale artifact
+    # self-identifies. Thresholds: the accepted 384k-doc evidence has
+    # walls >= ~13 s, the bogus default-regime runs ~1.6-9.5 s.
+    min_wall = min(
+        m["T_4N_sec"] for m in summary.values() if isinstance(m, dict)
+    )
+    if N_DOCS < 96000 or min_wall < 10.0:
+        summary["regime_warning"] = (
+            f"corpus_docs={N_DOCS}, shortest wall {min_wall:.1f}s: "
+            "fixed overhead dominates; NOT gate evidence. Re-run with "
+            "SPARK_GRAFT_SCALING_DOCS>=384000 (see BENCH.md)"
+        )
+        print(
+            f"WARNING: {summary['regime_warning']}",
+            file=sys.stderr,
+        )
     with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary))
