@@ -28,7 +28,13 @@ Subset notes (documented, deliberate):
     mention inside name=description content="... charset=big5 ..."
     cannot match), except the legacy pragma form where ``charset=``
     inside the content value counts only when the same tag carries
-    ``http-equiv`` (the spec's got-pragma rule);
+    ``http-equiv`` with the value ``content-type`` (the spec's
+    got-pragma rule; an http-equiv=refresh redirect URL mentioning
+    charset= cannot hijack the sniff). One order limitation: in the
+    pragma form ``charset=`` must FOLLOW the ``http-equiv`` attribute
+    within the tag -- the spec is attribute-order independent, but
+    real-world content-type metas overwhelmingly write http-equiv
+    first, and one forward regexp keeps the sniff codegen-only;
   * the value must be COMPLETE inside the window (closing quote, or a
     terminator after an unquoted label) -- a tag the 1024-byte cut
     truncates mid-value is ignored, like the spec's incomplete-tag
@@ -166,11 +172,25 @@ _META_ATTR_RE = (
     "<meta[" + _WS + "/](?:" + _ATTRS + "*?[" + _WS + "/])?" + _EQ + _VALUE
 )
 # the legacy pragma form: charset may sit INSIDE the content value,
-# but only a meta that also carries http-equiv qualifies (the spec's
-# got-pragma rule; a name=description meta mentioning charset= in
-# prose must not hijack the sniff).
+# but only a meta whose http-equiv VALUE is content-type qualifies
+# (the spec's got-pragma rule requires http-equiv='content-type'; a
+# name=description meta mentioning charset= in prose, or an
+# http-equiv=refresh whose redirect URL contains a charset= query
+# parameter, must not hijack the sniff). Order limitation documented
+# in the module subset notes: charset= must FOLLOW http-equiv within
+# the tag (the spec is attribute-order independent).
 _META_PRAGMA_RE = (
-    "<meta[" + _WS + "/]" + _ATTRS + "*?http-equiv[^>]*?" + _EQ + _VALUE
+    "<meta["
+    + _WS
+    + "/]"
+    + _ATTRS
+    + "*?http-equiv["
+    + _WS
+    + "]*=["
+    + _WS
+    + "]*[\"']?content-type[^>]*?"
+    + _EQ
+    + _VALUE
 )
 
 _EMPTY = bytes()

@@ -213,23 +213,35 @@ def extract_links(pages: DataFrame) -> DataFrame:
     against the page url and normalized; anchor_text = the element's
     concatenated descendant text (entity-decoded, document order; ''
     for void/empty anchors). Map-side only; failed-parse documents
-    contribute no rows (join parse_pages on url for their errors)."""
+    contribute no rows (join parse_pages on url for their errors).
+
+    Raw crawls are not all UTF-8 and Spark 4's ANSI ``decode`` RAISES
+    on malformed bytes, so both decodes are gated by ``is_valid_utf8``
+    (same lane pattern as operators/charset.transcode_utf8): a legacy-
+    encoded href/anchor yields NULL for that column instead of
+    aborting the whole export job."""
     raw = pages.select("url", "html").mapInArrow(
         _links_arrow_batches, LINKS_SCHEMA
     )
-    href = F.decode(F.col("href"), "UTF-8")
+
+    def _utf8_or_null(col):
+        return F.when(F.is_valid_utf8(col), F.decode(col, "UTF-8"))
+
+    href = _utf8_or_null(F.col("href"))
     resolved = resolve_url(F.col("url"), href)
     normalized = normalize_url(resolved)
     # host from the NORMALIZED url so default ports are stripped and
-    # the host matches the link_url's authority exactly
+    # the host matches the link_url's authority exactly.  resolve_url
+    # coalesces a null href to "" (= the base document), so the derived
+    # link columns are explicitly nulled when the href didn't decode.
     return raw.select(
         "url",
         "node_id",
         "tag",
         href.alias("href"),
-        F.decode(F.col("text"), "UTF-8").alias("anchor_text"),
-        normalized.alias("link_url"),
-        url_host(normalized).alias("link_host"),
+        _utf8_or_null(F.col("text")).alias("anchor_text"),
+        F.when(href.isNotNull(), normalized).alias("link_url"),
+        F.when(href.isNotNull(), url_host(normalized)).alias("link_host"),
     )
 
 

@@ -129,6 +129,11 @@ def robots_filter(
     path-prefix rule wins; ties go to Allow; urls on hosts with no
     matching rule (or no rules at all) are allowed.
 
+    Rules match against path+query (fragment stripped), per RFC 9309 /
+    Google's matcher -- a ``Disallow: /search?`` rule works. A url with
+    a query but no path slash matches as ``/?q`` (what a crawler would
+    request for an authority-only url).
+
     One equi-join on host + one per-url max_by aggregate. The
     tie-break is encoded in the max_by key (length * 2 + allow), so a
     single aggregate decides -- no window re-sort over the joined rows.
@@ -136,18 +141,16 @@ def robots_filter(
     from ..functions.urls import _SCHEME_RE, url_host
 
     # host via the shared helper (lowercased, query/fragment-safe);
-    # path = authority-to-query/fragment span, '/' when absent (what a
-    # crawler would fetch for an authority-only url)
+    # match target = authority-to-fragment span (path INCLUDING query),
+    # '/'-prefixed when the path component is empty
     rest = F.regexp_replace(F.col(url_col), _SCHEME_RE, "")
+    pq = F.regexp_extract(rest, "^[^/?#]*([^#]*)", 1)
     u = urls.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), F.lit("")
-            ),
-            F.lit("/"),
-        ).alias("path"),
+        F.when(pq.startswith("/"), pq)
+        .otherwise(F.concat(F.lit("/"), pq))
+        .alias("path"),
     )
     return _decide(u, rules)
 

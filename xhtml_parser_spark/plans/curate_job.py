@@ -68,7 +68,12 @@ def _input_digest(input_path: str) -> str:
         st = os.stat(input_path)
         return f"{os.path.basename(input_path)}:{st.st_size}"
     except OSError:
-        return "unknown"
+        # Non-local path (s3://, hdfs:// -> os.stat OSError).  The
+        # fallback must still vary with the path, or two completely
+        # different object-store inputs would both digest to the same
+        # constant and the resume guard would silently pass -- the
+        # exact mixed-input hazard it exists to prevent.
+        return f"unknown:{input_path}"
 
 
 class _Stage:
