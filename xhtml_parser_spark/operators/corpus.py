@@ -30,6 +30,10 @@ runs between extraction and training-set assembly. Scale notes:
 All outputs are integers / md5 hex strings so the DuckDB oracle can
 replay them exactly (including the Bloom maybe-flag, which is pure
 md5 arithmetic).
+
+Operators that persist an intermediate the returned DataFrame still
+reads attach the handle via ``caching.attach_persists``; release with
+``caching.released_after(df)`` after materializing.
 """
 
 from __future__ import annotations
@@ -49,6 +53,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..caching import attach_persists
 from .dedup import shingle_list
 
 
@@ -165,8 +170,8 @@ def duplicate_ngram_stats(
     and once to join document-frequency back. Gram strings could be
     md5-compressed before the shuffle at 100 TB; kept raw here so the
     oracle join is byte-transparent. The persist is left live because
-    the returned DataFrame reads through it; clear with
-    spark.catalog.clearCache() after the action if needed.
+    the returned DataFrame reads through it; the handle is attached,
+    release with caching.released_after(df) after the action.
     """
     schema = StructType(
         [
@@ -180,7 +185,7 @@ def duplicate_ngram_stats(
         StorageLevel.MEMORY_AND_DISK
     )
     gram_df = pairs.groupBy("g").agg(F.count("*").alias("df"))
-    return (
+    return attach_persists(
         pairs.join(gram_df, "g")
         .groupBy("doc_id")
         .agg(
@@ -188,7 +193,8 @@ def duplicate_ngram_stats(
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
             .cast("bigint")
             .alias("dup_grams"),
-        )
+        ),
+        pairs,
     )
 
 
@@ -330,7 +336,7 @@ def remove_duplicate_ngrams(
         F.count("*").cast("bigint").alias("kept_words"),
     )
     base = docs.select(F.col(id_col).alias("doc_id"))
-    return (
+    return attach_persists(
         base.join(counts, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .select(
@@ -338,7 +344,9 @@ def remove_duplicate_ngrams(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
             F.coalesce("kept_words", F.lit(0)).cast("bigint").alias("kept_words"),
-        )
+        ),
+        words,
+        grams,
     )
 
 
@@ -415,12 +423,15 @@ def pack_sequences(
     last_seq = F.when(F.col("n_tokens") == 0, F.lit(-1)).otherwise(
         F.expr(f"(start_offset + n_tokens - 1) div {sl}")
     )
-    return placed.select(
-        "doc_id",
-        "n_tokens",
-        F.col("start_offset").cast("bigint").alias("start_offset"),
-        first_seq.cast("bigint").alias("first_seq"),
-        last_seq.cast("bigint").alias("last_seq"),
+    return attach_persists(
+        placed.select(
+            "doc_id",
+            "n_tokens",
+            F.col("start_offset").cast("bigint").alias("start_offset"),
+            first_seq.cast("bigint").alias("first_seq"),
+            last_seq.cast("bigint").alias("last_seq"),
+        ),
+        toks,
     )
 
 
@@ -501,9 +512,9 @@ def curation_funnel(
 
     The persist is left live because the returned DataFrame reads
     through it (Spark's CacheManager also silently substitutes it
-    into any identical sub-plan); callers running the funnel inside a
-    larger job can unpersist via spark.catalog.clearCache() after the
-    action.
+    into any identical sub-plan); the handle is attached to the result,
+    so callers running the funnel inside a larger job release it with
+    ``caching.released_after(df)`` after the action.
     """
     sig = funnel_signals(
         docs,
@@ -559,14 +570,15 @@ def curation_funnel(
     )
     stages = ["input", "lang", "quality", "repetition", "dedup", "host_cap", "sample"]
     stack = ", ".join(f"{i}, '{s}', c_{s}" for i, s in enumerate(stages))
-    return (
+    return attach_persists(
         head.crossJoin(tail)
         .selectExpr(f"stack({len(stages)}, {stack}) AS (stage_ord, stage, rows_kept)")
         .select(
             F.col("stage_ord").cast("int").alias("stage_ord"),
             "stage",
             F.col("rows_kept").cast("bigint").alias("rows_kept"),
-        )
+        ),
+        sig,
     )
 
 
@@ -775,4 +787,7 @@ def incremental_dedup(
         flagged.where(F.col("was_maybe") == 1)
         .join(base_h, "h", "left_anti")
     )
-    return definite_new.unionByName(survivors.select("doc_id", "h", "was_maybe"))
+    return attach_persists(
+        definite_new.unionByName(survivors.select("doc_id", "h", "was_maybe")),
+        flagged,
+    )

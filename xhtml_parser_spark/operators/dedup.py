@@ -172,9 +172,8 @@ def lsh_candidate_pairs(
     10^12 documents.
 
     The cache is necessarily left live (the returned DataFrame reads
-    it lazily); a long-lived session issuing MANY of these should
-    release it afterwards -- ``spark.catalog.clearCache()`` or find it
-    via ``spark.sparkContext._jsc`` storage -- or pass
+    it lazily); the handle is attached to the result, so release it
+    with ``caching.released_after(df)`` after materializing, or pass
     ``persist_signatures=False`` to trade the extra shingling passes
     for zero cache footprint.
     """
@@ -243,7 +242,7 @@ def lsh_candidate_pairs(
         .distinct()
     )
     sh = sigs.select(F.col("doc_id").alias("id"), "sh")
-    return (
+    out = (
         pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("bigint"))
@@ -252,6 +251,11 @@ def lsh_candidate_pairs(
         .where(F.col("jac") >= jaccard_min)
         .select("a", "b", "inter", "uni", "jac")
     )
+    if persist_signatures:
+        from ..caching import attach_persists
+
+        out = attach_persists(out, sigs)
+    return out
 
 
 def connected_components(
@@ -357,6 +361,12 @@ def dedup_clusters(
         max_bucket=max_bucket,
     )
     comp = connected_components(pairs, "a", "b")
+    # comp is localCheckpoint-materialized: nothing downstream reads
+    # the LSH signature cache any more, so release it here instead of
+    # leaving it for the caller
+    from ..caching import release
+
+    release(pairs)
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -451,7 +451,7 @@ def ivf_topk(
         .where(F.col(id_col) != query_vec_id)
         .select(id_col)
     )
-    return (
+    out = (
         brute_force_scores(
             emb.join(cand, id_col, "left_semi").unionByName(
                 emb.where(F.col(id_col) == query_vec_id)
@@ -461,6 +461,11 @@ def ivf_topk(
         .orderBy(F.col("dot").desc(), F.col(id_col))
         .limit(k)
     )
+    if persist_assignments:
+        from ..caching import attach_persists
+
+        out = attach_persists(out, asg)
+    return out
 
 
 def ann_lsh_topk(
@@ -483,8 +488,8 @@ def ann_lsh_topk(
     # consumed twice (query-bucket lookup + candidate filter): persist
     # so the signature pass scans the corpus once, not twice. As with
     # lsh_candidate_pairs, the cache stays live behind the returned
-    # DataFrame -- clearCache()/persist_buckets=False for sessions
-    # issuing many of these.
+    # DataFrame -- release it with caching.released_after(df) (the
+    # handle is attached), or persist_buckets=False.
     buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
     if persist_buckets:
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -513,10 +518,15 @@ def ann_lsh_topk(
     # semi-join to broadcast at runtime whenever the candidate side
     # measures small, which is every realistic invocation.
     cand = cand.where(F.col(id_col) != query_vec_id).select(id_col)
-    return (
+    out = (
         brute_force_scores(emb.join(cand, id_col, "left_semi").unionByName(
             emb.where(F.col(id_col) == query_vec_id)
         ), query_vec_id, id_col, vec_col)
         .orderBy(F.col("dot").desc(), F.col(id_col))
         .limit(k)
     )
+    if persist_buckets:
+        from ..caching import attach_persists
+
+        out = attach_persists(out, buckets)
+    return out

@@ -269,9 +269,17 @@ def lm_surprisal(
     ref_words = ref_docs.select(
         F.explode(_words(F.coalesce(F.col(ref_text_col), F.lit("")))).alias("w")
     )
-    model = ref_words.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = ref_words.count()  # one job; the scalar pins the model
+    # Persist the AGGREGATED model (vocabulary-sized, tiny vs the raw
+    # explode) and derive the total from it: the reference corpus is
+    # scanned and word-exploded exactly once -- without the persist the
+    # scalar job and the scoring join would each pay the full explode.
+    # The persist stays live behind the returned DataFrame (the scoring
+    # join reads it); release with functions.caching.released_after.
+    model = ref_words.groupBy("w").agg(F.count("*").alias("cnt")).persist()
+    total_row = model.agg(F.sum("cnt").alias("t")).collect()[0]
+    total = int(total_row["t"] or 0)
     if total == 0:
+        model.unpersist()
         raise ValueError("reference corpus has no tokens")
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w"))
@@ -292,10 +300,17 @@ def lm_surprisal(
         F.sum("bits").cast("bigint").alias("surprisal_bits"),
     )
     base = docs.select(F.col(id_col).alias("doc_id"))
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-        F.coalesce("surprisal_bits", F.lit(0)).cast("bigint").alias("surprisal_bits"),
+    from ..caching import attach_persists
+
+    return attach_persists(
+        base.join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("surprisal_bits", F.lit(0))
+            .cast("bigint")
+            .alias("surprisal_bits"),
+        ),
+        model,
     )
 
 
