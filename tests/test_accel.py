@@ -5,6 +5,7 @@ error position, and the full formatted error message."""
 
 from __future__ import annotations
 
+import os
 import string
 
 import pytest
@@ -22,7 +23,27 @@ from xhtml_parser_spark.kernel.parser import (
 )
 
 if _get_cparser() is None:
-    pytest.skip("C accel unavailable in this environment", allow_module_level=True)
+    # The production fast path must never go silently untested (round-2
+    # verdict item #2: a full CI run once skipped all 39 differential
+    # tests on a transient build race and went green). Skipping is only
+    # legitimate when the ENVIRONMENT cannot build the kernel -- no gcc,
+    # or explicitly disabled. On a machine with a working compiler an
+    # unavailable kernel is a defect: FAIL with the recorded build error.
+    # XPS_REQUIRE_ACCEL=1 (set in the verify recipe) forbids skipping
+    # unconditionally.
+    import shutil
+
+    from xhtml_parser_spark.kernel import accel
+
+    reason = f"C accel unavailable: {accel.LAST_BUILD_ERROR}"
+    require = os.environ.get("XPS_REQUIRE_ACCEL") == "1"
+    buildable = (
+        shutil.which("gcc") is not None
+        and os.environ.get("XPS_ACCEL", "1") != "0"
+    )
+    if require or buildable:
+        pytest.fail(reason)
+    pytest.skip(reason, allow_module_level=True)
 
 
 def _assert_texts_same(xml: bytes, b) -> None:

@@ -136,3 +136,29 @@ def test_events_window_single_shuffle(spark):
     # exactly one exchange: the window partitioning
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, plan
+
+
+def test_xpath_multi_shares_one_parse_scan(spark, pages_path):
+    """A rule pack of paths must read the exploded-DOM table from ONE
+    shared cache: with persist on, every per-segment join consumes an
+    InMemoryTableScan of the same parsed-nodes relation (the corpus is
+    parsed once per pack, not once per path segment); with persist off
+    the same plan would re-run the Arrow parse stage under every
+    segment."""
+    from xhtml_parser_spark.caching import release
+    from xhtml_parser_spark.operators import parse_nodes
+    from xhtml_parser_spark.operators.xpath import xpath_nodes_multi
+
+    nodes = parse_nodes(spark.read.parquet(pages_path))
+    paths = ["html//p", "html/body/*", "//div//p"]
+    shared = xpath_nodes_multi(nodes, paths)
+    plan = _plan(shared)
+    # 3 paths x (>=1 segment consumption + final row join) -> >= 6
+    # reads of the cached relation
+    assert plan.count("InMemoryTableScan") >= 6, plan
+    release(shared)
+
+    unshared = xpath_nodes_multi(nodes, paths, persist=False)
+    uplan = _plan(unshared)
+    assert "InMemoryTableScan" not in uplan
+    assert uplan.count("MapInArrow") >= 6, "without the cache every segment re-parses"

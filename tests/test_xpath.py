@@ -137,3 +137,49 @@ def test_relational_xpath_matches_kernel(spark):
     finally:
         nodes.unpersist()
         attrs.unpersist()
+
+
+def test_xpath_nodes_multi_equals_per_path_runs(spark):
+    """The rule-pack operator must return exactly the per-path
+    xpath_nodes rows, tagged with the path, and release its shared
+    caches on released_after."""
+    import datetime as dt
+
+    from xhtml_parser_spark.caching import live_persists, released_after
+    from xhtml_parser_spark.operators.xpath import xpath_nodes_multi
+
+    ts = dt.datetime(2025, 8, 8)
+    rows = [
+        ("synthetic", ts, DOC, None, "en"),
+        ("dupattr", ts, b"<r><p id='1' id='2'>x</p></r>", None, "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    nodes, attrs = parse_nodes(df), parse_attrs(df)
+    paths = ["html//p", "html/body/div[2]/p", "//div[@class='a']/p", "//a"]
+    with released_after(xpath_nodes_multi(nodes, paths, attrs)) as multi:
+        assert live_persists(multi), "shared caches must be attached"
+        got = {
+            (r["path"], r["url"], r["node_id"])
+            for r in multi.select("path", "url", "node_id").collect()
+        }
+    want = set()
+    for p in paths:
+        for r in xpath_nodes(nodes, p, attrs).select("url", "node_id").collect():
+            want.add((p, r["url"], r["node_id"]))
+    assert got == want
+    assert (
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    ), "caches must be released"
+
+
+def test_xpath_nodes_multi_empty_paths(spark):
+    import datetime as dt
+
+    from xhtml_parser_spark.operators.xpath import xpath_nodes_multi
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2025, 8, 8), DOC, None, "en")], PAGES_SCHEMA
+    )
+    out = xpath_nodes_multi(parse_nodes(df), [])
+    assert out.count() == 0
+    assert out.columns[0] == "path"

@@ -32,6 +32,7 @@ _LAZY = {
     "parse_attrs": ("xhtml_parser_spark.operators", "parse_attrs"),
     "parse_full": ("xhtml_parser_spark.operators", "parse_full"),
     "xpath_nodes": ("xhtml_parser_spark.operators.xpath", "xpath_nodes"),
+    "xpath_nodes_multi": ("xhtml_parser_spark.operators.xpath", "xpath_nodes_multi"),
     "select_path": ("xhtml_parser_spark.kernel.document", "select_path"),
     "exact_dedup": ("xhtml_parser_spark.operators.dedup", "exact_dedup"),
     "minhash_signatures": ("xhtml_parser_spark.operators.dedup", "minhash_signatures"),

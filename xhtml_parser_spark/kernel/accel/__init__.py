@@ -96,9 +96,16 @@ def _c_source() -> bytes | None:
         return None
 
 
+#: why the last _build() returned None (shown by the test suite's
+#: hard-failure path so a broken build is diagnosable, not a mystery)
+LAST_BUILD_ERROR: str | None = None
+
+
 def _build() -> str | None:
+    global LAST_BUILD_ERROR
     src_bytes = _c_source()
     if src_bytes is None:
+        LAST_BUILD_ERROR = "_cparser.c not found on disk or in package zip"
         return None
     digest = hashlib.md5(src_bytes + " ".join(CFLAGS).encode()).hexdigest()[:16]
     cache_dir = os.path.join(
@@ -108,45 +115,79 @@ def _build() -> str | None:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(cache_dir, exist_ok=True)
-    # materialize the source next to the cache: gcc needs a real file,
-    # and when loaded from a zip there is none on disk
-    src = os.path.join(cache_dir, "_cparser.c")
-    src_tmp = src + f".tmp-{os.getpid()}"
-    with open(src_tmp, "wb") as fh:
-        fh.write(src_bytes)
-    os.replace(src_tmp, src)
-    hdr = os.path.join(cache_dir, "xps_tables.h")
-    with open(hdr, "w") as fh:
-        fh.write(_gen_tables_header())
-    include = sysconfig.get_paths()["include"]
-    tmp_so = so_path + f".tmp-{os.getpid()}"
-    cmd = [
-        "gcc", *CFLAGS, "-fPIC", "-shared", "-std=c99",
-        f"-I{include}", f"-I{cache_dir}", src, "-o", tmp_so,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
-        return so_path
-    except Exception:
-        return None
+    # Serialize concurrent builders (3 spark sessions importing at once
+    # used to race: every per-file write below WAS atomic except the
+    # generated header, so a compiler could read a half-written
+    # xps_tables.h and fail -- the round-2 transient-skip root cause).
+    # flock is advisory and per-open-fd, so it works across processes;
+    # the .so existence re-check under the lock makes later arrivals
+    # no-ops.
+    import fcntl
+
+    lock_path = os.path.join(cache_dir, ".build.lock")
+    with open(lock_path, "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(so_path):
+                return so_path
+            # materialize the source next to the cache: gcc needs a
+            # real file, and when loaded from a zip there is none on
+            # disk. Atomic (tmp + rename) like every write here.
+            src = os.path.join(cache_dir, "_cparser.c")
+            src_tmp = src + f".tmp-{os.getpid()}"
+            with open(src_tmp, "wb") as fh:
+                fh.write(src_bytes)
+            os.replace(src_tmp, src)
+            hdr = os.path.join(cache_dir, "xps_tables.h")
+            hdr_tmp = hdr + f".tmp-{os.getpid()}"
+            with open(hdr_tmp, "w") as fh:
+                fh.write(_gen_tables_header())
+            os.replace(hdr_tmp, hdr)
+            include = sysconfig.get_paths()["include"]
+            tmp_so = so_path + f".tmp-{os.getpid()}"
+            cmd = [
+                "gcc", *CFLAGS, "-fPIC", "-shared", "-std=c99",
+                f"-I{include}", f"-I{cache_dir}", src, "-o", tmp_so,
+            ]
+            try:
+                proc = subprocess.run(
+                    cmd, check=True, capture_output=True, timeout=120
+                )
+                del proc
+                os.replace(tmp_so, so_path)
+                return so_path
+            except subprocess.CalledProcessError as e:
+                LAST_BUILD_ERROR = (
+                    f"gcc failed ({e.returncode}): "
+                    f"{e.stderr.decode(errors='replace')[:2000]}"
+                )
+                return None
+            except Exception as e:
+                LAST_BUILD_ERROR = f"{type(e).__name__}: {e}"
+                return None
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
 
 
 def _load():
+    global LAST_BUILD_ERROR
     mode = os.environ.get("XPS_ACCEL", "1")
     if mode == "0":
+        LAST_BUILD_ERROR = "disabled via XPS_ACCEL=0"
         return None
     try:
         so_path = _build()
         if so_path is None:
-            raise RuntimeError("accel build unavailable")
+            raise RuntimeError(f"accel build unavailable: {LAST_BUILD_ERROR}")
         import importlib.util
 
         spec = importlib.util.spec_from_file_location("_xps_cparser", so_path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod
-    except Exception:
+    except Exception as e:
+        if LAST_BUILD_ERROR is None:
+            LAST_BUILD_ERROR = f"{type(e).__name__}: {e}"
         if mode == "require":
             raise
         return None

@@ -123,3 +123,51 @@ def xpath_nodes(
         ctx.select("url", F.col("ctx_id").alias("node_id")),
         ["url", "node_id"],
     )
+
+
+def xpath_nodes_multi(
+    nodes: DataFrame,
+    paths: list[str],
+    attrs: DataFrame | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Run a rule PACK of paths over one shared nodes scan: the union
+    of ``xpath_nodes(nodes, p)`` for every p in ``paths``, each row
+    tagged with its ``path``.
+
+    Real extraction users run dozens of paths per document class
+    (the per-doc analogue is the reference's navigation API,
+    src/node.rs:575-668 -- one parsed tree, many selector walks).
+    Calling xpath_nodes per path re-reads the nodes input once per
+    SEGMENT, and when ``nodes`` is an unpersisted parse_nodes plan
+    that means re-parsing the corpus segment*path times. Here the
+    nodes table (and attrs, when any path carries an attribute
+    predicate) is persisted once, so every segment join of every path
+    is an InMemoryTableScan of the same cache -- the corpus is parsed
+    exactly once however many paths the pack has
+    (tests/test_plans.py asserts the plan shape).
+
+    The caches stay live behind the returned DataFrame; handles are
+    attached, release with ``caching.released_after(df)``.
+    """
+    if not paths:
+        return nodes.limit(0).select(F.lit("").alias("path"), "*")
+    from ..caching import attach_persists
+
+    cached: list[DataFrame] = []
+    if persist:
+        nodes = nodes.persist()
+        cached.append(nodes)
+        if attrs is not None and any(
+            s[3] is not None for p in paths for s in _path_segments(p)
+        ):
+            attrs = attrs.persist()
+            cached.append(attrs)
+    parts = [
+        xpath_nodes(nodes, p, attrs).select(F.lit(p).alias("path"), "*")
+        for p in paths
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return attach_persists(out, *cached)
