@@ -1,17 +1,22 @@
 """Multimodal column plumbing: binary payloads + typed metadata through
-Arrow batches. Decode of real codecs is stubbed (no media libs in this
-container); header sniffing and the fake container are fully real."""
+Arrow batches. PNG decode is REAL (kernel/png.py, zlib + NumPy
+unfilter); JPEG/GIF pixel paths stay stubbed (no media libs in this
+container); header sniffing and the fake video container are fully
+real."""
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from xhtml_parser_spark.kernel.png import encode_png
 from xhtml_parser_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_audio_meta,
+    decode_image,
     decode_image_meta,
     extract_features,
     frame_sample,
@@ -19,7 +24,21 @@ from xhtml_parser_spark.operators.multimodal import (
 )
 
 
+def _png_arr(w: int, h: int) -> np.ndarray:
+    """Deterministic RGB gradient."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.dstack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256]).astype(
+        np.uint8
+    )
+
+
 def _png(w: int, h: int) -> bytes:
+    return encode_png(_png_arr(w, h), filters=4)
+
+
+def _png_header_only(w: int, h: int) -> bytes:
+    """A sniffable-but-undecodable PNG (real jobs meet truncated
+    crawl payloads constantly)."""
     return b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", w, h) + b"\x00" * 8
 
 
@@ -40,6 +59,7 @@ def media_df(spark):
         (3, "image", _jpeg(1920, 1080), "image/jpeg"),
         (4, "image", b"not an image", "application/octet-stream"),
         (5, "video", make_rawvid([b"f0", b"f1", b"f2", b"f3", b"f4"]), "video/x-raw"),
+        (6, "image", _png_header_only(32, 32), "image/png"),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -99,7 +119,7 @@ def test_image_meta(spark, media_df):
     assert got[4]["valid"] == "unknown-format"
 
 
-def test_resize_image_stub(spark, media_df):
+def test_resize_image(spark, media_df):
     from xhtml_parser_spark.operators.multimodal import resize_image
 
     got = {r["media_id"]: r for r in resize_image(media_df, 8, 4).collect()}
@@ -108,8 +128,19 @@ def test_resize_image_stub(spark, media_df):
         "png", 8, 4, "ok",
     )
     p = bytes(png["payload"])
-    assert p.startswith(b"RAWIMG01")
-    assert len(p) == 8 + 8 + 8 * 4  # magic + dims + w*h sampled bytes
+    # REAL pixel path: RAWIMG02 carrying the nearest-neighbor resample
+    # of the actual decoded gradient
+    assert p.startswith(b"RAWIMG02")
+    w, h, c = struct.unpack("<IIB", p[8:17])
+    assert (w, h, c) == (8, 4, 3)
+    src = _png_arr(640, 480)
+    ys = (np.arange(4, dtype=np.int64) * 480) // 4
+    xs = (np.arange(8, dtype=np.int64) * 640) // 8
+    expect = src[ys][:, xs]
+    assert p[17:] == expect.tobytes()
+    # JPEG keeps the documented stub container
+    jpg = got[3]
+    assert jpg["valid"] == "ok" and bytes(jpg["payload"]).startswith(b"RAWIMG01")
     # deterministic across runs
     again = {r["media_id"]: bytes(r["payload"])
              for r in resize_image(media_df, 8, 4).collect()
@@ -117,6 +148,44 @@ def test_resize_image_stub(spark, media_df):
     assert again[1] == p
     # non-image payloads pass through skipped with NULL payload
     assert got[4]["valid"] == "skipped" and got[4]["payload"] is None
+    # sniffable-but-undecodable PNG is flagged, not crashed on
+    assert got[6]["valid"] == "decode-error" and got[6]["payload"] is None
+
+
+def test_decode_image_real_png_pixels(spark, media_df):
+    got = {r["media_id"]: r for r in decode_image(media_df).collect()}
+    png = got[1]
+    assert (png["format"], png["width"], png["height"], png["channels"],
+            png["bit_depth"], png["valid"]) == ("png", 640, 480, 3, 8, "ok")
+    assert bytes(png["pixels"]) == _png_arr(640, 480).tobytes()
+    assert got[2]["valid"] == "stub-codec" and got[2]["pixels"] is None
+    assert got[3]["valid"] == "stub-codec" and got[3]["pixels"] is None
+    assert got[4]["valid"] == "unknown-format"
+    assert got[6]["valid"] == "decode-error" and got[6]["pixels"] is None
+
+
+def test_decode_image_every_filter_and_palette(spark):
+    """Operator-level (through Arrow batches): one PNG per filter type
+    plus a 16-bit RGBA -- pixels must come back byte-exact."""
+    rng = np.random.RandomState(3)
+    arrs = {
+        f: rng.randint(0, 256, size=(9, 5, 4)).astype(np.uint8)
+        for f in range(5)
+    }
+    rows = [
+        (f, "image", encode_png(arrs[f], filters=f), "image/png")
+        for f in range(5)
+    ]
+    a16 = rng.randint(0, 65536, size=(4, 3, 2)).astype(np.uint16)
+    rows.append((16, "image", encode_png(a16, filters=3), "image/png"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image(df).collect()}
+    for f in range(5):
+        assert got[f]["valid"] == "ok", f
+        assert bytes(got[f]["pixels"]) == arrs[f].tobytes(), f
+    r16 = got[16]
+    assert (r16["bit_depth"], r16["channels"]) == (16, 2)
+    assert bytes(r16["pixels"]) == a16.astype(">u2").tobytes()
 
 
 def test_features_deterministic(spark, media_df):

@@ -3,9 +3,13 @@
 Media rides as opaque ``binary`` columns with typed metadata structs --
 the same posture as the ``html: binary`` pages column. All Spark-side
 plumbing (schemas, Arrow batch shapes, partition sizing) is real and
-tested; the actual codec work is stubbed because no image/audio
-libraries exist in this container:
+tested. PNG decode is REAL end-to-end (pure-stdlib zlib + NumPy
+unfilter, kernel/png.py); the remaining codec work is stubbed because
+no image/audio libraries exist in this container:
 
+  * ``decode_image`` decodes real PNG payloads to exact pixel arrays
+    (all 5 filters, depths 1-16, palette/tRNS); JPEG/GIF pixels remain
+    the documented stub (``valid='stub-codec'``, header dims only).
   * ``decode_image_meta`` parses real magic bytes + container headers
     (PNG/JPEG/GIF dimensions) with pure byte arithmetic -- no library
     needed, genuinely functional.
@@ -112,6 +116,73 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     )
 
 
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        # C-order array bytes: uint8 for depths <= 8, big-endian uint16
+        # for depth 16 -- byte-deterministic across platforms
+        StructField("pixels", BinaryType()),
+        StructField("valid", StringType()),
+    ]
+)
+
+
+def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..kernel.png import PngError, decode_png
+
+    for pdf in batches:
+        out = {k.name: [] for k in DECODED_IMAGE_SCHEMA.fields}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            fmt, w, h, valid = _sniff_image(b)
+            ch = depth = 0
+            pixels = None
+            if fmt == "png":
+                try:
+                    arr, meta = decode_png(b)
+                    w, h = meta["width"], meta["height"]
+                    ch, depth = meta["channels"], meta["bit_depth"]
+                    pixels = (
+                        arr.astype(">u2").tobytes()
+                        if arr.dtype == np.uint16
+                        else arr.tobytes()
+                    )
+                    valid = "ok"
+                except PngError:
+                    valid = "decode-error"
+            elif valid == "ok":
+                # JPEG/GIF pixel paths are the documented stub: header
+                # dims are real, pixel decode needs a codec lib
+                valid = "stub-codec"
+            out["media_id"].append(int(mid))
+            out["format"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["bit_depth"].append(depth)
+            out["pixels"].append(pixels)
+            out["valid"].append(valid)
+        yield pd.DataFrame(out)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) -> decoded pixels. PNG is decoded
+    for REAL (kernel/png.py: zlib inflate + NumPy unfilter, all 5
+    filters, depths 1-16, palette/tRNS -> RGB(A)); JPEG/GIF stay
+    header-only stubs (valid='stub-codec', NULL pixels) pending a codec
+    lib. Map-side Arrow pass, one row per media item."""
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_image_batches, DECODED_IMAGE_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -124,10 +195,13 @@ RESIZED_SCHEMA = StructType(
 )
 
 _RAWIMG_MAGIC = b"RAWIMG01"
+_RAWIMG2_MAGIC = b"RAWIMG02"
 
 
 def _resize_batches(width: int, height: int):
     import numpy as np
+
+    from ..kernel.png import PngError, decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,14 +213,37 @@ def _resize_batches(width: int, height: int):
                 out["format"].append(fmt)
                 out["width"].append(width)
                 out["height"].append(height)
+                if fmt == "png":
+                    # REAL path: decode actual pixels (kernel/png.py),
+                    # nearest-neighbor resample, emit a RAWIMG02
+                    # container (magic + w/h/channels + uint8 pixels;
+                    # 16-bit samples take their high byte)
+                    try:
+                        arr, _meta = decode_png(b)
+                    except PngError:
+                        out["valid"].append("decode-error")
+                        out["payload"].append(None)
+                        continue
+                    if arr.dtype == np.uint16:
+                        arr = (arr >> 8).astype(np.uint8)
+                    ys = (np.arange(height, dtype=np.int64) * arr.shape[0]) // height
+                    xs = (np.arange(width, dtype=np.int64) * arr.shape[1]) // width
+                    small = arr[ys][:, xs]
+                    out["valid"].append("ok")
+                    out["payload"].append(
+                        _RAWIMG2_MAGIC
+                        + struct.pack("<IIB", width, height, small.shape[2])
+                        + small.tobytes()
+                    )
+                    continue
                 out["valid"].append(valid if valid == "ok" else "skipped")
                 if valid != "ok":
                     out["payload"].append(None)
                     continue
-                # STUB RESIZER (no codec libs in this container): emit a
-                # deterministic RAWIMG01 container -- magic, dims, then
-                # width*height bytes nearest-neighbor-sampled from the
-                # source payload body. A real decoder+resampler (PIL /
+                # STUB RESIZER for the codec-less formats (JPEG/GIF):
+                # emit a deterministic RAWIMG01 container -- magic, dims,
+                # then width*height bytes nearest-neighbor-sampled from
+                # the source payload body. A real decoder (libjpeg /
                 # libvips) slots in here unchanged: same signature, same
                 # Arrow batch shape, same output schema.
                 body = np.frombuffer(b, dtype=np.uint8)
@@ -164,10 +261,12 @@ def _resize_batches(width: int, height: int):
 
 
 def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Deterministic stand-in resize per media item: header math is
-    real (format sniff, dims), the pixel path is the documented stub
-    (see _resize_batches). Map-side Arrow pass; non-image payloads pass
-    through with valid='skipped' and a NULL payload."""
+    """Per-item resize, map-side Arrow pass. PNG payloads take the REAL
+    pixel path: decode (kernel/png.py) + nearest-neighbor resample ->
+    RAWIMG02(w, h, channels, uint8 pixels); undecodable PNGs come back
+    valid='decode-error'. JPEG/GIF keep the documented RAWIMG01 stub
+    (header dims real, pixel bytes a deterministic stand-in); non-image
+    payloads pass through valid='skipped' with a NULL payload."""
     return media.select("media_id", "payload").mapInPandas(
         _resize_batches(width, height), RESIZED_SCHEMA
     )
