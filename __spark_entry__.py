@@ -228,21 +228,14 @@ def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XPath-lite node location over the exploded DOM, relational form
-    (child steps = equi-joins, '//' = descendant-range join, '[k]' =
-    per-context row_number, '[@k=v]' = first-wins attr semi-join). One
-    <div class="even|odd"><p>line</p></div> per text line (parity of
-    the line index), so the oracle predicts the descendant count, the
-    positional hit, and the attribute-predicate count exactly."""
-    _ensure_pkg(spark)
+def _divline_html() -> "F.Column":
+    """One <div class="even|odd"><p>line</p></div> per text line
+    (parity of the line index) -- the synthesis whose path-query
+    outcomes the xpath oracles predict analytically from line counts."""
     from xhtml_parser_spark.functions.escaping import esc
-    from xhtml_parser_spark.operators import parse_attrs, parse_nodes
-    from xhtml_parser_spark.operators.xpath import xpath_nodes
 
-    docs = _docs(spark, sf_dir)
     lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
-    html = F.concat(
+    return F.concat(
         F.lit("<html><body>"),
         F.array_join(
             F.transform(
@@ -259,7 +252,21 @@ def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("</body></html>"),
     )
-    pages = _pages_from_docs(docs, html)
+
+
+def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath-lite node location over the exploded DOM, relational form
+    (child steps = equi-joins, '//' = descendant-range join, '[k]' =
+    per-context row_number, '[@k=v]' = first-wins attr semi-join). One
+    <div class="even|odd"><p>line</p></div> per text line (parity of
+    the line index), so the oracle predicts the descendant count, the
+    positional hit, and the attribute-predicate count exactly."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators import parse_attrs, parse_nodes
+    from xhtml_parser_spark.operators.xpath import xpath_nodes
+
+    docs = _docs(spark, sf_dir)
+    pages = _pages_from_docs(docs, _divline_html())
     # persisted because three path queries consume it; the cache stays
     # live behind the returned DataFrame (same contract as the lsh/ann
     # signature caches) -- sessions issuing this repeatedly should
@@ -291,6 +298,30 @@ def q_xpath_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_even_p", F.lit(0)).cast("bigint").alias("n_even_p"),
         )
     )
+
+
+def q_xpath_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-pack XPath: the three xpath_lite paths run through
+    xpath_nodes_multi over ONE persisted nodes/attrs scan (the corpus
+    parses once for the whole pack -- tests/test_plans.py asserts the
+    InMemoryTableScan sharing). Output one (doc_id, path, n) row per
+    matched path; the oracle predicts every count from the line count:
+    html//p matches every line's <p>, the positional path matches only
+    docs with >= 2 lines, the class predicate matches the even lines."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators import parse_attrs, parse_nodes
+    from xhtml_parser_spark.operators.xpath import xpath_nodes_multi
+
+    docs = _docs(spark, sf_dir)
+    pages = _pages_from_docs(docs, _divline_html())
+    out = xpath_nodes_multi(
+        parse_nodes(pages),
+        ["html//p", "html/body/div[2]/p", "html/body/div[@class='even']/p"],
+        parse_attrs(pages),
+    )
+    return out.groupBy(
+        F.col("url").cast("bigint").alias("doc_id"), "path"
+    ).agg(F.count("*").cast("bigint").alias("n"))
 
 
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +775,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-10 LSH neighbors for a 100-id query TABLE
+    (vec_id % 5 == 0) in one pass -- signature scan once, multi-probe
+    (m=1) candidate lookup as one equi-join, per-query top-k as one
+    window. Integer dot + rank, fully oracle-replayed."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import ann_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    return ann_topk_batch(emb, queries, k=10, multi_probe=1)
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline
     (cos >= 7/20); integer dot output for cross-engine identity."""
@@ -963,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_spans": q_xhtml_spans,
         "xhtml_attrs": q_xhtml_attrs,
         "xpath_lite": q_xpath_lite,
+        "xpath_multi": q_xpath_multi,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
@@ -989,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_topk_batch": q_ann_topk_batch,
         "ivf_topk": q_ivf_topk,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
@@ -1238,6 +1284,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT)
                        AS n_div2_p,
                    CAST((n + 1) // 2 AS BIGINT) AS n_even_p
+            FROM l
+        """,
+        # rule-pack counts replayed from the line count n: every line
+        # emits a <p> (html//p); only docs with a 2nd div match the
+        # positional path; even-indexed lines (ceil(n/2) of them) carry
+        # class="even"
+        "xpath_multi": """
+            WITH l AS (
+              SELECT doc_id,
+                     len(string_split(coalesce(text, ''), chr(10))) AS n
+              FROM documents
+            )
+            SELECT doc_id, 'html//p' AS path, CAST(n AS BIGINT) AS n FROM l
+            UNION ALL
+            SELECT doc_id, 'html/body/div[2]/p', CAST(1 AS BIGINT)
+            FROM l WHERE n >= 2
+            UNION ALL
+            SELECT doc_id, 'html/body/div[@class=''even'']/p',
+                   CAST((n + 1) // 2 AS BIGINT)
             FROM l
         """,
         "pdf_roundtrip": """
@@ -1787,6 +1852,42 @@ FROM d
             JOIN probes p ON asg.cell = p.cell, qv
             WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        # batch replay: probe masks = {0} u single bits (m=1); the
+        # equi-join of corpus buckets x (query, xor-probe) pairs is
+        # exactly the operator's candidate set
+        "ann_topk_batch": _BUCKET_CTE + """
+            , qids AS (SELECT vec_id AS qid, bucket AS qbucket
+                       FROM bk WHERE vec_id % 5 = 0),
+            masks AS (
+              SELECT CAST(0 AS BIGINT) AS mask
+              UNION ALL
+              SELECT CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+              FROM range(8) t(b)
+            ),
+            probes AS (
+              SELECT qid, xor(qbucket, mask) AS bucket
+              FROM qids CROSS JOIN masks
+            ),
+            cand AS (
+              SELECT p.qid, bk.vec_id
+              FROM bk JOIN probes p USING (bucket)
+              WHERE bk.vec_id <> p.qid
+            ),
+            qv AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id % 5 = 0),
+            scored AS (
+              SELECT c.qid, c.vec_id,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * qv.qq[i])) AS BIGINT) AS dot
+              FROM cand c JOIN e ON c.vec_id = e.vec_id
+                          JOIN qv ON c.qid = qv.qid
+            )
+            SELECT qid, vec_id, dot, CAST(rn AS INTEGER) AS rank FROM (
+              SELECT qid, vec_id, dot,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
         """,
         "ann_lsh_topk": _BUCKET_CTE + """
             , qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),

@@ -32,6 +32,17 @@ def _storage_entries(spark) -> int:
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
+@pytest.fixture(autouse=True)
+def _clean_storage(spark):
+    """These tests measure storage deltas; start each from a clean
+    slate so another module's leftover cache (shared session) cannot
+    skew the baseline."""
+    spark.catalog.clearCache()
+    for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray():
+        spark.sparkContext._jsc.getPersistentRDDs().get(k).unpersist(True)
+    yield
+
+
 @pytest.fixture()
 def docs(spark):
     return spark.range(200).select(

@@ -341,3 +341,51 @@ def test_quantization_half_away_from_zero_matches_sql(spark):
         "AS BIGINT) x"
     ).fetchone()[0]
     assert v == 63
+
+
+def test_ann_topk_batch_matches_single_calls(spark, clustered_emb):
+    """The batch operator's per-query result must equal the single-query
+    ann_lsh_topk at the same multi_probe (same candidate ball, same
+    deterministic ordering), and its caches must release cleanly."""
+    from xhtml_parser_spark.caching import released_after
+    from xhtml_parser_spark.operators.similarity import ann_topk_batch
+
+    qids = [0, 3, 15]
+    queries = spark.createDataFrame([(q,) for q in qids], "vec_id long")
+    # baseline-relative: the session is shared across test modules
+    storage_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with released_after(
+        ann_topk_batch(clustered_emb, queries, k=5, multi_probe=1)
+    ) as batch:
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["qid"], []).append(
+                (r["rank"], r["vec_id"], r["dot"])
+            )
+    assert (
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        == storage_before
+    )
+    for q in qids:
+        single = [
+            (i + 1, r["vec_id"], r["dot"])
+            for i, r in enumerate(
+                ann_lsh_topk(
+                    clustered_emb, query_vec_id=q, k=5, multi_probe=1,
+                    persist_buckets=False,
+                ).collect()
+            )
+        ]
+        assert sorted(got.get(q, [])) == sorted(single), q
+
+
+def test_ann_topk_batch_null_query_embedding(spark):
+    from xhtml_parser_spark.operators.similarity import ann_topk_batch
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(0,), (2,)], "vec_id long")
+    rows = ann_topk_batch(emb, queries, k=3, persist_buckets=False).collect()
+    assert {r["qid"] for r in rows} == {0}  # null-embedding query -> no rows

@@ -156,6 +156,9 @@ def test_xpath_nodes_multi_equals_per_path_runs(spark):
     df = spark.createDataFrame(rows, PAGES_SCHEMA)
     nodes, attrs = parse_nodes(df), parse_attrs(df)
     paths = ["html//p", "html/body/div[2]/p", "//div[@class='a']/p", "//a"]
+    # baseline-relative: the session is shared across test modules, so
+    # another module's live cache must not fail the release assertion
+    storage_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     with released_after(xpath_nodes_multi(nodes, paths, attrs)) as multi:
         assert live_persists(multi), "shared caches must be attached"
         got = {
@@ -168,7 +171,8 @@ def test_xpath_nodes_multi_equals_per_path_runs(spark):
             want.add((p, r["url"], r["node_id"]))
     assert got == want
     assert (
-        len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        == storage_before
     ), "caches must be released"
 
 

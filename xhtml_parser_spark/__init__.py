@@ -39,6 +39,7 @@ _LAZY = {
     "lsh_candidate_pairs": ("xhtml_parser_spark.operators.dedup", "lsh_candidate_pairs"),
     "simhash64": ("xhtml_parser_spark.operators.dedup", "simhash64"),
     "simhash_pairs": ("xhtml_parser_spark.operators.dedup", "simhash_pairs"),
+    "ann_topk_batch": ("xhtml_parser_spark.operators.similarity", "ann_topk_batch"),
     "extract_links": ("xhtml_parser_spark.operators.links", "extract_links"),
     "host_link_graph": ("xhtml_parser_spark.operators.links", "host_link_graph"),
     "pagerank": ("xhtml_parser_spark.operators.links", "pagerank"),

@@ -530,3 +530,85 @@ def ann_lsh_topk(
 
         out = attach_persists(out, buckets)
     return out
+
+
+def ann_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: int = 0,
+    persist_buckets: bool = True,
+) -> DataFrame:
+    """Top-k LSH-bucketed neighbors for EVERY id in a query TABLE, in
+    one relational pass. Output (qid, id_col, dot, rank) with rank
+    1..k per query (dot desc, id asc -- integer-deterministic, full
+    SQL oracle).
+
+    Real similarity workloads score a query table, not one id:
+    calling ann_lsh_topk N times builds the bucket table N times and
+    pays N corpus scans. Here the signature pass runs ONCE, and the
+    candidate lookup is one EQUI-join of corpus buckets against the
+    (query x probe) table -- multi-probe buckets are enumerated
+    driver-side as all XOR masks with popcount <= multi_probe over
+    n_bits bits (sum of C(n_bits, i), e.g. 9 masks at n_bits=8 m=1),
+    which turns the single-query form's Hamming-ball theta-filter
+    into a plain shuffle/broadcast-able equi-join. Per-query top-k is
+    one window over qid; per-query candidate counts are bounded by
+    bucket sizes, so no hot key outlives its bucket.
+
+    Queries whose embedding is NULL (no bucket row) contribute no
+    output rows. The bucket cache handle is attached; release with
+    ``caching.released_after(df)``.
+    """
+    from itertools import combinations
+
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    masks = [0]
+    for m in range(1, multi_probe + 1):
+        for bits in combinations(range(n_bits), m):
+            masks.append(sum(1 << b for b in bits))
+
+    buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
+    if persist_buckets:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    q = queries.select(F.col(id_col).alias("qid")).distinct()
+    qb = buckets.join(q, F.col(id_col) == F.col("qid")).select("qid", "bucket")
+    probes = qb.select(
+        "qid",
+        F.explode(
+            F.array(*[F.lit(int(m)).cast("long") for m in masks])
+        ).alias("mask"),
+        "bucket",
+    ).select("qid", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"))
+    cand = (
+        buckets.join(probes, "bucket")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+    )
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("qv")
+    )
+    qe = e.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
+        F.col(id_col).alias("qid"), F.col("qv").alias("qq")
+    )
+    scored = (
+        cand.join(e, id_col)
+        .join(qe, "qid")
+        .select("qid", id_col, dot_q(F.col("qv"), F.col("qq")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col(id_col))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "dot", F.col("rank").cast("int").alias("rank"))
+    )
+    if persist_buckets:
+        from ..caching import attach_persists
+
+        out = attach_persists(out, buckets)
+    return out
