@@ -156,11 +156,21 @@ def main() -> None:
         open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
 
     from xhtml_parser_spark.operators import parse_pages as _pp
-    from xhtml_parser_spark.sources.warc import read_warc
+    from xhtml_parser_spark.sources.warc import read_parsed_warc, read_warc
 
+    # primary warc number = the FUSED scan+parse datasource (round-3:
+    # gzip decode + framing + parse inside the task, html never crosses
+    # the JVM -- the production crawl-ingest path); the two-step
+    # read_warc -> parse_pages walk stays as _unfused for r02 continuity
+    warc_fused = read_parsed_warc(spark, warc_dir, num_partitions=4 * CPUS)
     warc_pages = read_warc(spark, warc_dir, num_partitions=4 * CPUS)
 
     def run_warc() -> float:
+        t0 = time.monotonic()
+        warc_fused.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    def run_warc_unfused() -> float:
         t0 = time.monotonic()
         _pp(warc_pages).write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
@@ -171,6 +181,10 @@ def main() -> None:
     warc_times = [run_warc() for _ in range(repeats)]
     spread["parse_pipeline_warc_source"] = [round(t, 3) for t in warc_times]
     warc_sec = min(warc_times)
+    run_warc_unfused()
+    warc_unfused_times = [run_warc_unfused() for _ in range(repeats)]
+    spread["parse_pipeline_warc_unfused"] = [round(t, 3) for t in warc_unfused_times]
+    warc_unfused_sec = min(warc_unfused_times)
 
     best_sec = min(parse_sec, ds_sec)
     docs_per_sec = n_docs / best_sec
@@ -182,6 +196,7 @@ def main() -> None:
         "parse_pipeline_datasource": round(ds_sec, 3),
         "parse_pipeline_fused_sink": round(fused_sec, 3),
         "parse_pipeline_warc_source": round(warc_sec, 3),
+        "parse_pipeline_warc_unfused": round(warc_unfused_sec, 3),
     }
     # the registry IS the coverage list: every registered query gets a
     # wall (a hand-kept literal list silently drops the next addition).

