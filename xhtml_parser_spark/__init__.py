@@ -76,6 +76,12 @@ _LAZY = {
     "read_lineage": ("xhtml_parser_spark.plans.extract_job", "read_lineage"),
     "read_parsed": ("xhtml_parser_spark.sources.parse_datasource", "read_parsed"),
     "read_warc": ("xhtml_parser_spark.sources.warc", "read_warc"),
+    "read_parsed_warc": ("xhtml_parser_spark.sources.warc", "read_parsed_warc"),
+    "decode_png": ("xhtml_parser_spark.kernel.png", "decode_png"),
+    "encode_png": ("xhtml_parser_spark.kernel.png", "encode_png"),
+    "decode_image": ("xhtml_parser_spark.operators.multimodal", "decode_image"),
+    "released_after": ("xhtml_parser_spark.caching", "released_after"),
+    "cache_scope": ("xhtml_parser_spark.caching", "cache_scope"),
     "wat_metadata": ("xhtml_parser_spark.sources.warc", "wat_metadata"),
     "write_wat_shards": ("xhtml_parser_spark.sources.warc", "write_wat_shards"),
     "SnapshotTable": ("xhtml_parser_spark.sources.table", "SnapshotTable"),
