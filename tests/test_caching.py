@@ -83,7 +83,9 @@ def test_released_after_context(spark, docs):
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
     baseline = _cached_rdd_ids(spark)
-    with released_after(lsh_candidate_pairs(docs, n_hashes=2)) as pairs:
+    with released_after(
+        lsh_candidate_pairs(docs, n_hashes=2), blocking=True
+    ) as pairs:
         pairs.count()
         assert live_persists(pairs), "lsh must attach its signature cache"
         assert _cached_rdd_ids(spark) - baseline, "cache must be live inside"
@@ -148,7 +150,7 @@ def test_operators_attach_their_persists(spark, docs, opname):
     }
     assert _storage_entries(spark) == 0, "dirty storage before test"
     baseline = _cached_rdd_ids(spark)
-    with released_after(builders[opname]()) as out:
+    with released_after(builders[opname](), blocking=True) as out:
         assert live_persists(out), f"{opname} did not attach its persists"
         out.count()
     assert _cached_rdd_ids(spark) == baseline

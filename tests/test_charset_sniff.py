@@ -257,3 +257,23 @@ def test_sniff_replica_differential(spark):
         b'<meta charset="utf 8">',              # invalid label chars
     ]
     assert _sniff(spark, cases) == [replica(c) for c in cases]
+
+
+def test_pragma_requires_content_type_http_equiv(spark):
+    """got-pragma: charset= inside a meta VALUE counts only when the
+    tag's http-equiv is content-type -- an http-equiv=refresh redirect
+    URL mentioning charset= must not hijack the sniff."""
+    got = _sniff(spark, [
+        b'<meta http-equiv=refresh content="0;url=/p?charset=big5">',
+        b'<meta http-equiv="content-type" content="text/html; charset=big5">',
+        b"<meta http-equiv=content-type content='text/html; charset=koi8-r'>",
+        # refresh hijack attempt followed by a real charset meta
+        b'<meta http-equiv=refresh content="0;url=?charset=big5">'
+        b'<meta charset=utf-8>',
+    ])
+    assert got == [
+        ("windows-1252", "default", ""),
+        ("big5", "meta", "big5"),
+        ("koi8-r", "meta", "koi8-r"),
+        ("utf-8", "meta", "utf-8"),
+    ]

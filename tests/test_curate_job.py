@@ -139,3 +139,15 @@ def test_run_curation_refuses_changed_input(spark, tmp_path):
     run_curation(spark, a, out, "r1", max_stages=1)
     with pytest.raises(ValueError, match="params"):
         run_curation(spark, b, out, "r2")
+
+
+def test_input_digest_distinguishes_object_store_paths():
+    """Non-local paths (os.stat raises) must still produce DISTINCT
+    digests per path -- a shared constant would let a resume against a
+    completely different s3:// input slip past the changed-input guard."""
+    from xhtml_parser_spark.plans.curate_job import _input_digest
+
+    a = _input_digest("s3://bucket-a/corpus")
+    b = _input_digest("s3://bucket-b/corpus")
+    assert a != b
+    assert _input_digest("s3://bucket-a/corpus") == a  # stable

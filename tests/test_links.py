@@ -190,3 +190,37 @@ def test_pagerank_matches_integer_replica(spark):
         r = {n: tel + (85 * c[n]) // 100 for n in nodes}
     assert got == r
     assert got["d"] == tel  # no inbound links -> teleport mass only
+
+
+def test_extract_links_survives_non_utf8_bytes(spark):
+    """A legacy-encoded page (shift_jis anchor text, valid-ASCII href)
+    must yield NULL anchor_text -- not abort the job (Spark 4 ANSI
+    decode raises on malformed bytes); a non-UTF-8 href nulls the href
+    AND its derived link columns."""
+    import datetime
+
+    from xhtml_parser_spark.operators.links import extract_links
+    from xhtml_parser_spark.sources import PAGES_SCHEMA
+
+    sj = "日本語".encode("shift_jis")
+    ts = datetime.datetime(2025, 8, 8)
+    rows = [
+        ("http://l.test/sj", ts,
+         b'<html><body><a href="/next">' + sj + b"</a></body></html>",
+         None, "ja"),
+        ("http://l.test/badhref", ts,
+         b'<html><body><a href="/x' + sj + b'">ok text</a></body></html>',
+         None, "ja"),
+        ("http://l.test/clean", ts,
+         b'<html><body><a href="/ok">fine</a></body></html>', None, "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r for r in extract_links(df).collect()}
+    r1 = got["http://l.test/sj"]
+    assert r1["href"] == "/next" and r1["anchor_text"] is None
+    assert r1["link_url"] == "http://l.test/next"
+    r2 = got["http://l.test/badhref"]
+    assert r2["href"] is None and r2["anchor_text"] == "ok text"
+    assert r2["link_url"] is None and r2["link_host"] is None
+    r3 = got["http://l.test/clean"]
+    assert r3["href"] == "/ok" and r3["anchor_text"] == "fine"

@@ -146,3 +146,26 @@ def test_robots_filter_query_only_and_scheme_edge_urls(spark):
         "HTTP2+x://a.com/p": 0,
         "https://A.COM/p": 0,
     }
+
+
+def test_robots_rules_match_path_plus_query(spark):
+    """RFC 9309 matches path+query: 'Disallow: /search?' must block
+    query-carrying search urls and leave plain /search alone."""
+    bodies = [("q.com", "User-agent: *\nDisallow: /search?\nDisallow: /p\n")]
+    rules = _rules(spark, bodies)
+    urls = spark.createDataFrame(
+        [
+            ("https://q.com/search?q=x",),    # blocked by /search?
+            ("https://q.com/search",),        # NOT blocked (prefix needs '?')
+            ("https://q.com/p?id=1#frag",),   # query kept, fragment stripped
+            ("https://q.com/other",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://q.com/search?q=x": 0,
+        "https://q.com/search": 1,
+        "https://q.com/p?id=1#frag": 0,
+        "https://q.com/other": 1,
+    }

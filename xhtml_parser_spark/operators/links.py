@@ -227,21 +227,46 @@ def extract_links(pages: DataFrame) -> DataFrame:
     def _utf8_or_null(col):
         return F.when(F.is_valid_utf8(col), F.decode(col, "UTF-8"))
 
-    href = _utf8_or_null(F.col("href"))
-    resolved = resolve_url(F.col("url"), href)
-    normalized = normalize_url(resolved)
+    # STAGED projections, deliberately: resolve_url/normalize_url
+    # reference their input many times, and the DSL expands column
+    # expressions by substitution -- inlining the guarded decode (and
+    # then the normalized url) would duplicate the is_valid_utf8+CASE
+    # subtree once per reference, compounding to a ~3.5x slower plan
+    # (measured). Each stage aliases the value once; CollapseProject
+    # keeps multi-referenced non-trivial aliases in their own Project,
+    # so every derived value is computed once per row.
+    decoded = raw.select(
+        "url",
+        "node_id",
+        "tag",
+        _utf8_or_null(F.col("href")).alias("href"),
+        _utf8_or_null(F.col("text")).alias("anchor_text"),
+    )
     # host from the NORMALIZED url so default ports are stripped and
     # the host matches the link_url's authority exactly.  resolve_url
     # coalesces a null href to "" (= the base document), so the derived
     # link columns are explicitly nulled when the href didn't decode.
-    return raw.select(
+    with_url = decoded.select(
         "url",
         "node_id",
         "tag",
-        href.alias("href"),
-        _utf8_or_null(F.col("text")).alias("anchor_text"),
-        F.when(href.isNotNull(), normalized).alias("link_url"),
-        F.when(href.isNotNull(), url_host(normalized)).alias("link_host"),
+        "href",
+        "anchor_text",
+        F.when(
+            F.col("href").isNotNull(),
+            normalize_url(resolve_url(F.col("url"), F.col("href"))),
+        ).alias("link_url"),
+    )
+    return with_url.select(
+        "url",
+        "node_id",
+        "tag",
+        "href",
+        "anchor_text",
+        "link_url",
+        F.when(
+            F.col("href").isNotNull(), url_host(F.col("link_url"))
+        ).alias("link_host"),
     )
 
 

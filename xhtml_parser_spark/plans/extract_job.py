@@ -239,9 +239,7 @@ def run_extract(
         # archive exactly once per job; membership is a function of the
         # listing, so manifests record its digest and resume verifies
         # it (same rule as fused).
-        from ..sources.warc import (
-            list_warc_files, read_warc_files, warc_listing_digest,
-        )
+        from ..sources.warc import list_warc_files, warc_listing_digest
 
         warc_files = list_warc_files(input_path)
         input_digest = warc_listing_digest(input_path)
@@ -269,14 +267,23 @@ def run_extract(
         if warc_files is not None:
             group = warc_files[k::n_slices]
             if group:
-                # group files into at most `partitions` scan tasks:
+                # FUSED slice read (round 3): gzip-decode + frame +
+                # PARSE inside the scan task, so the layout shuffle
+                # below moves the parsed rows -- not the raw html,
+                # which is both larger and would cross Arrow IPC twice
+                # (python datasource out + mapInArrow in). Files are
+                # grouped into at most `partitions` scan tasks:
                 # one-task-per-file serializes ~100-200 ms of python
-                # datasource launch overhead per archive (CLAUDE.md)
-                slice_df = read_warc_files(
+                # datasource launch overhead per archive (CLAUDE.md).
+                from ..sources.warc import read_parsed_warc_files
+
+                slice_df = read_parsed_warc_files(
                     spark, group, num_partitions=partitions
-                ).select("url", "html")
+                )
             else:  # n_slices > file count: commit an empty slice
-                slice_df = spark.createDataFrame([], "url string, html binary")
+                from ..operators.parse import PARSED_SCHEMA
+
+                slice_df = spark.createDataFrame([], PARSED_SCHEMA)
         else:
             slice_df = pages.where(
                 F.pmod(F.xxhash64("url"), F.lit(n_slices)) == k
@@ -293,9 +300,14 @@ def run_extract(
             )
         else:
             sliced = slice_df.repartition(partitions, F.xxhash64("url"))
-        parsed = parse_pages(sliced).withColumn(
-            "partition_id", F.spark_partition_id()
-        )
+        if warc_files is not None:
+            parsed = sliced.withColumn(
+                "partition_id", F.spark_partition_id()
+            )
+        else:
+            parsed = parse_pages(sliced).withColumn(
+                "partition_id", F.spark_partition_id()
+            )
         meta = {
             "fused": False, "n_slices": n_slices,
             "input_format": input_format,

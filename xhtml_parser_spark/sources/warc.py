@@ -785,3 +785,19 @@ def read_parsed_warc(spark, path: str, num_partitions: int | None = None):
     if num_partitions:
         reader = reader.option("num_partitions", str(num_partitions))
     return reader.load(path)
+
+
+def read_parsed_warc_files(
+    spark, files: list[str], num_partitions: int | None = None
+):
+    """Explicit file-list variant of read_parsed_warc -- the slice
+    reader for run_extract's warc path: each slice gzip-decodes AND
+    parses only its own file group in-task, so the (much smaller)
+    parsed rows are what the layout shuffle moves, not the raw html."""
+    spark.dataSource.register(ParsedWarcDataSource)
+    reader = spark.read.format("xps_parsed_warc").option(
+        "files", "\n".join(files)
+    )
+    if num_partitions:
+        reader = reader.option("num_partitions", str(num_partitions))
+    return reader.load()
