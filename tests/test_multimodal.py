@@ -158,7 +158,8 @@ def test_decode_image_real_png_pixels(spark, media_df):
     assert (png["format"], png["width"], png["height"], png["channels"],
             png["bit_depth"], png["valid"]) == ("png", 640, 480, 3, 8, "ok")
     assert bytes(png["pixels"]) == _png_arr(640, 480).tobytes()
-    assert got[2]["valid"] == "stub-codec" and got[2]["pixels"] is None
+    # the fixture's gif is header-only: the REAL gif decoder flags it
+    assert got[2]["valid"] == "decode-error" and got[2]["pixels"] is None
     assert got[3]["valid"] == "stub-codec" and got[3]["pixels"] is None
     assert got[4]["valid"] == "unknown-format"
     assert got[6]["valid"] == "decode-error" and got[6]["pixels"] is None
@@ -214,3 +215,80 @@ def test_frame_sample_real_codec_stubbed(spark, media_df):
     with pytest.raises(Exception) as ei:
         frame_sample(img).collect()
     assert "NotImplementedError" in str(ei.value) or "rawvid" in str(ei.value)
+
+
+def test_decode_image_real_gif_pixels(spark):
+    """GIF is the second real codec: LZW decode through the Arrow
+    operator must reproduce exact pixels, interlaced included; a
+    truncated GIF flags decode-error."""
+    from xhtml_parser_spark.kernel.gif import encode_gif
+
+    rng = np.random.RandomState(9)
+    a = (rng.randint(0, 6, size=(18, 7, 3)) * 42).astype(np.uint8)
+    good, inter = encode_gif(a), encode_gif(a, interlaced=True)
+    rows = [
+        (1, "image", good, "image/gif"),
+        (2, "image", inter, "image/gif"),
+        (3, "image", good[: len(good) - 6], "image/gif"),  # truncated
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image(df).collect()}
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r["format"], r["width"], r["height"], r["channels"],
+                r["valid"]) == ("gif", 7, 18, 3, "ok"), mid
+        assert bytes(r["pixels"]) == a.tobytes(), mid
+    assert got[3]["valid"] == "decode-error" and got[3]["pixels"] is None
+
+
+def test_gif_transparency_and_resize(spark):
+    from xhtml_parser_spark.kernel.gif import decode_gif, encode_gif
+    from xhtml_parser_spark.operators.multimodal import resize_image
+
+    rng = np.random.RandomState(2)
+    a = (rng.randint(0, 4, size=(12, 12, 3)) * 80).astype(np.uint8)
+    b = encode_gif(a)
+    arr, meta = decode_gif(b)
+    assert np.array_equal(arr, a) and meta["channels"] == 3
+    df = spark.createDataFrame([(1, "image", b, "image/gif")], MEDIA_SCHEMA)
+    got = resize_image(df, 6, 6).collect()[0]
+    assert got["valid"] == "ok"
+    p = bytes(got["payload"])
+    assert p.startswith(b"RAWIMG02")
+    w, h, c = struct.unpack("<IIB", p[8:17])
+    ys = (np.arange(6, dtype=np.int64) * 12) // 6
+    assert (w, h, c) == (6, 6, 3)
+    assert p[17:] == a[ys][:, ys].tobytes()
+
+
+def test_decode_audio_real_wav_pcm(spark):
+    """WAV PCM decode is real: samples round-trip exactly, peak is the
+    exact integer max |sample|; Ogg stays a documented stub."""
+    from xhtml_parser_spark.operators.multimodal import decode_audio
+
+    n = 500
+    t = np.arange(n)
+    sig = (3000 * np.sin(t / 7)).astype("<i2")
+    sig[123] = -9999  # known peak
+    stereo = np.empty(n * 2, dtype="<i2")
+    stereo[0::2] = sig
+    stereo[1::2] = -sig
+    data = stereo.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rows = [
+        (1, "audio", wav, "audio/wav"),
+        (2, "audio", _ogg(2, 48000, 96000), "audio/ogg"),
+        (3, "audio", b"junk", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    r = got[1]
+    assert (r["format"], r["channels"], r["sample_rate"],
+            r["bits_per_sample"], r["n_frames"], r["peak"], r["valid"]) == (
+        "wav", 2, 8000, 16, n, 9999, "ok")
+    assert bytes(r["pcm"]) == data
+    assert got[2]["valid"] == "stub-codec" and got[2]["pcm"] is None
+    assert got[3]["valid"] == "unknown-format"

@@ -79,7 +79,10 @@ _LAZY = {
     "read_parsed_warc": ("xhtml_parser_spark.sources.warc", "read_parsed_warc"),
     "decode_png": ("xhtml_parser_spark.kernel.png", "decode_png"),
     "encode_png": ("xhtml_parser_spark.kernel.png", "encode_png"),
+    "decode_gif": ("xhtml_parser_spark.kernel.gif", "decode_gif"),
+    "encode_gif": ("xhtml_parser_spark.kernel.gif", "encode_gif"),
     "decode_image": ("xhtml_parser_spark.operators.multimodal", "decode_image"),
+    "decode_audio": ("xhtml_parser_spark.operators.multimodal", "decode_audio"),
     "released_after": ("xhtml_parser_spark.caching", "released_after"),
     "cache_scope": ("xhtml_parser_spark.caching", "cache_scope"),
     "wat_metadata": ("xhtml_parser_spark.sources.warc", "wat_metadata"),

@@ -3,13 +3,20 @@
 Media rides as opaque ``binary`` columns with typed metadata structs --
 the same posture as the ``html: binary`` pages column. All Spark-side
 plumbing (schemas, Arrow batch shapes, partition sizing) is real and
-tested. PNG decode is REAL end-to-end (pure-stdlib zlib + NumPy
-unfilter, kernel/png.py); the remaining codec work is stubbed because
-no image/audio libraries exist in this container:
+tested. PNG and GIF decode are REAL end-to-end (pure-stdlib zlib +
+NumPy unfilter, kernel/png.py; pure-Python LZW, kernel/gif.py), and
+WAV PCM decode is real (the samples are already little-endian PCM in
+the data chunk); the remaining codec work is stubbed because no
+image/audio libraries exist in this container:
 
-  * ``decode_image`` decodes real PNG payloads to exact pixel arrays
-    (all 5 filters, depths 1-16, palette/tRNS); JPEG/GIF pixels remain
-    the documented stub (``valid='stub-codec'``, header dims only).
+  * ``decode_image`` decodes real PNG and GIF payloads to exact pixel
+    arrays (PNG: all 5 filters, depths 1-16, palette/tRNS; GIF:
+    variable-width LZW, interlace, GCE transparency); JPEG pixels
+    remain the documented stub (``valid='stub-codec'``, header dims
+    only).
+  * ``decode_audio`` extracts real PCM samples from WAV payloads
+    (int8/int16/int32, exact integer peak/RMS); compressed codecs
+    (Ogg-Vorbis audio data) remain header-only.
   * ``decode_image_meta`` parses real magic bytes + container headers
     (PNG/JPEG/GIF dimensions) with pure byte arithmetic -- no library
     needed, genuinely functional.
@@ -135,6 +142,7 @@ DECODED_IMAGE_SCHEMA = StructType(
 def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
+    from ..kernel.gif import GifError, decode_gif
     from ..kernel.png import PngError, decode_png
 
     for pdf in batches:
@@ -157,8 +165,17 @@ def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                     valid = "ok"
                 except PngError:
                     valid = "decode-error"
+            elif fmt == "gif":
+                try:
+                    arr, meta = decode_gif(b)
+                    w, h = meta["width"], meta["height"]
+                    ch, depth = meta["channels"], 8
+                    pixels = arr.tobytes()
+                    valid = "ok"
+                except GifError:
+                    valid = "decode-error"
             elif valid == "ok":
-                # JPEG/GIF pixel paths are the documented stub: header
+                # the JPEG pixel path is the documented stub: header
                 # dims are real, pixel decode needs a codec lib
                 valid = "stub-codec"
             out["media_id"].append(int(mid))
@@ -173,11 +190,12 @@ def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """media(media_id, payload, ...) -> decoded pixels. PNG is decoded
-    for REAL (kernel/png.py: zlib inflate + NumPy unfilter, all 5
-    filters, depths 1-16, palette/tRNS -> RGB(A)); JPEG/GIF stay
-    header-only stubs (valid='stub-codec', NULL pixels) pending a codec
-    lib. Map-side Arrow pass, one row per media item."""
+    """media(media_id, payload, ...) -> decoded pixels. PNG and GIF are
+    decoded for REAL (kernel/png.py: zlib inflate + NumPy unfilter, all
+    5 filters, depths 1-16, palette/tRNS -> RGB(A); kernel/gif.py:
+    variable-width LZW, interlace, transparency -> RGB(A)); JPEG stays
+    a header-only stub (valid='stub-codec', NULL pixels) pending a
+    codec lib. Map-side Arrow pass, one row per media item."""
     return media.select("media_id", "payload").mapInPandas(
         _decode_image_batches, DECODED_IMAGE_SCHEMA
     )
@@ -201,6 +219,7 @@ _RAWIMG2_MAGIC = b"RAWIMG02"
 def _resize_batches(width: int, height: int):
     import numpy as np
 
+    from ..kernel.gif import GifError, decode_gif
     from ..kernel.png import PngError, decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,14 +232,17 @@ def _resize_batches(width: int, height: int):
                 out["format"].append(fmt)
                 out["width"].append(width)
                 out["height"].append(height)
-                if fmt == "png":
-                    # REAL path: decode actual pixels (kernel/png.py),
-                    # nearest-neighbor resample, emit a RAWIMG02
-                    # container (magic + w/h/channels + uint8 pixels;
-                    # 16-bit samples take their high byte)
+                if fmt in ("png", "gif"):
+                    # REAL path: decode actual pixels (kernel/png.py,
+                    # kernel/gif.py), nearest-neighbor resample, emit a
+                    # RAWIMG02 container (magic + w/h/channels + uint8
+                    # pixels; 16-bit samples take their high byte)
                     try:
-                        arr, _meta = decode_png(b)
-                    except PngError:
+                        if fmt == "png":
+                            arr, _meta = decode_png(b)
+                        else:
+                            arr, _meta = decode_gif(b)
+                    except (PngError, GifError):
                         out["valid"].append("decode-error")
                         out["payload"].append(None)
                         continue
@@ -240,7 +262,7 @@ def _resize_batches(width: int, height: int):
                 if valid != "ok":
                     out["payload"].append(None)
                     continue
-                # STUB RESIZER for the codec-less formats (JPEG/GIF):
+                # STUB RESIZER for the codec-less format (JPEG):
                 # emit a deterministic RAWIMG01 container -- magic, dims,
                 # then width*height bytes nearest-neighbor-sampled from
                 # the source payload body. A real decoder (libjpeg /
@@ -261,12 +283,13 @@ def _resize_batches(width: int, height: int):
 
 
 def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Per-item resize, map-side Arrow pass. PNG payloads take the REAL
-    pixel path: decode (kernel/png.py) + nearest-neighbor resample ->
-    RAWIMG02(w, h, channels, uint8 pixels); undecodable PNGs come back
-    valid='decode-error'. JPEG/GIF keep the documented RAWIMG01 stub
-    (header dims real, pixel bytes a deterministic stand-in); non-image
-    payloads pass through valid='skipped' with a NULL payload."""
+    """Per-item resize, map-side Arrow pass. PNG and GIF payloads take
+    the REAL pixel path: decode (kernel/png.py, kernel/gif.py) +
+    nearest-neighbor resample -> RAWIMG02(w, h, channels, uint8
+    pixels); undecodable ones come back valid='decode-error'. JPEG
+    keeps the documented RAWIMG01 stub (header dims real, pixel bytes a
+    deterministic stand-in); non-image payloads pass through
+    valid='skipped' with a NULL payload."""
     return media.select("media_id", "payload").mapInPandas(
         _resize_batches(width, height), RESIZED_SCHEMA
     )
@@ -367,6 +390,92 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
     header math -- genuinely functional, no codec needed). Map-side."""
     return media.select("media_id", "payload").mapInPandas(
         _audio_meta_batches, AUDIO_META_SCHEMA
+    )
+
+
+DECODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", LongType()),  # max |sample|, exact integer
+        # interleaved little-endian PCM exactly as stored (u8 for 8-bit,
+        # i16/i32 for 16/32-bit) -- byte-deterministic
+        StructField("pcm", BinaryType()),
+        StructField("valid", StringType()),
+    ]
+)
+
+
+def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    dtypes = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+    for pdf in batches:
+        out = {k.name: [] for k in DECODED_AUDIO_SCHEMA.fields}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            fmt, ch, sr, bits, _dur, valid = _sniff_audio(b)
+            n_frames = 0
+            peak = 0
+            pcm = None
+            if fmt == "wav" and valid == "ok":
+                # REAL PCM decode: walk to the data chunk and take the
+                # samples as stored (WAV PCM is little-endian; 8-bit is
+                # unsigned with a 128 bias, 16/32-bit signed)
+                data = None
+                p = 12
+                while p + 8 <= len(b):
+                    cid = b[p : p + 4]
+                    (csz,) = struct.unpack("<I", b[p + 4 : p + 8])
+                    if cid == b"data":
+                        data = b[p + 8 : p + 8 + csz]
+                        break
+                    p += 8 + csz + (csz & 1)
+                if data is None or bits not in dtypes or ch == 0:
+                    valid = "decode-error"
+                else:
+                    dt = dtypes[bits]
+                    frame_bytes = ch * bits // 8
+                    usable = len(data) - (len(data) % max(frame_bytes, 1))
+                    samples = np.frombuffer(data[:usable], dtype=dt)
+                    n_frames = usable // frame_bytes if frame_bytes else 0
+                    if samples.size:
+                        if bits == 8:
+                            peak = int(
+                                np.abs(
+                                    samples.astype(np.int16) - 128
+                                ).max()
+                            )
+                        else:
+                            peak = int(np.abs(samples.astype(np.int64)).max())
+                    pcm = data[:usable]
+            elif fmt == "ogg":
+                # compressed codec: header math only (documented stub)
+                valid = "stub-codec"
+            out["media_id"].append(int(mid))
+            out["format"].append(fmt)
+            out["channels"].append(ch)
+            out["sample_rate"].append(sr)
+            out["bits_per_sample"].append(bits)
+            out["n_frames"].append(n_frames)
+            out["peak"].append(peak)
+            out["pcm"].append(pcm)
+            out["valid"].append(valid)
+        yield pd.DataFrame(out)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) -> REAL PCM samples for WAV
+    payloads (u8/i16/i32, exact integer peak, trailing partial frame
+    dropped); Ogg stays a header-only stub (valid='stub-codec') --
+    Vorbis needs a codec lib. Map-side Arrow pass."""
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_audio_batches, DECODED_AUDIO_SCHEMA
     )
 
 
