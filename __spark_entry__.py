@@ -788,6 +788,19 @@ def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_batch(emb, queries, k=10, multi_probe=1)
 
 
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN: top-10 for the same 100-id query table in one
+    pass -- codebook collect + assignment scan once, per-query probes
+    via a broadcast-centroid join + qid window, exact rerank per qid.
+    Fully oracle-replayed (codebook, argmax assignment, probes, rank)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import ivf_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    return ivf_topk_batch(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline
     (cos >= 7/20); integer dot output for cross-engine identity."""
@@ -1035,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_topk_batch": q_ann_topk_batch,
+        "ivf_topk_batch": q_ivf_topk_batch,
         "ivf_topk": q_ivf_topk,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
@@ -1881,6 +1895,65 @@ FROM d
                           i -> e.q[i] * qv.qq[i])) AS BIGINT) AS dot
               FROM cand c JOIN e ON c.vec_id = e.vec_id
                           JOIN qv ON c.qid = qv.qid
+            )
+            SELECT qid, vec_id, dot, CAST(rn AS INTEGER) AS rank FROM (
+              SELECT qid, vec_id, dot,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM scored
+            ) WHERE rn <= 10
+        """,
+        # batch IVF replay: same codebook/assignment CTEs as ivf_topk,
+        # probes and rank per qid
+        "ivf_topk_batch": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), c AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ), a AS (
+              SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c.cv[i])) AS BIGINT) AS d
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+                FROM a
+              ) WHERE rn = 1
+            ), qv AS (
+              SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id % 5 = 0
+            ),
+            probes AS (
+              SELECT qid, cell FROM (
+                SELECT qv.qid, c.cell,
+                       row_number() OVER (
+                         PARTITION BY qv.qid
+                         ORDER BY CAST(list_sum(list_transform(
+                                    range(1, len(c.cv) + 1),
+                                    i -> c.cv[i] * qv.qq[i])) AS BIGINT) DESC,
+                                  c.cell) AS pr
+                FROM c CROSS JOIN qv
+              ) WHERE pr <= 4
+            ),
+            cand AS (
+              SELECT p.qid, asg.vec_id
+              FROM asg JOIN probes p USING (cell)
+              WHERE asg.vec_id <> p.qid
+            ),
+            scored AS (
+              SELECT cand.qid, cand.vec_id,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * qv.qq[i])) AS BIGINT) AS dot
+              FROM cand JOIN e ON cand.vec_id = e.vec_id
+                        JOIN qv ON cand.qid = qv.qid
             )
             SELECT qid, vec_id, dot, CAST(rn AS INTEGER) AS rank FROM (
               SELECT qid, vec_id, dot,

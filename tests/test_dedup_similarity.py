@@ -393,3 +393,35 @@ def test_ann_topk_batch_null_query_embedding(spark):
     queries = spark.createDataFrame([(0,), (2,)], "vec_id long")
     rows = ann_topk_batch(emb, queries, k=3, persist_buckets=False).collect()
     assert {r["qid"] for r in rows} == {0}  # null-embedding query -> no rows
+
+
+def test_ivf_topk_batch_matches_single_calls(spark, clustered_emb):
+    """Batch IVF == per-query ivf_topk at the same codebook/probes."""
+    from xhtml_parser_spark.caching import live_persists, released_after
+    from xhtml_parser_spark.operators.similarity import ivf_topk_batch
+
+    qids = [0, 3, 15]
+    queries = spark.createDataFrame([(q,) for q in qids], "vec_id long")
+    with released_after(
+        ivf_topk_batch(clustered_emb, queries, k=5, n_cells=4, n_probe=2),
+        blocking=True,
+    ) as batch:
+        handles = live_persists(batch)
+        assert handles, "batch IVF must attach its assignment cache"
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["dot"]))
+    for h in handles:
+        lvl = h.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    for q in qids:
+        single = [
+            (i + 1, r["vec_id"], r["dot"])
+            for i, r in enumerate(
+                ivf_topk(
+                    clustered_emb, query_vec_id=q, k=5, n_cells=4, n_probe=2,
+                    persist_assignments=False,
+                ).collect()
+            )
+        ]
+        assert sorted(got.get(q, [])) == sorted(single), q

@@ -566,7 +566,14 @@ def test_read_parsed_warc_matches_two_step_path(spark, tmp_path):
     ]
     rows.append(("http://f.test/bad", TS, b"<open><no close>"))
     write_warc_gz(os.path.join(d, "a.warc.gz"), rows[:10])
-    write_warc_gz(os.path.join(d, "b.warc.gz"), rows[10:])
+    write_warc_gz(os.path.join(d, "b.warc.gz"), rows[10:20])
+    # plain (uncompressed) .warc shard: the fused reader's stream lane
+    write_warc_gz(os.path.join(d, "_c.warc.gz"), rows[20:])
+    with gzip.open(os.path.join(d, "_c.warc.gz"), "rb") as fh:
+        plain = fh.read()
+    os.remove(os.path.join(d, "_c.warc.gz"))
+    with open(os.path.join(d, "c.warc"), "wb") as fh:
+        fh.write(plain)
     fused = {
         (r["url"], r["parse_ok"], bytes(r["text"]) if r["text"] is not None else None)
         for r in read_parsed_warc(spark, d).select("url", "parse_ok", "text").collect()
@@ -579,3 +586,39 @@ def test_read_parsed_warc_matches_two_step_path(spark, tmp_path):
     }
     assert fused == two_step
     assert len(fused) == 21
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fast_path_fuzz_random_streams_and_splits(seed):
+    """Differential fuzz: random record streams (types, header shapes,
+    binary bodies, blank-line runs) packed into random gzip-member
+    splits must decode identically to the streaming walk."""
+    import random
+
+    rng = random.Random(seed)
+    recs = []
+    raw_parts = []
+    for i in range(rng.randint(1, 12)):
+        rtype = rng.choice([b"response", b"request", b"metadata", b"conversion"])
+        body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        if rng.random() < 0.3:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: x\r\n\r\n" + body
+            )
+        url = ("http://f%d.test/%d" % (seed, i)).encode()
+        nl = b"\n" if rng.random() < 0.3 else b"\r\n"
+        part = (
+            b"WARC/1.0" + nl
+            + b"WARC-Type: " + rtype + nl
+            + b"WARC-Target-URI: " + url + nl
+            + b"WARC-Date: 2025-08-08T12:00:00Z" + nl
+            + b"Content-Length: " + str(len(body)).encode() + nl
+            + nl + body + b"\r\n" * rng.randint(0, 3)
+        )
+        raw_parts.append(part)
+    raw = b"".join(raw_parts)
+    # random member split points (any byte offsets, including mid-record)
+    cuts = sorted(rng.sample(range(1, len(raw)), min(rng.randint(0, 6), len(raw) - 1)))
+    pieces = [raw[a:b] for a, b in zip([0] + cuts, cuts + [len(raw)])]
+    comp = b"".join(_gz_member(p) for p in pieces if p)
+    assert _fast(comp) == _records(raw)

@@ -49,6 +49,7 @@ _LAZY = {
     "brute_force_topk": ("xhtml_parser_spark.operators.similarity", "brute_force_topk"),
     "ann_lsh_topk": ("xhtml_parser_spark.operators.similarity", "ann_lsh_topk"),
     "ivf_topk": ("xhtml_parser_spark.operators.similarity", "ivf_topk"),
+    "ivf_topk_batch": ("xhtml_parser_spark.operators.similarity", "ivf_topk_batch"),
     "embedding_neardup_pairs": (
         "xhtml_parser_spark.operators.similarity", "embedding_neardup_pairs"),
     "host_cap": ("xhtml_parser_spark.operators.corpus", "host_cap"),

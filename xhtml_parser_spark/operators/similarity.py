@@ -468,6 +468,103 @@ def ivf_topk(
     return out
 
 
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist_assignments: bool = True,
+) -> DataFrame:
+    """IVF top-k for EVERY id in a query table, one relational pass --
+    the inverted-list twin of ann_topk_batch. Output
+    (qid, id_col, dot, rank), rank 1..k per query (dot desc, id asc;
+    integer-exact, full SQL oracle).
+
+    The codebook collect and the assignment scan happen ONCE for the
+    whole batch (vs once per query when calling ivf_topk N times);
+    probe selection is one (queries x n_cells-broadcast-centroids)
+    join + a per-qid window, candidates are one equi-join of the
+    assignment table against the (qid, cell) probe set, and the exact
+    rerank ends in one per-qid top-k window. Null-embedding queries
+    yield no rows. The assignment cache handle is attached; release
+    with ``caching.released_after(df)``.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as W
+
+    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    cmat = np.array(
+        [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])], dtype=np.int64
+    ).T
+    cents = emb.sparkSession.createDataFrame(
+        [(int(r["cell"]), [int(x) for x in r["cv"]]) for r in rows],
+        "cell bigint, cv array<bigint>",
+    )
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col]
+            notna = vecs.notna().to_numpy()
+            if not notna.any():
+                continue
+            m = _np_quantize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
+            )
+            cell = np.argmax(m @ cmat, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[notna], "cell": cell}
+            )
+
+    asg = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, cell bigint"
+    )
+    if persist_assignments:
+        asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    q = queries.select(F.col(id_col).alias("qid")).distinct()
+    e = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("qv")
+    )
+    qe = e.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
+        F.col(id_col).alias("qid"), F.col("qv").alias("qq")
+    )
+    pw = W.partitionBy("qid").orderBy(F.col("qd").desc(), F.col("cell"))
+    probes = (
+        qe.crossJoin(F.broadcast(cents))
+        .select("qid", "cell", dot_q(F.col("cv"), F.col("qq")).alias("qd"))
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "cell")
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+    )
+    kw = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col(id_col))
+    out = (
+        cand.join(e, id_col)
+        .join(qe, "qid")
+        .select("qid", id_col, dot_q(F.col("qv"), F.col("qq")).alias("dot"))
+        .withColumn("rank", F.row_number().over(kw))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "dot", F.col("rank").cast("int").alias("rank"))
+    )
+    if persist_assignments:
+        from ..caching import attach_persists
+
+        out = attach_persists(out, asg)
+    return out
+
+
 def ann_lsh_topk(
     emb: DataFrame, query_vec_id: int, k: int = 10, n_bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
