@@ -14,8 +14,14 @@ completion, and then audits the committed table:
 Usage:
   python jobs/backfill_rehearsal.py [--docs 600000] [--kill-after 20]
                                     [--fused] [--slices 8]
+                                    [--input-format warc]
 
-Writes BENCH_REHEARSAL.json.
+--input-format warc rehearses the crawl-delivery path: the corpus is
+packaged as .warc.gz shards (one gzip member per record), slices are
+file groups read through the FUSED warc scan+parse datasource, and the
+same kill -9 / resume / exactly-once audit applies.
+
+Writes BENCH_REHEARSAL.json (keyed standard / fused / warc).
 """
 
 from __future__ import annotations
@@ -39,8 +45,12 @@ def main() -> None:
     ap.add_argument("--kill-after", type=float, default=20.0)
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"])
     ap.add_argument("--out", default="/tmp/xps_rehearsal")
     args = ap.parse_args()
+    if args.fused and args.input_format == "warc":
+        raise SystemExit("--fused supports parquet input only")
 
     from xhtml_parser_spark.session import get_spark
     from xhtml_parser_spark.sources import synthesize_pages
@@ -56,16 +66,28 @@ def main() -> None:
         spark.read.parquet(corpus).selectExpr("sum(length(html)) b")
         .collect()[0]["b"]
     )
+    input_path = corpus
+    if args.input_format == "warc":
+        warc_dir = f"/tmp/xps_bench_warc_{args.docs}"
+        if not os.path.exists(os.path.join(warc_dir, "_SUCCESS")):
+            shutil.rmtree(warc_dir, ignore_errors=True)
+            from xhtml_parser_spark.sources.warc import write_warc_shards
+
+            write_warc_shards(spark.read.parquet(corpus), warc_dir)
+            open(os.path.join(warc_dir, "_SUCCESS"), "w").close()
+        input_path = warc_dir
     spark.stop()
 
     shutil.rmtree(args.out, ignore_errors=True)
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "extract.py"),
-        "--input", corpus, "--output", args.out,
+        "--input", input_path, "--output", args.out,
         "--slices", str(args.slices),
     ]
     if args.fused:
         cmd.append("--fused")
+    if args.input_format == "warc":
+        cmd += ["--input-format", "warc"]
 
     # run 1: kill -9 mid-flight
     p = subprocess.Popen(
@@ -115,9 +137,13 @@ def main() -> None:
         and tot["d"] == args.docs
         and tot["b"] == data_bytes == total_bytes
     )
+    mode = (
+        "warc" if args.input_format == "warc"
+        else ("fused" if args.fused else "standard")
+    )
     report = {
         "metric": "kill9_resume_exactly_once",
-        "mode": "fused" if args.fused else "standard",
+        "mode": mode,
         "docs": args.docs,
         "corpus_bytes": int(total_bytes),
         "killed_after_sec": killed_at,

@@ -138,9 +138,9 @@ def test_resize_image(spark, media_df):
     xs = (np.arange(8, dtype=np.int64) * 640) // 8
     expect = src[ys][:, xs]
     assert p[17:] == expect.tobytes()
-    # JPEG keeps the documented stub container
+    # header-only JPEG: flagged by the real decoder, not crashed on
     jpg = got[3]
-    assert jpg["valid"] == "ok" and bytes(jpg["payload"]).startswith(b"RAWIMG01")
+    assert jpg["valid"] == "decode-error" and jpg["payload"] is None
     # deterministic across runs
     again = {r["media_id"]: bytes(r["payload"])
              for r in resize_image(media_df, 8, 4).collect()
@@ -158,9 +158,9 @@ def test_decode_image_real_png_pixels(spark, media_df):
     assert (png["format"], png["width"], png["height"], png["channels"],
             png["bit_depth"], png["valid"]) == ("png", 640, 480, 3, 8, "ok")
     assert bytes(png["pixels"]) == _png_arr(640, 480).tobytes()
-    # the fixture's gif is header-only: the REAL gif decoder flags it
+    # the fixture's gif/jpeg are header-only: the REAL decoders flag them
     assert got[2]["valid"] == "decode-error" and got[2]["pixels"] is None
-    assert got[3]["valid"] == "stub-codec" and got[3]["pixels"] is None
+    assert got[3]["valid"] == "decode-error" and got[3]["pixels"] is None
     assert got[4]["valid"] == "unknown-format"
     assert got[6]["valid"] == "decode-error" and got[6]["pixels"] is None
 
@@ -292,3 +292,44 @@ def test_decode_audio_real_wav_pcm(spark):
     assert bytes(r["pcm"]) == data
     assert got[2]["valid"] == "stub-codec" and got[2]["pcm"] is None
     assert got[3]["valid"] == "unknown-format"
+
+
+def test_decode_image_real_jpeg_pixels(spark):
+    """JPEG is the third real codec. Lossy by nature, so the operator
+    test pins the cases where the math is exact (uniform blocks, q=1
+    tables) and otherwise asserts the operator reproduces the kernel
+    decoder bit-for-bit (both run the same reference math)."""
+    from xhtml_parser_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+
+    ones = (np.ones((8, 8), dtype=int), np.ones((8, 8), dtype=int))
+    uniform = np.full((16, 24, 3), 77, dtype=np.uint8)
+    y, x = np.mgrid[0:24, 0:40]
+    smooth = np.dstack([
+        128 + 90 * np.sin(x / 9), 128 + 70 * np.cos(y / 7),
+        128 + 50 * np.sin((x + y) / 11),
+    ]).clip(0, 255).astype(np.uint8)
+    rows = [
+        (1, "image", encode_jpeg(uniform, quality_tables=ones), "image/jpeg"),
+        (2, "image", encode_jpeg(smooth, subsample=True), "image/jpeg"),
+        (3, "image", encode_jpeg(smooth, restart_interval=2), "image/jpeg"),
+        (4, "image", encode_jpeg(smooth[:, :, 0], quality_tables=ones),
+         "image/jpeg"),  # grayscale
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image(df).collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["channels"],
+            r1["valid"]) == ("jpeg", 24, 16, 3, "ok")
+    assert bytes(r1["pixels"]) == uniform.tobytes()  # DC-only: exact
+    for mid in (2, 3, 4):
+        r = got[mid]
+        assert r["valid"] == "ok", mid
+        ref, _ = decode_jpeg(bytes(rows[mid - 1][2]))
+        assert bytes(r["pixels"]) == ref.tobytes(), mid
+        err = np.abs(
+            np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+            .reshape(ref.shape)
+            .astype(int)
+            - (smooth if mid != 4 else smooth[:, :, :1]).astype(int)
+        ).max()
+        assert err <= 25, (mid, err)

@@ -82,6 +82,8 @@ _LAZY = {
     "encode_png": ("xhtml_parser_spark.kernel.png", "encode_png"),
     "decode_gif": ("xhtml_parser_spark.kernel.gif", "decode_gif"),
     "encode_gif": ("xhtml_parser_spark.kernel.gif", "encode_gif"),
+    "decode_jpeg": ("xhtml_parser_spark.kernel.jpeg", "decode_jpeg"),
+    "encode_jpeg": ("xhtml_parser_spark.kernel.jpeg", "encode_jpeg"),
     "decode_image": ("xhtml_parser_spark.operators.multimodal", "decode_image"),
     "decode_audio": ("xhtml_parser_spark.operators.multimodal", "decode_audio"),
     "released_after": ("xhtml_parser_spark.caching", "released_after"),

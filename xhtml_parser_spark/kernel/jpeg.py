@@ -1,0 +1,585 @@
+"""Pure-stdlib baseline JPEG codec (SOF0): Huffman + IDCT in NumPy.
+
+Third real image codec (after kernel/png.py and kernel/gif.py -- the
+sandbox has no image libraries): ``decode_jpeg`` turns real baseline
+JFIF bytes into pixel arrays -- marker walk (DQT 8/16-bit, DHT, SOF0/1,
+DRI, SOS), per-MCU Huffman entropy decode with byte-unstuffing and
+restart-marker handling, de-zigzag + dequantize, orthonormal 8x8 IDCT
+as two matrix products, chroma upsampling for sampling factors 1-2
+(4:4:4 / 4:2:2 / 4:2:0), and BT.601 YCbCr -> RGB. Grayscale and
+3-component scans; progressive (SOF2), 12-bit, and arithmetic coding
+raise ``JpegError`` (documented scope -- baseline covers the
+overwhelming share of web JPEGs).
+
+``encode_jpeg`` is the test-fixture writer (forward DCT + Annex K
+standard Huffman tables + optional 4:2:0 and restart intervals).
+JPEG is lossy, so the round-trip tests pin EXACTNESS where the math is
+exact -- uniform blocks and q=1 quantization tables reconstruct to
+max-error <= 2 -- and bound the error elsewhere (standard tables on
+smooth data). Unlike PNG/GIF there is no byte-exact pixel contract;
+the decode IS the reference math.
+
+Spec: ITU T.81 / ISO 10918-1 (public; the quantization and Huffman
+tables below are the spec's own Annex K examples). No reference-repo
+counterpart -- Part-D pipeline surface, not parity.
+
+Performance note: the entropy decode is per-code Python (same
+correctness-grade posture as gif.py's LZW); everything after the
+coefficient array is vectorized NumPy. A libjpeg-turbo-backed decoder
+slots into the same mapInPandas plumbing unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+# ---- standard Annex K tables (ITU T.81, public spec constants) ----
+
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+
+STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# (bits counts 1..16, values) per table
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+
+# orthonormal DCT-II basis: A[u, x] = c(u) * cos((2x+1) u pi / 16)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _A @ block @ _A.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _A.T @ coef @ _A
+
+
+def _build_huffman(bits: list[int], values: list[int]):
+    """code tables: value -> (code, length) for encode; and a
+    (length -> {code: value}) dict for decode."""
+    enc = {}
+    dec = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        dec_ln = {}
+        for _ in range(bits[ln - 1]):
+            v = values[k]
+            enc[v] = (code, ln)
+            dec_ln[code] = v
+            code += 1
+            k += 1
+        dec[ln] = dec_ln
+        code <<= 1
+    return enc, dec
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                # pad with 1s past the end (decoder stops at EOB/counts)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: unread (leave pos at 0xFF) and pad
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, dec) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            tab = dec.get(ln)
+            if tab is not None and code in tab:
+                return tab[code]
+        raise JpegError("invalid Huffman code")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_magnitude(v: int) -> tuple[int, int]:
+    s = _category(v)
+    if v < 0:
+        v = v + (1 << s) - 1
+    return v, s
+
+
+def _decode_magnitude(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    if v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality_tables=None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder for (h, w, 3) RGB or (h, w, 1)/[h,w]
+    grayscale uint8. subsample=True uses 4:2:0 chroma;
+    restart_interval emits DRI + RSTn every N MCUs."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise JpegError("RGB or grayscale only")
+    if quality_tables is None:
+        qy, qc = STD_LUMA_Q, STD_CHROMA_Q
+    else:
+        qy, qc = quality_tables
+    qy = np.asarray(qy, dtype=np.int32).reshape(8, 8)
+    qc = np.asarray(qc, dtype=np.int32).reshape(8, 8)
+
+    if nch == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+
+    hs = 2 if (subsample and nch == 3) else 1
+    mcu_w = 8 * hs
+    mcu_h = 8 * hs
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    def pad_to(p, ph, pw):
+        out = np.empty((ph, pw), dtype=np.float64)
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    yp = pad_to(planes[0], mcus_y * mcu_h, mcus_x * mcu_w)
+    if nch == 3:
+        if hs == 2:
+            cbp = planes[1]
+            crp = planes[2]
+            # box-average 2x2 to half resolution
+            ph, pw = mcus_y * mcu_h, mcus_x * mcu_w
+            cbp = pad_to(cbp, ph, pw)
+            crp = pad_to(crp, ph, pw)
+            cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        else:
+            cbp = pad_to(planes[1], mcus_y * 8, mcus_x * 8)
+            crp = pad_to(planes[2], mcus_y * 8, mcus_x * 8)
+
+    enc_dc_y, _ = _build_huffman(*STD_DC_LUMA)
+    enc_ac_y, _ = _build_huffman(*STD_AC_LUMA)
+    enc_dc_c, _ = _build_huffman(*STD_DC_CHROMA)
+    enc_ac_c, _ = _build_huffman(*STD_AC_CHROMA)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    rst = [0]  # next restart marker index (mod 8)
+
+    def put_block(plane, by, bx, q, enc_dc, enc_ac, ci):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = np.round(_dct2(block) / q).astype(np.int64)
+        zz = coef.reshape(-1)[ZIGZAG]
+        dc = int(zz[0])
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        mag, s = _encode_magnitude(diff)
+        code, ln = enc_dc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(mag, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            mag, s = _encode_magnitude(v)
+            code, ln = enc_ac[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(mag, s)
+            run = 0
+        if run:
+            code, ln = enc_ac[0x00]  # EOB
+            bw.write(code, ln)
+
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst[0]])
+                rst[0] = (rst[0] + 1) % 8
+                pred[0] = pred[1] = pred[2] = 0
+            mcu_idx += 1
+            for sy in range(hs):
+                for sx in range(hs):
+                    put_block(yp, my * hs + sy, mx * hs + sx, qy,
+                              enc_dc_y, enc_ac_y, 0)
+            if nch == 3:
+                put_block(cbp, my, mx, qc, enc_dc_c, enc_ac_c, 1)
+                put_block(crp, my, mx, qc, enc_dc_c, enc_ac_c, 2)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(seg(0xDB, bytes([0]) + bytes(qy.reshape(-1)[ZIGZAG].astype(np.uint8))))
+    if nch == 3:
+        out.append(seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8))))
+    # SOF0
+    comps = bytearray()
+    if nch == 3:
+        comps += bytes([1, (hs << 4) | hs, 0])
+        comps += bytes([2, 0x11, 1])
+        comps += bytes([3, 0x11, 1])
+    else:
+        comps += bytes([1, 0x11, 0])
+    out.append(seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nch]) + bytes(comps)))
+    # DHT
+    def dht(cls, tid, table):
+        bits, values = table
+        return seg(0xC4, bytes([(cls << 4) | tid] + bits + values))
+    out.append(dht(0, 0, STD_DC_LUMA))
+    out.append(dht(1, 0, STD_AC_LUMA))
+    if nch == 3:
+        out.append(dht(0, 1, STD_DC_CHROMA))
+        out.append(dht(1, 1, STD_AC_CHROMA))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    # SOS
+    if nch == 3:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    else:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out.append(seg(0xDA, sos))
+    out.append(bytes(bw.buf))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+def decode_jpeg(b: bytes):
+    """Baseline (SOF0) JFIF decode -> ((h, w, 1|3) uint8, meta).
+    Supports 8-bit precision, 1 or 3 components, sampling factors 1-2,
+    restart intervals. Progressive (SOF2) and arithmetic coding raise."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise JpegError("bad signature")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            raise JpegError("EOI before SOS")
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise JpegError("truncated segment")
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(payload[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(payload[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                if len(tbl) != 64:
+                    raise JpegError("bad DQT")
+                out = np.zeros(64, dtype=np.int32)
+                out[ZIGZAG] = tbl
+                qt[tq] = out.reshape(8, 8)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(payload[p + 17 : p + 17 + n])
+                if len(values) != n:
+                    raise JpegError("bad DHT")
+                p += 17 + n
+                _, dec = _build_huffman(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+        elif marker in (0xC0, 0xC1):
+            prec = payload[0]
+            if prec != 8:
+                raise JpegError("only 8-bit precision")
+            hh, ww = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (hh, ww, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline (SOF0/1) supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                raise JpegError("SOS before SOF")
+            ns = payload[0]
+            sel = {}
+            for i in range(ns):
+                cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (td_ta >> 4, td_ta & 15)
+            data = b[pos:]
+            return _decode_scan(sof, qt, huff_dc, huff_ac, sel, data,
+                                restart_interval)
+        # other markers (APPn, COM): skipped
+    raise JpegError("no SOS")
+
+
+def _decode_scan(sof, qt, huff_dc, huff_ac, sel, data, restart_interval):
+    h, w, comps = sof
+    if not comps:
+        raise JpegError("no components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegError("sampling factors 1-2 only")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        if tq not in qt:
+            raise JpegError("missing DQT")
+
+    br = _BitReader(data)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    n_mcus = mcus_x * mcus_y
+    for idx in range(n_mcus):
+        if restart_interval and idx and idx % restart_interval == 0:
+            # discard padding bits, expect an RSTn marker, reset DC preds
+            br.n = 0
+            br.acc = 0
+            p = br.pos
+            if not (
+                p + 1 < len(br.data)
+                and br.data[p] == 0xFF
+                and 0xD0 <= br.data[p + 1] <= 0xD7
+            ):
+                raise JpegError("missing restart marker")
+            br.pos = p + 2
+            for cid in pred:
+                pred[cid] = 0
+        my, mx = divmod(idx, mcus_x)
+        for cid, ch, cv, tq in comps:
+            if cid not in sel:
+                raise JpegError("component not in scan")
+            td, ta = sel[cid]
+            if td not in huff_dc or ta not in huff_ac:
+                raise JpegError("missing DHT")
+            q = qt[tq]
+            for sy in range(cv):
+                for sx in range(ch):
+                    s = br.read_huff(huff_dc[td])
+                    diff = _decode_magnitude(br.read_bits(s), s)
+                    pred[cid] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(huff_ac[ta])
+                        r, s2 = rs >> 4, rs & 15
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past block")
+                        zz[k] = _decode_magnitude(br.read_bits(s2), s2)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz
+                    block = _idct2(coef.reshape(8, 8) * q) + 128.0
+                    py = (my * cv + sy) * 8
+                    px = (mx * ch + sx) * 8
+                    planes[cid][py : py + 8, px : px + 8] = block
+
+    # upsample to full size, crop, color-convert
+    full = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+        nch = 1
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        out = np.clip(np.round(np.dstack([r, g, bl])), 0, 255).astype(np.uint8)
+        nch = 3
+    else:
+        raise JpegError("1 or 3 components only")
+    meta = {"width": w, "height": h, "channels": nch, "bit_depth": 8,
+            "subsampling": f"{hmax}x{vmax}"}
+    return out, meta
+
+

@@ -3,17 +3,19 @@
 Media rides as opaque ``binary`` columns with typed metadata structs --
 the same posture as the ``html: binary`` pages column. All Spark-side
 plumbing (schemas, Arrow batch shapes, partition sizing) is real and
-tested. PNG and GIF decode are REAL end-to-end (pure-stdlib zlib +
-NumPy unfilter, kernel/png.py; pure-Python LZW, kernel/gif.py), and
-WAV PCM decode is real (the samples are already little-endian PCM in
-the data chunk); the remaining codec work is stubbed because no
-image/audio libraries exist in this container:
+tested. ALL THREE image codecs decode for REAL (kernel/png.py:
+zlib + NumPy unfilter; kernel/gif.py: pure-Python LZW; kernel/jpeg.py:
+baseline Huffman + NumPy IDCT), as does WAV PCM (the samples are
+already little-endian PCM in the data chunk); the remaining codec work
+(progressive JPEG, Vorbis, video demux) is stubbed because no media
+libraries exist in this container:
 
-  * ``decode_image`` decodes real PNG and GIF payloads to exact pixel
-    arrays (PNG: all 5 filters, depths 1-16, palette/tRNS; GIF:
-    variable-width LZW, interlace, GCE transparency); JPEG pixels
-    remain the documented stub (``valid='stub-codec'``, header dims
-    only).
+  * ``decode_image`` decodes real PNG, GIF, and baseline-JPEG payloads
+    to pixel arrays (PNG: all 5 filters, depths 1-16, palette/tRNS,
+    exact; GIF: variable-width LZW, interlace, GCE transparency,
+    exact; JPEG: SOF0 Huffman + IDCT + 4:2:0/4:2:2 upsampling -- lossy
+    by nature, tested exact on DC-only content and error-bounded
+    elsewhere).
   * ``decode_audio`` extracts real PCM samples from WAV payloads
     (int8/int16/int32, exact integer peak/RMS); compressed codecs
     (Ogg-Vorbis audio data) remain header-only.
@@ -143,7 +145,14 @@ def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     import numpy as np
 
     from ..kernel.gif import GifError, decode_gif
+    from ..kernel.jpeg import JpegError, decode_jpeg
     from ..kernel.png import PngError, decode_png
+
+    decoders = {
+        "png": (decode_png, PngError),
+        "gif": (decode_gif, GifError),
+        "jpeg": (decode_jpeg, JpegError),
+    }
 
     for pdf in batches:
         out = {k.name: [] for k in DECODED_IMAGE_SCHEMA.fields}
@@ -152,32 +161,21 @@ def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             fmt, w, h, valid = _sniff_image(b)
             ch = depth = 0
             pixels = None
-            if fmt == "png":
+            if fmt in decoders:
+                decode, err = decoders[fmt]
                 try:
-                    arr, meta = decode_png(b)
+                    arr, meta = decode(b)
                     w, h = meta["width"], meta["height"]
-                    ch, depth = meta["channels"], meta["bit_depth"]
+                    ch = meta["channels"]
+                    depth = meta.get("bit_depth", 8)
                     pixels = (
                         arr.astype(">u2").tobytes()
                         if arr.dtype == np.uint16
                         else arr.tobytes()
                     )
                     valid = "ok"
-                except PngError:
+                except err:
                     valid = "decode-error"
-            elif fmt == "gif":
-                try:
-                    arr, meta = decode_gif(b)
-                    w, h = meta["width"], meta["height"]
-                    ch, depth = meta["channels"], 8
-                    pixels = arr.tobytes()
-                    valid = "ok"
-                except GifError:
-                    valid = "decode-error"
-            elif valid == "ok":
-                # the JPEG pixel path is the documented stub: header
-                # dims are real, pixel decode needs a codec lib
-                valid = "stub-codec"
             out["media_id"].append(int(mid))
             out["format"].append(fmt)
             out["width"].append(w)
@@ -212,7 +210,6 @@ RESIZED_SCHEMA = StructType(
     ]
 )
 
-_RAWIMG_MAGIC = b"RAWIMG01"
 _RAWIMG2_MAGIC = b"RAWIMG02"
 
 
@@ -220,7 +217,14 @@ def _resize_batches(width: int, height: int):
     import numpy as np
 
     from ..kernel.gif import GifError, decode_gif
+    from ..kernel.jpeg import JpegError, decode_jpeg
     from ..kernel.png import PngError, decode_png
+
+    decoders = {
+        "png": (decode_png, PngError),
+        "gif": (decode_gif, GifError),
+        "jpeg": (decode_jpeg, JpegError),
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,17 +236,15 @@ def _resize_batches(width: int, height: int):
                 out["format"].append(fmt)
                 out["width"].append(width)
                 out["height"].append(height)
-                if fmt in ("png", "gif"):
-                    # REAL path: decode actual pixels (kernel/png.py,
-                    # kernel/gif.py), nearest-neighbor resample, emit a
-                    # RAWIMG02 container (magic + w/h/channels + uint8
-                    # pixels; 16-bit samples take their high byte)
+                if fmt in decoders:
+                    # REAL path: decode actual pixels (kernel png/gif/
+                    # jpeg), nearest-neighbor resample, emit a RAWIMG02
+                    # container (magic + w/h/channels + uint8 pixels;
+                    # 16-bit samples take their high byte)
+                    decode, err = decoders[fmt]
                     try:
-                        if fmt == "png":
-                            arr, _meta = decode_png(b)
-                        else:
-                            arr, _meta = decode_gif(b)
-                    except (PngError, GifError):
+                        arr, _meta = decode(b)
+                    except err:
                         out["valid"].append("decode-error")
                         out["payload"].append(None)
                         continue
@@ -258,38 +260,21 @@ def _resize_batches(width: int, height: int):
                         + small.tobytes()
                     )
                     continue
-                out["valid"].append(valid if valid == "ok" else "skipped")
-                if valid != "ok":
-                    out["payload"].append(None)
-                    continue
-                # STUB RESIZER for the codec-less format (JPEG):
-                # emit a deterministic RAWIMG01 container -- magic, dims,
-                # then width*height bytes nearest-neighbor-sampled from
-                # the source payload body. A real decoder (libjpeg /
-                # libvips) slots in here unchanged: same signature, same
-                # Arrow batch shape, same output schema.
-                body = np.frombuffer(b, dtype=np.uint8)
-                n = width * height
-                idx = (np.arange(n, dtype=np.int64) * len(body)) // max(n, 1)
-                sampled = body[np.minimum(idx, len(body) - 1)]
-                out["payload"].append(
-                    _RAWIMG_MAGIC
-                    + struct.pack("<II", width, height)
-                    + sampled.tobytes()
-                )
+                # every sniffable image format now has a real decoder;
+                # anything else passes through skipped
+                out["valid"].append("skipped")
+                out["payload"].append(None)
             yield pd.DataFrame(out)
 
     return run
 
 
 def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Per-item resize, map-side Arrow pass. PNG and GIF payloads take
-    the REAL pixel path: decode (kernel/png.py, kernel/gif.py) +
-    nearest-neighbor resample -> RAWIMG02(w, h, channels, uint8
-    pixels); undecodable ones come back valid='decode-error'. JPEG
-    keeps the documented RAWIMG01 stub (header dims real, pixel bytes a
-    deterministic stand-in); non-image payloads pass through
-    valid='skipped' with a NULL payload."""
+    """Per-item resize, map-side Arrow pass, on REAL decoded pixels for
+    all three codecs (kernel png/gif/jpeg): decode + nearest-neighbor
+    resample -> RAWIMG02(w, h, channels, uint8 pixels); undecodable
+    payloads come back valid='decode-error'; non-image payloads pass
+    through valid='skipped' with a NULL payload."""
     return media.select("media_id", "payload").mapInPandas(
         _resize_batches(width, height), RESIZED_SCHEMA
     )
