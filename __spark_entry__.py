@@ -324,6 +324,80 @@ def q_xpath_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n"))
 
 
+def q_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three REAL image codecs end-to-end through Spark with a full
+    SQL oracle: per document an 8x8 image is synthesized from doc_id
+    arithmetic in the format doc_id %% 3 picks (PNG byte pattern, GIF
+    4-color pattern, JPEG uniform gray with q=1 tables -- each a regime
+    where decode reconstructs EXACTLY), encoded by the kernel codecs,
+    decoded by decode_image, and emitted as (doc_id, format, width,
+    height, channels, pix_hex). The oracle replays every pixel byte
+    analytically -- no image library on either side."""
+    _ensure_pkg(spark)
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from xhtml_parser_spark.operators.multimodal import decode_image
+
+    docs = _docs(spark, sf_dir)
+    media_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ])
+
+    def make_media(it):
+        import numpy as np
+        import pandas as pd
+
+        from xhtml_parser_spark.kernel.gif import encode_gif
+        from xhtml_parser_spark.kernel.jpeg import encode_jpeg
+        from xhtml_parser_spark.kernel.png import encode_png
+
+        ones = (np.ones((8, 8), dtype=np.int32),
+                np.ones((8, 8), dtype=np.int32))
+        pal = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+            dtype=np.uint8,
+        )
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    arr = ((d * 7 + np.arange(192)) % 256).astype(
+                        np.uint8
+                    ).reshape(8, 8, 3)
+                    payloads.append(encode_png(arr))
+                elif d % 3 == 1:
+                    arr = pal[(d + xx + yy) % 4]
+                    payloads.append(encode_gif(arr))
+                else:
+                    v = (d * 31) % 256
+                    arr = np.full((8, 8, 3), v, dtype=np.uint8)
+                    payloads.append(
+                        encode_jpeg(arr, quality_tables=ones)
+                    )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "image",
+                 "payload": payloads, "mime": ""}
+            )
+
+    media = docs.select("doc_id").mapInPandas(make_media, media_schema)
+    return decode_image(media).select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.lower(F.hex(F.col("pixels"))).alias("pix_hex"),
+    )
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north_rule): synthesize a deterministic PDF
     per document, run the pure-Python PDF text extractor, and require
@@ -1021,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_attrs": q_xhtml_attrs,
         "xpath_lite": q_xpath_lite,
         "xpath_multi": q_xpath_multi,
+        "image_codecs": q_image_codecs,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
@@ -1318,6 +1393,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'html/body/div[@class=''even'']/p',
                    CAST((n + 1) // 2 AS BIGINT)
             FROM l
+        """,
+        # every pixel byte replayed analytically: PNG = the byte
+        # pattern itself; GIF = the fixed palette color at the
+        # checkerboard index; JPEG gray-uniform with q=1 tables
+        # reconstructs the constant exactly
+        "image_codecs": """
+            WITH hx AS (
+              SELECT doc_id, doc_id % 3 AS m FROM documents
+            )
+            SELECT doc_id,
+                   CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                          ELSE 'jpeg' END AS format,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CASE m
+                     WHEN 0 THEN array_to_string(list_transform(
+                       range(0, 192),
+                       i -> lpad(lower(to_hex((doc_id * 7 + i) % 256)),
+                                 2, '0')), '')
+                     WHEN 1 THEN array_to_string(list_transform(
+                       range(0, 192),
+                       i -> lpad(lower(to_hex(
+                         [[255,0,0],[0,255,0],[0,0,255],[9,9,9]]
+                           [CAST((doc_id + (i // 3) % 8 + (i // 3) // 8)
+                                 % 4 AS INTEGER) + 1]
+                           [CAST(i % 3 AS INTEGER) + 1])), 2, '0')), '')
+                     ELSE repeat(
+                       lpad(lower(to_hex((doc_id * 31) % 256)), 2, '0'),
+                       192)
+                   END AS pix_hex
+            FROM hx
         """,
         "pdf_roundtrip": """
             SELECT doc_id, coalesce(text, '') AS extracted,
