@@ -398,6 +398,72 @@ def q_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 demux end-to-end through Spark with a full SQL oracle:
+    per document a tiny spec-valid MP4 is muxed (kernel/mp4.py --
+    n = 2 + doc_id %% 3 raw-codec frames of 16 deterministic bytes,
+    40 ms/frame, 16x12, samples interleaved 2-per-chunk so the stsc
+    run walk is exercised), frame_sample(every_n=2) demuxes it via the
+    stsc/stsz/stco resolution, and decode_video_meta contributes the
+    mvhd/tkhd metadata. The oracle replays every frame byte and the
+    box math analytically -- no media library on either side. The
+    muxed media is persisted because two operators consume it (same
+    cache contract as xpath_lite's nodes)."""
+    _ensure_pkg(spark)
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from xhtml_parser_spark.operators.multimodal import (
+        decode_video_meta, frame_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ])
+
+    def make_media(it):
+        import pandas as pd
+
+        from xhtml_parser_spark.kernel.mp4 import encode_mp4
+
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    bytes((d * 13 + i * 7 + j) % 256 for j in range(16))
+                    for i in range(2 + d % 3)
+                ]
+                payloads.append(
+                    encode_mp4(frames, 16, 12, samples_per_chunk=2)
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "video",
+                 "payload": payloads, "mime": "video/mp4"}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        make_media, media_schema
+    ).persist()
+    meta = decode_video_meta(media)
+    frames = frame_sample(media, every_n=2)
+    return frames.join(meta, "media_id").select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north_rule): synthesize a deterministic PDF
     per document, run the pure-Python PDF text extractor, and require
@@ -1096,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_lite": q_xpath_lite,
         "xpath_multi": q_xpath_multi,
         "image_codecs": q_image_codecs,
+        "video_frames": q_video_frames,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
@@ -1425,6 +1492,27 @@ def oracle_sql() -> dict[str, str]:
                        192)
                    END AS pix_hex
             FROM hx
+        """,
+        # MP4 demux replayed analytically: n = 2 + doc_id % 3 frames,
+        # every_n=2 sampling keeps the even indices, frame byte j of
+        # frame i is (doc_id*13 + i*7 + j) % 256, duration = 40 ms/frame
+        "video_frames": """
+            WITH v AS (
+              SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+            ), f AS (
+              SELECT doc_id, n, unnest(range(0, n)) AS i FROM v
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(n AS INTEGER) AS n_frames,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(12 AS INTEGER) AS height,
+                   CAST(n * 40 AS BIGINT) AS duration_ms,
+                   array_to_string(list_transform(
+                     range(0, 16),
+                     j -> lpad(lower(to_hex((doc_id * 13 + i * 7 + j) % 256)),
+                               2, '0')), '') AS frame_hex
+            FROM f WHERE i % 2 = 0
         """,
         "pdf_roundtrip": """
             SELECT doc_id, coalesce(text, '') AS extracted,

@@ -333,3 +333,99 @@ def test_decode_image_real_jpeg_pixels(spark):
             - (smooth if mid != 4 else smooth[:, :, :1]).astype(int)
         ).max()
         assert err <= 25, (mid, err)
+
+
+# ---------------------------------------------------------------- MP4 (real)
+
+
+def test_mp4_kernel_roundtrip():
+    """encode_mp4 -> parse_mp4/demux_samples must be the identity on
+    the frame payloads for every chunking shape (even, ragged, single
+    chunk, one-frame), and the parsed metadata must match the mux
+    arguments exactly (mvhd duration, tkhd dims, stsd fourcc, stts)."""
+    from xhtml_parser_spark.kernel.mp4 import (
+        demux_samples,
+        encode_mp4,
+        parse_mp4,
+        resolve_samples,
+    )
+
+    for n, spc in [(1, 2), (4, 2), (5, 2), (7, 3), (3, 10), (6, 1)]:
+        frames = [
+            bytes([(i * 31 + j) % 256 for j in range(5 + 3 * i)])
+            for i in range(n)
+        ]
+        b = encode_mp4(frames, 64, 48, timescale=600, frame_duration=25,
+                       samples_per_chunk=spc)
+        info = parse_mp4(b)
+        assert info.brand == "isom"
+        assert (info.timescale, info.duration) == (600, 25 * n)
+        (t,) = info.tracks
+        assert (t.handler, t.codec, t.width, t.height) == (
+            "vide", "raw ", 64, 48)
+        assert t.sample_sizes == [len(f) for f in frames]
+        assert demux_samples(b) == frames, (n, spc)
+        # dts expansion from stts
+        assert [dts for _, _, dts in resolve_samples(t)] == [
+            25 * i for i in range(n)
+        ]
+
+
+def test_mp4_hostile_inputs():
+    """Crawl payloads are hostile: truncated/absurd boxes must raise
+    Mp4Error from the kernel, and decode_video_meta must degrade to a
+    'truncated' row, never crash a job."""
+    import pytest as _pytest
+
+    from xhtml_parser_spark.kernel.mp4 import Mp4Error, encode_mp4, parse_mp4
+
+    good = encode_mp4([b"xx"], 8, 8)
+    for bad in [
+        good[:20],                         # truncated mid-box
+        good[:4] + b"ftyp",                # header only
+        b"\x00\x00\x00\x99ftypisom",       # size beyond EOF
+        good.replace(b"moov", b"m00v", 1), # no moov
+    ]:
+        with _pytest.raises(Mp4Error):
+            parse_mp4(bad)
+
+
+def test_decode_video_meta(spark):
+    from xhtml_parser_spark.kernel.mp4 import encode_mp4
+    from xhtml_parser_spark.operators.multimodal import decode_video_meta
+
+    frames = [b"\x01" * 10, b"\x02" * 10, b"\x03" * 10]
+    rows = [
+        (1, "video", encode_mp4(frames, 320, 240, timescale=1000,
+                                frame_duration=40), "video/mp4"),
+        (2, "video", make_rawvid([b"a", b"b"]), "video/x-raw"),
+        (3, "video", b"garbage", "video/mp4"),
+        (4, "video", encode_mp4(frames, 8, 8)[:40], "video/mp4"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_video_meta(df).collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["codec"], r1["width"], r1["height"],
+            r1["duration_ms"], r1["n_frames"], r1["valid"]) == (
+        "mp4", "raw ", 320, 240, 120, 3, "ok")
+    assert (got[2]["format"], got[2]["n_frames"], got[2]["valid"]) == (
+        "rawvid", 2, "ok")
+    assert got[3]["valid"] == "unknown-format"
+    assert got[4]["valid"] == "truncated"
+
+
+def test_frame_sample_real_mp4(spark):
+    """frame_sample now does REAL MP4 demux: the sampled frames must be
+    the exact sample payloads at stride every_n, resolved through the
+    multi-chunk stsc/stco walk."""
+    from xhtml_parser_spark.kernel.mp4 import encode_mp4
+
+    frames = [bytes([i]) * (4 + i) for i in range(7)]
+    rows = [(9, "video", encode_mp4(frames, 16, 16, samples_per_chunk=3),
+             "video/mp4")]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(frame_sample(df, every_n=3).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], bytes(r["frame"])) for r in got] == [
+        (0, frames[0]), (3, frames[3]), (6, frames[6])
+    ]
