@@ -228,6 +228,163 @@ def q_xhtml_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (operators/metadata.py) over a
+    synthesis whose title/lang/base/canonical/meta values are pure
+    functions of (doc_id, text, lang): the oracle replays each field
+    analytically. Exercises first-wins canonical (a duplicate
+    rel=canonical link follows the real one), nested-element title
+    text, and attribute ws-normalization-safe payloads."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators import page_metadata
+
+    docs = _docs(spark, sf_dir)
+    line1 = F.element_at(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), 1)
+    tok = F.regexp_replace(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 24), "[^a-z]", ""
+    )
+    lang_c = F.coalesce(F.col("lang"), F.lit("xx"))
+    html = F.concat(
+        F.lit('<html lang="'),
+        lang_c,
+        F.lit('"><head><title>'),
+        esc(line1),
+        F.lit("</title>"),
+        F.lit('<base href="https://base.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('/"/>'),
+        F.lit('<link rel="canonical" href="https://canon.example/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"/>'),
+        F.lit('<link rel="canonical" href="https://dup.example/z"/>'),
+        F.lit('<meta property="og:title" content="og-'),
+        tok,
+        F.lit('"/>'),
+        F.lit('<meta name="description" content="d-'),
+        tok,
+        F.lit('"/>'),
+        F.lit('<meta name="generator" content="synth"/>'),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    meta = page_metadata(_pages_from_docs(docs, html))
+    return meta.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "title",
+        "lang",
+        "base_href",
+        "canonical",
+        "meta_description",
+        "og_title",
+        F.col("n_meta").cast("int").alias("n_meta"),
+    )
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap / sitemap-index parsing (operators/sitemap.py): per doc
+    a spec-shaped sitemap is synthesized from doc_id arithmetic --
+    docs with doc_id %% 5 == 0 become <sitemapindex> docs, the rest
+    <urlset> docs with 1 + doc_id %% 4 entries; loc carries an
+    &amp; entity the kernel must decode, changefreq appears only on
+    even entries. The oracle replays every field analytically. The
+    nodes table is persisted because the operator's entry/field/text
+    legs are three consumers (xpath_lite cache contract)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.caching import attach_persists
+    from xhtml_parser_spark.operators import parse_nodes
+    from xhtml_parser_spark.operators.sitemap import parse_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    is_idx = did % 5 == 0
+    dids = did.cast("string")
+
+    def entry(i: F.Column) -> F.Column:
+        ist = i.cast("string")
+        lastmod = F.concat(
+            F.lit("<lastmod>2025-08-"),
+            F.lpad(((did + i) % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        )
+        return F.when(
+            is_idx,
+            F.concat(
+                F.lit("<sitemap><loc>https://s.example/"),
+                dids,
+                F.lit("/sm"),
+                ist,
+                F.lit(".xml</loc>"),
+                lastmod,
+                F.lit("</sitemap>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<url><loc>https://s.example/"),
+                dids,
+                F.lit("/"),
+                ist,
+                F.lit("?a=1&amp;b=2</loc>"),
+                lastmod,
+                F.when(i % 2 == 0, F.lit("<changefreq>daily</changefreq>"))
+                .otherwise(F.lit("")),
+                F.lit("<priority>0."),
+                ((did + i) % 10).cast("string"),
+                F.lit("</priority></url>"),
+            )
+        )
+
+    body = F.array_join(F.transform(F.sequence(F.lit(0), did % 4), entry), "")
+    xml = F.when(
+        is_idx, F.concat(F.lit("<sitemapindex>"), body, F.lit("</sitemapindex>"))
+    ).otherwise(F.concat(F.lit("<urlset>"), body, F.lit("</urlset>")))
+    nodes = parse_nodes(_pages_from_docs(docs, xml)).persist()
+    ent = parse_sitemaps(nodes)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("entry_id")
+    out = ent.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        "kind",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+    )
+    return attach_persists(out, nodes)
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (sources/warc.cdx_index): urls synthesized
+    with every SURT hazard at once -- mixed case, leading www,
+    explicit :443, unsorted query params -- capture timestamps spread
+    across days from doc_id seconds, payload = the document text. The
+    oracle replays the SURT key, the 14-digit timestamp, and the
+    SHA-256 digest analytically (DuckDB sha256(VARCHAR) hashes the
+    same UTF-8 bytes Spark's sha2(encode(text), 256) does)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.sources.warc import cdx_index
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://WWW.Host-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/P"),
+        F.col("doc_id").cast("string"),
+        F.lit("/x?b=2&a=1"),
+    )
+    pages = docs.select(
+        F.col("doc_id").alias("did"),
+        url.alias("url"),
+        # 2025-08-08T00:00:00Z + doc_id seconds (session pinned UTC)
+        F.timestamp_seconds(F.lit(1754611200) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("html"),
+    )
+    return cdx_index(pages).select("surt", "ts", "url", "digest", "length")
+
+
 def _divline_html() -> "F.Column":
     """One <div class="even|odd"><p>line</p></div> per text line
     (parity of the line index) -- the synthesis whose path-query
@@ -1159,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_parse_errors": q_xhtml_parse_errors,
         "xhtml_spans": q_xhtml_spans,
         "xhtml_attrs": q_xhtml_attrs,
+        "page_metadata": q_page_metadata,
+        "sitemap_entries": q_sitemap_entries,
+        "cdx_index": q_cdx_index,
         "xpath_lite": q_xpath_lite,
         "xpath_multi": q_xpath_multi,
         "image_codecs": q_image_codecs,
@@ -1429,6 +1589,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + len(string_split(coalesce(text, ''), chr(10)))
                         AS BIGINT)
             FROM documents
+        """,
+        # page_metadata replayed analytically: title is line 1 of the
+        # text (ws-only -> no text node -> ''), tok strips non-[a-z]
+        # from the first 24 chars, canonical is the FIRST rel=canonical
+        # link, n_meta counts all three meta elements
+        "page_metadata": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10))[1] AS line1,
+                     regexp_replace(substr(coalesce(text, ''), 1, 24),
+                                    '[^a-z]', '', 'g') AS tok,
+                     coalesce(lang, 'xx') AS lang_c
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(line1, {_WS_ONLY})
+                        THEN '' ELSE line1 END AS title,
+                   lang_c AS lang,
+                   'https://base.example/' || doc_id || '/' AS base_href,
+                   'https://canon.example/d/' || doc_id AS canonical,
+                   'd-' || tok AS meta_description,
+                   'og-' || tok AS og_title,
+                   CAST(3 AS INTEGER) AS n_meta
+            FROM b
+        """,
+        # CDX index replayed analytically: SURT reverses the host and
+        # sorts the query; ts counts doc_id seconds from 2025-08-08Z;
+        # the digest hashes the same UTF-8 bytes on both engines
+        "cdx_index": """
+            SELECT 'com,example,host-' || doc_id % 7 || ')/p'
+                     || doc_id || '/x?a=1&b=2' AS surt,
+                   strftime(TIMESTAMP '2025-08-08 00:00:00'
+                            + to_seconds(doc_id),
+                            '%Y%m%d%H%M%S') AS ts,
+                   'https://WWW.Host-' || doc_id % 7
+                     || '.Example.COM:443/P' || doc_id
+                     || '/x?b=2&a=1' AS url,
+                   sha256(coalesce(text, '')) AS digest,
+                   CAST(octet_length(encode(coalesce(text, '')))
+                        AS BIGINT) AS length
+            FROM documents
+        """,
+        # sitemap entries replayed analytically: docs with doc_id%5=0
+        # are <sitemapindex> docs (no changefreq/priority), the rest
+        # <urlset> docs; the &amp; in loc decodes to a literal '&'
+        "sitemap_entries": """
+            WITH e AS (
+              SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS i
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS idx,
+                   CASE WHEN doc_id % 5 = 0 THEN 'sitemap'
+                        ELSE 'url' END AS kind,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'https://s.example/' || doc_id || '/sm'
+                             || i || '.xml'
+                        ELSE 'https://s.example/' || doc_id || '/'
+                             || i || '?a=1&b=2' END AS loc,
+                   '2025-08-' ||
+                     lpad(CAST((doc_id + i) % 28 + 1 AS VARCHAR), 2, '0')
+                     AS lastmod,
+                   CASE WHEN doc_id % 5 != 0 AND i % 2 = 0
+                        THEN 'daily' END AS changefreq,
+                   CASE WHEN doc_id % 5 != 0
+                        THEN '0.' || (doc_id + i) % 10 END AS priority
+            FROM e
         """,
         "xpath_lite": """
             WITH l AS (

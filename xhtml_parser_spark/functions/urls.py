@@ -56,6 +56,45 @@ def normalize_url(url) -> "F.Column":
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
 
+def surt_key(url) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key, the sort key
+    of web-archive CDX indexes: host components reversed and
+    comma-joined, then ``)`` and the path+query, everything lowercased
+    -- ``https://www.Example.COM/A?b=2&a=1`` -> ``com,example)/a?a=1&b=2``.
+
+    The crawl subset implemented (documented, matching the public
+    webarchive-commons canonicalizer's common path): fragment dropped,
+    scheme dropped, default ports ``:80``/``:443`` stripped, one
+    leading ``www.`` stripped, query params sorted (tracking params
+    are NOT stripped here -- SURT keys identify captures, dedup keys
+    use normalize_url). No %-escape canonicalization or IDN mapping.
+    Pure codegen built-ins, same as normalize_url."""
+    u = F.regexp_replace(F.coalesce(url, F.lit("")), "#.*$", "")
+    rest = F.lower(F.regexp_replace(u, _SCHEME_RE, ""))
+    hostport = F.regexp_replace(
+        F.regexp_extract(rest, "^([^/?]*)", 1), ":(80|443)$", ""
+    )
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", ""
+    )
+    port = F.regexp_extract(hostport, "(:[0-9]+)$", 1)  # non-default only
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","), port
+    )
+    path = F.regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    qs = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != F.lit(""))),
+        "&",
+    )
+    return F.concat(
+        rev,
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
 def _remove_dot_segments(abs_path) -> "F.Column":
     """RFC 3986 §5.2.4 over an absolute path ("/"-rooted), as one
     aggregate fold over the split segments: "." drops, ".." pops,

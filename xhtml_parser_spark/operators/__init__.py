@@ -14,7 +14,9 @@ from .corpus import (
     remove_duplicate_ngrams,
 )
 from .textops import pii_scrub, gopher_quality, lm_surprisal
+from .metadata import page_metadata
 from .robots import parse_robots, robots_filter
+from .sitemap import parse_sitemaps
 from .charset import sniff_charset_pages, transcode_utf8
 
 __all__ = [
@@ -40,6 +42,8 @@ __all__ = [
     "pii_scrub",
     "gopher_quality",
     "lm_surprisal",
+    "page_metadata",
+    "parse_sitemaps",
     "parse_robots",
     "robots_filter",
     "sniff_charset_pages",

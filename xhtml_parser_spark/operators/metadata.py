@@ -1,0 +1,192 @@
+"""Head-metadata extraction: title / lang / base / canonical / meta tags.
+
+Every web pipeline needs the page's head metadata (title for snippets
+and dedup keys, ``lang`` for routing, ``rel=canonical`` for URL
+canonicalization, ``meta description`` / OpenGraph fields for quality
+and provenance).  ``page_metadata`` pulls all of them in ONE kernel
+parse: it runs ``operators.parse.parse_full`` (the parse-once-emit-
+everything Arrow pass) and then evaluates a handful of JVM-side
+higher-order array expressions over the per-document ``nodes``/
+``attrs`` arrays -- no second parse, no explode, no shuffle, no Python
+in the metadata stage.  At 100 TB the plan is a single map-side stage
+whose cost is the parse itself plus a few O(n) array scans per doc
+inside whole-stage codegen.
+
+Semantics (mirroring the reference's navigation/attribute rules):
+
+  * ``title``     -- concatenated descendant TEXT nodes of the FIRST
+                     ``<title>`` element, document order (reference
+                     ``Node::text`` over descendants,
+                     src/node.rs:214-253; the descendant range is the
+                     packed-DOM contiguity invariant
+                     ``id..last_descendant``).
+  * ``lang``      -- ``lang`` attribute of the first root element
+                     (first element child of node 0 -- multi-root
+                     documents take the first, matching
+                     ``Document::root``, src/document.rs:689-704).
+  * ``base_href`` -- ``href`` of the first ``<base>`` element.
+  * ``canonical`` -- ``href`` of the first ``<link>`` that carries
+                     ``rel="canonical"``.
+  * ``meta_description`` / ``og_title`` -- ``content`` of the first
+                     ``<meta>`` carrying ``name="description"`` /
+                     ``property="og:title"``.
+  * ``n_meta``    -- count of ``<meta>`` elements (whole document).
+
+"First" is document order everywhere, and attribute lookups are
+first-wins per node (duplicate attribute names keep the first, the
+reference ``get_attribute`` scan order, src/node.rs:674-705) --
+``F.filter`` preserves array order so ``element_at(.., 1)`` IS that
+scan.  Attribute values arrive entity-decoded + whitespace-normalized
+from the kernel (A12); they are raw crawl bytes, so every string
+output is gated by ``is_valid_utf8`` (ANSI ``decode`` raises on
+malformed bytes -- CLAUDE.md gotcha) and degrades to NULL, never an
+exception.  Documents that fail to parse yield a row with
+``parse_ok=false`` and all-NULL metadata, so a funnel can count them.
+
+Plan discipline: each derived value is staged as its own projection
+alias (one ``select`` per dependency level) -- passing non-trivial
+expressions into multiply-referencing helpers macro-expands the
+subtree (the extract_links 2.5->9.0 s lesson, CLAUDE.md).  The
+candidate-attribute arrays (``rel=canonical``, ``name=description``,
+``property=og:title``) are filtered FIRST (each is tiny on real
+pages) and only then cross-checked against the tag-filtered node
+arrays, so the nested ``exists`` scans are small-outer x small-inner,
+never nodes x attrs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.parser import ELEMENT, TEXT
+from .parse import parse_full
+
+
+def _first(arr: Column) -> Column:
+    """First element of a (possibly empty/null) array, else NULL
+    (try_element_at: ANSI element_at RAISES on empty arrays)."""
+    return F.try_element_at(arr, F.lit(1))
+
+
+def _utf8(col: Column) -> Column:
+    """Binary -> string, NULL on invalid UTF-8 (hostile-crawl gate)."""
+    return F.when(F.is_valid_utf8(col), F.decode(col, "UTF-8"))
+
+
+def page_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> one row per document:
+
+    (url, parse_ok, title, lang, base_href, canonical,
+     meta_description, og_title, n_meta)
+
+    One kernel parse (parse_full), then JVM-side array expressions;
+    map-side only.  See module docstring for exact semantics."""
+    full = parse_full(pages).select("url", "parse_ok", "nodes", "attrs")
+
+    el = lambda tag: F.filter(  # noqa: E731 -- local plan shorthand
+        F.col("nodes"),
+        lambda n: (n["kind"] == ELEMENT) & (n["tag"] == tag),
+    )
+
+    def attr_eq(name: str, value: bytes) -> Column:
+        return F.filter(
+            F.col("attrs"),
+            lambda a: (a["name"] == name) & (a["value"] == F.lit(value)),
+        )
+
+    # stage 1: tag- and candidate-filtered arrays (each tiny).
+    s1 = full.select(
+        "url",
+        "parse_ok",
+        "nodes",
+        "attrs",
+        _first(el("title")).alias("t_node"),
+        _first(el("base")).alias("base_node"),
+        _first(
+            F.filter(
+                F.col("nodes"),
+                lambda n: (n["kind"] == ELEMENT) & (n["parent_id"] == 0),
+            )
+        ).alias("root_node"),
+        el("link").alias("link_nodes"),
+        el("meta").alias("meta_nodes"),
+        attr_eq("rel", b"canonical").alias("canon_attrs"),
+        attr_eq("name", b"description").alias("desc_attrs"),
+        attr_eq("property", b"og:title").alias("og_attrs"),
+    )
+
+    # stage 2: resolve candidate attrs to owning nodes of the right
+    # tag (small-outer exists over small-inner), and the title's
+    # descendant text-node range.
+    def owned_by(cands: str, owners: str) -> Column:
+        return _first(
+            F.filter(
+                F.col(cands),
+                lambda a: F.exists(
+                    F.col(owners), lambda o: o["node_id"] == a["node_id"]
+                ),
+            )
+        )["node_id"]
+
+    s2 = s1.select(
+        "url",
+        "parse_ok",
+        "attrs",
+        F.col("t_node")["node_id"].alias("t_id"),
+        F.col("t_node")["last_descendant"].alias("t_ld"),
+        F.col("base_node")["node_id"].alias("base_nid"),
+        F.col("root_node")["node_id"].alias("root_nid"),
+        owned_by("canon_attrs", "link_nodes").alias("canon_nid"),
+        owned_by("desc_attrs", "meta_nodes").alias("desc_nid"),
+        owned_by("og_attrs", "meta_nodes").alias("og_nid"),
+        F.when(F.col("parse_ok"), F.size("meta_nodes")).alias("n_meta"),
+        F.filter(
+            F.col("nodes"), lambda n: n["kind"] == TEXT
+        ).alias("text_nodes"),
+    )
+
+    # stage 3: gather raw byte values (first-wins attr scans + the
+    # title text concatenation over the contiguity range).
+    def node_attr(nid: str, name: str) -> Column:
+        return _first(
+            F.filter(
+                F.col("attrs"),
+                lambda a: (a["node_id"] == F.col(nid)) & (a["name"] == name),
+            )
+        )["value"]
+
+    s3 = s2.select(
+        "url",
+        "parse_ok",
+        "n_meta",
+        F.when(
+            F.col("t_id").isNotNull(),
+            F.aggregate(
+                F.filter(
+                    F.col("text_nodes"),
+                    lambda t: (t["node_id"] > F.col("t_id"))
+                    & (t["node_id"] <= F.col("t_ld")),
+                ),
+                F.lit(b""),
+                lambda acc, t: F.concat(acc, t["text"]),
+            ),
+        ).alias("title_b"),
+        node_attr("root_nid", "lang").alias("lang_b"),
+        node_attr("base_nid", "href").alias("base_b"),
+        node_attr("canon_nid", "href").alias("canon_b"),
+        node_attr("desc_nid", "content").alias("desc_b"),
+        node_attr("og_nid", "content").alias("og_b"),
+    )
+
+    return s3.select(
+        "url",
+        "parse_ok",
+        _utf8(F.col("title_b")).alias("title"),
+        _utf8(F.col("lang_b")).alias("lang"),
+        _utf8(F.col("base_b")).alias("base_href"),
+        _utf8(F.col("canon_b")).alias("canonical"),
+        _utf8(F.col("desc_b")).alias("meta_description"),
+        _utf8(F.col("og_b")).alias("og_title"),
+        "n_meta",
+    )

@@ -583,6 +583,42 @@ def write_wat_shards(pages, out_dir: str) -> None:
     _write_shards(wat_metadata(pages), out_dir, "wat", write_wat_gz, ".wat.gz")
 
 
+def cdx_index(pages, num_partitions: int | None = None):
+    """CDX capture index of a pages DataFrame (url, warc_ts, html):
+
+    (surt, ts, url, digest, length)
+
+    -- the web-archive lookup artifact (Common Crawl publishes exactly
+    this next to its WARCs): ``surt`` is the SURT sort key
+    (functions.urls.surt_key), ``ts`` the 14-digit capture timestamp,
+    ``digest`` the SHA-256 hex of the raw payload (classic CDX uses
+    SHA-1-Base32; SHA-256 here so the DuckDB oracle can replay it --
+    the column is the content-identity role, not a wire format), and
+    ``length`` the payload octet count.
+
+    Scale shape: the index IS its global sort order, so the plan is
+    one range repartition on ``surt`` + in-partition sort -- writing
+    the partitions in order yields a globally sorted, binary-
+    searchable shard set (the ZipNum layout's precondition). Map-side
+    everything else; timestamps format in the session timezone (pin
+    UTC, as get_spark does)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urls import surt_key
+
+    keyed = pages.select(
+        surt_key(F.col("url")).alias("surt"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts"),
+        "url",
+        F.sha2(F.col("html"), 256).alias("digest"),
+        F.octet_length("html").cast("bigint").alias("length"),
+    )
+    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, "surt", "ts").sortWithinPartitions(
+        "surt", "ts"
+    )
+
+
 def write_warc_shards(pages, out_dir: str, html_col: str = "html") -> None:
     """Distributed WARC export of a pages DataFrame (url, warc_ts,
     <html_col>): one .warc.gz shard per partition, response records
