@@ -524,19 +524,29 @@ def q_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d % 3 == 0:
+                if d % 4 == 0:
                     arr = ((d * 7 + np.arange(192)) % 256).astype(
                         np.uint8
                     ).reshape(8, 8, 3)
                     payloads.append(encode_png(arr))
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     arr = pal[(d + xx + yy) % 4]
                     payloads.append(encode_gif(arr))
-                else:
+                elif d % 4 == 2:
                     v = (d * 31) % 256
                     arr = np.full((8, 8, 3), v, dtype=np.uint8)
                     payloads.append(
                         encode_jpeg(arr, quality_tables=ones)
+                    )
+                else:
+                    # SOF2 progressive: uniform gray under q=1 tables
+                    # reconstructs exactly, same as the baseline leg
+                    v = (d * 17) % 256
+                    arr = np.full((8, 8, 3), v, dtype=np.uint8)
+                    payloads.append(
+                        encode_jpeg(
+                            arr, quality_tables=ones, progressive=True
+                        )
                     )
                 ids.append(d)
             yield pd.DataFrame(
@@ -1691,10 +1701,11 @@ def oracle_sql() -> dict[str, str]:
         # every pixel byte replayed analytically: PNG = the byte
         # pattern itself; GIF = the fixed palette color at the
         # checkerboard index; JPEG gray-uniform with q=1 tables
-        # reconstructs the constant exactly
+        # reconstructs the constant exactly -- in BOTH the baseline
+        # (m=2) and progressive-SOF2 (m=3) streams
         "image_codecs": """
             WITH hx AS (
-              SELECT doc_id, doc_id % 3 AS m FROM documents
+              SELECT doc_id, doc_id % 4 AS m FROM documents
             )
             SELECT doc_id,
                    CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -1714,8 +1725,11 @@ def oracle_sql() -> dict[str, str]:
                            [CAST((doc_id + (i // 3) % 8 + (i // 3) // 8)
                                  % 4 AS INTEGER) + 1]
                            [CAST(i % 3 AS INTEGER) + 1])), 2, '0')), '')
-                     ELSE repeat(
+                     WHEN 2 THEN repeat(
                        lpad(lower(to_hex((doc_id * 31) % 256)), 2, '0'),
+                       192)
+                     ELSE repeat(
+                       lpad(lower(to_hex((doc_id * 17) % 256)), 2, '0'),
                        192)
                    END AS pix_hex
             FROM hx

@@ -97,10 +97,126 @@ def test_malformed_raises(mutate, why):
         decode_jpeg(mutate(good))
 
 
-def test_progressive_out_of_scope():
+def test_arithmetic_sof_out_of_scope():
     good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
-    # rewrite the SOF0 marker to SOF2 (progressive)
+    # rewrite SOF0 to SOF9 (arithmetic sequential): genuinely out of scope
+    at = good.index(b"\xff\xc0")
+    bad = good[:at] + b"\xff\xc9" + good[at + 2 :]
+    with pytest.raises(JpegError, match="baseline/progressive"):
+        decode_jpeg(bad)
+
+
+def test_baseline_stream_with_sof2_marker_rejected():
+    # a baseline stream whose SOF marker is flipped to SOF2 presents an
+    # interleaved full-band scan -- illegal progressive (T.81 G.1), and
+    # must raise rather than misdecode
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
     at = good.index(b"\xff\xc0")
     bad = good[:at] + b"\xff\xc2" + good[at + 2 :]
-    with pytest.raises(JpegError, match="baseline"):
+    with pytest.raises(JpegError):
         decode_jpeg(bad)
+
+
+# ------------------------------------------------------ progressive (SOF2)
+
+
+def _smooth_img(rng, shape):
+    base = np.linspace(0, 255, shape[1]).reshape(1, -1)
+    if len(shape) == 3:
+        base = base[:, :, None]
+        noise = rng.normal(0, 12, shape)
+    else:
+        noise = rng.normal(0, 12, shape)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape, kw",
+    [
+        ((17, 13), {}),
+        ((32, 32), {}),
+        ((23, 9, 3), {}),
+        ((64, 48, 3), {"subsample": True}),
+        ((40, 33, 3), {"subsample": True}),  # dummy blocks on both axes
+    ],
+)
+def test_progressive_decodes_pixel_identical_to_baseline(shape, kw):
+    """The progressive scan script transmits the SAME quantized
+    coefficients as the baseline stream, so the two decodes must agree
+    bit-for-bit -- on smooth data AND pure noise (worst-case EOB/ZRL/
+    refinement traffic), under standard and q=1 tables."""
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    q1 = (np.ones((8, 8), np.int32), np.ones((8, 8), np.int32))
+    for arr in (_smooth_img(rng, shape),
+                rng.integers(0, 256, shape, dtype=np.uint8)):
+        for qt in (None, q1):
+            prog = decode_jpeg(
+                encode_jpeg(arr, quality_tables=qt, progressive=True, **kw)
+            )[0]
+            base = decode_jpeg(encode_jpeg(arr, quality_tables=qt, **kw))[0]
+            assert np.array_equal(prog, base)
+
+
+def test_progressive_eob_runs_across_blocks():
+    """Mostly-uniform image: AC scans see long runs of all-zero blocks,
+    exercising EOBn codes with extension bits spanning many blocks."""
+    arr = np.full((64, 64), 128, np.uint8)
+    arr[5, 7] = 255
+    arr[40, 50] = 0
+    arr[63, 63] = 17
+    prog = decode_jpeg(encode_jpeg(arr, progressive=True))[0]
+    base = decode_jpeg(encode_jpeg(arr))[0]
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_exact_on_uniform_q1():
+    q1 = (np.ones((8, 8), np.int32), np.ones((8, 8), np.int32))
+    arr = np.full((24, 24), 77, np.uint8)
+    out, meta = decode_jpeg(
+        encode_jpeg(arr, quality_tables=q1, progressive=True)
+    )
+    assert int(np.abs(out[:, :, 0].astype(int) - 77).max()) == 0
+    assert (meta["width"], meta["height"]) == (24, 24)
+
+
+def test_progressive_truncation_classes():
+    """Progressive is the render-what-arrived format: truncation after
+    >=1 complete scan yields a partial image; truncation before any
+    scan raises."""
+    rng = np.random.default_rng(3)
+    arr = _smooth_img(rng, (48, 32, 3))
+    full = encode_jpeg(arr, progressive=True)
+    # before any scan data: raise
+    with pytest.raises(JpegError):
+        decode_jpeg(full[:40])
+    # mid-stream: either a JpegError (first scan incomplete) or a
+    # partial render of the completed passes; never garbage types
+    got_partial = False
+    for frac in (0.4, 0.7, 0.95):
+        cut = full[: int(len(full) * frac)]
+        try:
+            out, meta = decode_jpeg(cut)
+        except JpegError:
+            continue
+        assert out.shape == (48, 32, 3)
+        got_partial = True
+    assert got_partial
+    # a complete stream missing only the EOI still renders
+    out, _ = decode_jpeg(full[:-2])
+    assert np.array_equal(out, decode_jpeg(full)[0])
+
+
+def test_progressive_rejects_bad_scan_scripts():
+    rng = np.random.default_rng(4)
+    arr = _smooth_img(rng, (16, 16))
+    full = encode_jpeg(arr, progressive=True)
+    # corrupt the FIRST scan header (Se > 63 on a DC scan): before any
+    # scan has landed there is nothing to render, so it must raise
+    # (later-scan corruption degrades to a partial render instead --
+    # covered by test_progressive_truncation_classes)
+    at = full.index(b"\xff\xda")
+    ln = int.from_bytes(full[at + 2 : at + 4], "big")
+    hdr = bytearray(full[at : at + 2 + ln])
+    hdr[-2] = 200  # Se
+    with pytest.raises(JpegError):
+        decode_jpeg(full[:at] + bytes(hdr) + full[at + 2 + ln :])

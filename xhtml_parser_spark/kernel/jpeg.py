@@ -1,18 +1,27 @@
-"""Pure-stdlib baseline JPEG codec (SOF0): Huffman + IDCT in NumPy.
+"""Pure-stdlib JPEG codec: baseline (SOF0/1) AND progressive (SOF2).
 
 Third real image codec (after kernel/png.py and kernel/gif.py -- the
-sandbox has no image libraries): ``decode_jpeg`` turns real baseline
-JFIF bytes into pixel arrays -- marker walk (DQT 8/16-bit, DHT, SOF0/1,
-DRI, SOS), per-MCU Huffman entropy decode with byte-unstuffing and
+sandbox has no image libraries): ``decode_jpeg`` turns real JFIF bytes
+into pixel arrays -- marker walk (DQT 8/16-bit, DHT, SOF0/1/2, DRI,
+multi-SOS), per-MCU Huffman entropy decode with byte-unstuffing and
 restart-marker handling, de-zigzag + dequantize, orthonormal 8x8 IDCT
 as two matrix products, chroma upsampling for sampling factors 1-2
-(4:4:4 / 4:2:2 / 4:2:0), and BT.601 YCbCr -> RGB. Grayscale and
-3-component scans; progressive (SOF2), 12-bit, and arithmetic coding
-raise ``JpegError`` (documented scope -- baseline covers the
-overwhelming share of web JPEGs).
+(4:4:4 / 4:2:2 / 4:2:0), and BT.601 YCbCr -> RGB. Progressive streams
+get the full T.81 Annex G scan algebra: spectral selection,
+successive approximation (DC first/refine, AC first with EOB runs, AC
+refine with correction bits), interleaved DC scans, per-component
+block rasters for non-interleaved scans, and the format's signature
+robustness -- a stream truncated after >=1 complete scan renders the
+passes that arrived, exactly what browsers do with half-fetched crawl
+bytes. Grayscale and 3-component; 12-bit, arithmetic coding, and
+lossless/hierarchical SOFs raise ``JpegError`` (documented scope --
+baseline + progressive cover effectively all web JPEGs).
 
 ``encode_jpeg`` is the test-fixture writer (forward DCT + Annex K
-standard Huffman tables + optional 4:2:0 and restart intervals).
+standard Huffman tables + optional 4:2:0 and restart intervals;
+``progressive=True`` emits a libjpeg-style scan script carrying the
+SAME quantized coefficients, so progressive and baseline decodes are
+pixel-identical -- the differential the tests pin).
 JPEG is lossy, so the round-trip tests pin EXACTNESS where the math is
 exact -- uniform blocks and q=1 quantization tables reconstruct to
 max-error <= 2 -- and bound the error elsewhere (standard tables on
@@ -252,10 +261,15 @@ def encode_jpeg(
     quality_tables=None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder for (h, w, 3) RGB or (h, w, 1)/[h,w]
-    grayscale uint8. subsample=True uses 4:2:0 chroma;
-    restart_interval emits DRI + RSTn every N MCUs."""
+    """JFIF encoder for (h, w, 3) RGB or (h, w, 1)/[h,w] grayscale
+    uint8. subsample=True uses 4:2:0 chroma; restart_interval emits
+    DRI + RSTn every N MCUs (baseline only); progressive=True writes
+    SOF2 with a libjpeg-style spectral-selection + successive-
+    approximation scan script (same quantized coefficients as the
+    baseline path, so baseline and progressive decodes are pixel-
+    identical -- the differential the tests pin)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -306,6 +320,14 @@ def encode_jpeg(
         else:
             cbp = pad_to(planes[1], mcus_y * 8, mcus_x * 8)
             crp = pad_to(planes[2], mcus_y * 8, mcus_x * 8)
+
+    if progressive:
+        if restart_interval:
+            raise JpegError("restart intervals unsupported in "
+                            "progressive encode")
+        pl = [yp] if nch == 1 else [yp, cbp, crp]
+        qs = [qy] if nch == 1 else [qy, qc, qc]
+        return _encode_progressive(h, w, pl, qs, hs, mcus_x, mcus_y)
 
     enc_dc_y, _ = _build_huffman(*STD_DC_LUMA)
     enc_ac_y, _ = _build_huffman(*STD_AC_LUMA)
@@ -404,10 +426,250 @@ def encode_jpeg(
     return b"".join(out)
 
 
+# Flat Huffman tables for the progressive test encoder: every symbol
+# at one code length (canonical, prefix-free because count <= code
+# space). Annex K's AC tables lack the EOBn (r<<4, r>=1) symbols
+# progressive scans need, so the encoder ships its own DHTs -- any
+# conformant decoder (including this one) reads them from the stream.
+_FLAT_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8,
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(8k, 8m) padded plane -> (k, m, 64) quantized zigzag-order
+    coefficient blocks. Per-block _dct2, NOT a batched einsum: a
+    batched contraction sums in a different order and a coefficient
+    sitting exactly on a rounding boundary then quantizes off-by-one
+    vs the baseline encoder (measured), breaking the
+    progressive==baseline pixel-equality the tests pin."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(_dct2(blk) / q).astype(np.int64)
+            out[by, bx] = coef.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _encode_progressive(h, w, planes, qs, hs, mcus_x, mcus_y) -> bytes:
+    """Progressive (SOF2) writer over padded planes: a libjpeg-style
+    scan script -- interleaved DC first (Al=1), split luma spectral
+    bands at Al=2 refined in two steps, single-band chroma at Al=1,
+    then the DC refinement -- so a decoder must exercise every Annex G
+    path (interleaved DC, EOB runs across blocks, ZRL inside
+    refinements, multi-level successive approximation)."""
+    nch = len(planes)
+    enc_dc, _ = _build_huffman(*_FLAT_DC)
+    enc_ac, _ = _build_huffman(*_FLAT_AC)
+
+    zz = [_zz_blocks(p, q) for p, q in zip(planes, qs)]
+    samp = [(hs, hs), (1, 1), (1, 1)][:nch] if nch == 3 else [(1, 1)]
+    # component-raster block dims for non-interleaved scans
+    rast = []
+    for ch, cv in samp:
+        cw = -(-w * ch // (hs if nch == 3 else 1))
+        chh = -(-h * cv // (hs if nch == 3 else 1))
+        rast.append((-(-chh // 8), -(-cw // 8)))
+
+    def blocks_interleaved():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (ch, cv) in enumerate(samp):
+                    for sy in range(cv):
+                        for sx in range(ch):
+                            yield ci, zz[ci][my * cv + sy, mx * ch + sx]
+
+    def blocks_raster(ci):
+        bh_i, bw_i = rast[ci]
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                yield zz[ci][by, bx]
+
+    def dc_scan(bw_w, sel, ah, al):
+        pred = [0] * nch
+        it = (
+            blocks_interleaved()
+            if len(sel) > 1
+            else ((sel[0], blk) for blk in blocks_raster(sel[0]))
+        )
+        for ci, blk in it:
+            v = int(blk[0]) >> al
+            if ah == 0:
+                diff = v - pred[ci]
+                pred[ci] = v
+                mag, s = _encode_magnitude(diff)
+                code, ln = enc_dc[s]
+                bw_w.write(code, ln)
+                if s:
+                    bw_w.write(mag, s)
+            else:
+                bw_w.write(v & 1, 1)
+
+    def _flush_eob(bw_w, eobrun, pending):
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            bw_w.write(code, ln)
+            if r:
+                bw_w.write(eobrun - (1 << r), r)
+            for bit in pending:
+                bw_w.write(bit, 1)
+        return 0, []
+
+    def ac_first_scan(bw_w, ci, ss, se, al):
+        eobrun = 0
+        for blk in blocks_raster(ci):
+            band = [int(v) for v in blk[ss : se + 1]]
+            mags = [abs(v) >> al for v in band]
+            if not any(mags):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, _ = _flush_eob(bw_w, eobrun, [])
+                continue
+            eobrun, _ = _flush_eob(bw_w, eobrun, [])
+            r = 0
+            last_nz = max(j for j, m in enumerate(mags) if m)
+            for j, (v, m) in enumerate(zip(band, mags)):
+                if j > last_nz:
+                    break
+                if m == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = enc_ac[0xF0]
+                    bw_w.write(code, ln)
+                    r -= 16
+                sv = m if v > 0 else -m
+                magbits, s = _encode_magnitude(sv)
+                if s > 10:
+                    raise JpegError("coefficient exceeds table range")
+                code, ln = enc_ac[(r << 4) | s]
+                bw_w.write(code, ln)
+                bw_w.write(magbits, s)
+                r = 0
+            if last_nz < len(band) - 1:
+                eobrun += 1
+        _flush_eob(bw_w, eobrun, [])
+
+    def ac_refine_scan(bw_w, ci, ss, se, al):
+        eobrun, pending = 0, []
+        for blk in blocks_raster(ci):
+            band = [int(v) for v in blk[ss : se + 1]]
+            mags = [abs(v) >> al for v in band]
+            if 1 not in mags:
+                pending += [m & 1 for m in mags if m > 1]
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, pending = _flush_eob(bw_w, eobrun, pending)
+                continue
+            eobrun, pending = _flush_eob(bw_w, eobrun, pending)
+            k, n = 0, len(band)
+            while k < n:
+                kn = next((j for j in range(k, n) if mags[j] == 1), None)
+                if kn is None:
+                    break
+                nz = sum(1 for j in range(k, kn) if mags[j] == 0)
+                while nz > 15:
+                    code, ln = enc_ac[0xF0]
+                    bw_w.write(code, ln)
+                    skipped = 0
+                    while skipped < 16:  # decoder's ZRL advance, mirrored
+                        if mags[k] == 0:
+                            skipped += 1
+                        elif mags[k] > 1:
+                            bw_w.write(mags[k] & 1, 1)
+                        k += 1
+                    nz -= 16
+                code, ln = enc_ac[(nz << 4) | 1]
+                bw_w.write(code, ln)
+                bw_w.write(1 if band[kn] > 0 else 0, 1)
+                while k < kn:  # correction bits crossed by the advance
+                    if mags[k] > 1:
+                        bw_w.write(mags[k] & 1, 1)
+                    k += 1
+                k = kn + 1
+            if k < n:  # early block end joins an EOB run
+                pending = [mags[j] & 1 for j in range(k, n) if mags[j] > 1]
+                eobrun = 1
+        _flush_eob(bw_w, eobrun, pending)
+
+    if nch == 1:
+        script = [
+            ("dc", [0], 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("ac", 0, 1, 63, 1, 0),
+            ("dc", [0], 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+        ]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(seg(0xDB, bytes([0]) + bytes(
+        np.asarray(qs[0]).reshape(-1)[ZIGZAG].astype(np.uint8))))
+    if nch == 3:
+        out.append(seg(0xDB, bytes([1]) + bytes(
+            np.asarray(qs[1]).reshape(-1)[ZIGZAG].astype(np.uint8))))
+    comps = bytearray()
+    for i, (ch, cv) in enumerate(samp):
+        comps += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    out.append(seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+                   + bytes([nch]) + bytes(comps)))
+    out.append(seg(0xC4, bytes([0x00] + _FLAT_DC[0] + _FLAT_DC[1])))
+    out.append(seg(0xC4, bytes([0x10] + _FLAT_AC[0] + _FLAT_AC[1])))
+
+    for scan in script:
+        bw_w = _BitWriter()
+        if scan[0] == "dc":
+            _, sel, ah, al = scan
+            dc_scan(bw_w, sel, ah, al)
+            hdr = bytes([len(sel)]) + b"".join(
+                bytes([ci + 1, 0x00]) for ci in sel
+            ) + bytes([0, 0, (ah << 4) | al])
+        else:
+            _, ci, ss, se, ah, al = scan
+            if ah == 0:
+                ac_first_scan(bw_w, ci, ss, se, al)
+            else:
+                ac_refine_scan(bw_w, ci, ss, se, al)
+            hdr = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+        bw_w.flush()
+        out.append(seg(0xDA, hdr))
+        out.append(bytes(bw_w.buf))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 def decode_jpeg(b: bytes):
-    """Baseline (SOF0) JFIF decode -> ((h, w, 1|3) uint8, meta).
-    Supports 8-bit precision, 1 or 3 components, sampling factors 1-2,
-    restart intervals. Progressive (SOF2) and arithmetic coding raise."""
+    """Baseline (SOF0/1) AND progressive (SOF2) JFIF decode ->
+    ((h, w, 1|3) uint8, meta). Supports 8-bit precision, 1 or 3
+    components, sampling factors 1-2, restart intervals, and for
+    progressive streams the full spectral-selection + successive-
+    approximation scan algebra of T.81 Annex G (DC first/refine,
+    AC first with EOB runs, AC refine with correction bits).
+    12-bit, arithmetic coding, and lossless/hierarchical SOFs raise."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise JpegError("bad signature")
     pos = 2
@@ -415,13 +677,23 @@ def decode_jpeg(b: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     sof = None
+    progressive = False
+    coefs = None
+    n_scans = 0
     restart_interval = 0
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise JpegError("marker expected")
         marker = b[pos + 1]
         if marker == 0xD9:
+            if progressive and n_scans:
+                return _finish_progressive(sof, qt, coefs)
             raise JpegError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if pos + 4 > len(b):
+            raise JpegError("truncated segment")
         (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         payload = b[pos + 4 : pos + 2 + ln]
         if len(payload) != ln - 2:
@@ -455,7 +727,7 @@ def decode_jpeg(b: bytes):
                 p += 17 + n
                 _, dec = _build_huffman(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec = payload[0]
             if prec != 8:
                 raise JpegError("only 8-bit precision")
@@ -466,24 +738,282 @@ def decode_jpeg(b: bytes):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (hh, ww, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = True
+                coefs = _alloc_coefs(sof)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline (SOF0/1) supported")
+            raise JpegError("only baseline/progressive (SOF0/1/2)")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             if sof is None:
                 raise JpegError("SOS before SOF")
             ns = payload[0]
-            sel = {}
+            if not progressive:
+                sel = {}
+                for i in range(ns):
+                    cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]
+                    sel[cs] = (td_ta >> 4, td_ta & 15)
+                data = b[pos:]
+                return _decode_scan(sof, qt, huff_dc, huff_ac, sel, data,
+                                    restart_interval)
+            scan_comps = []
             for i in range(ns):
                 cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]
-                sel[cs] = (td_ta >> 4, td_ta & 15)
-            data = b[pos:]
-            return _decode_scan(sof, qt, huff_dc, huff_ac, sel, data,
-                                restart_interval)
-        # other markers (APPn, COM): skipped
+                scan_comps.append((cs, td_ta >> 4, td_ta & 15))
+            ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+            end = _entropy_end(b, pos)
+            try:
+                _decode_prog_scan(
+                    sof, coefs, huff_dc, huff_ac, scan_comps,
+                    ss, se, a >> 4, a & 15, b[pos:end], restart_interval,
+                )
+            except JpegError:
+                if n_scans:
+                    # truncated/corrupt later scan: render the passes
+                    # that completed (what browsers do -- progressive
+                    # is exactly the format designed for this)
+                    return _finish_progressive(sof, qt, coefs)
+                raise
+            n_scans += 1
+            pos = end
+        # other markers (APPn, COM, DNL): skipped
+    if progressive and n_scans:
+        # missing EOI after >=1 complete scan: render what arrived
+        # (progressive streams are exactly the format designed for it)
+        return _finish_progressive(sof, qt, coefs)
     raise JpegError("no SOS")
+
+
+def _entropy_end(b: bytes, pos: int) -> int:
+    """First marker (0xFF + non-stuffing, non-RST, non-fill byte) at or
+    after pos -- the end of an entropy-coded segment."""
+    p = pos
+    n = len(b)
+    while True:
+        i = b.find(b"\xff", p)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = b[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p = i + 2
+        elif nxt == 0xFF:
+            p = i + 1  # fill byte
+        else:
+            return i
+
+
+def _alloc_coefs(sof):
+    """Per-component zigzag-order coefficient store, padded to the
+    interleaved-MCU grid (dummy blocks included; they are cropped away
+    at reconstruction)."""
+    h, w, comps = sof
+    if not comps:
+        raise JpegError("no components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegError("sampling factors 1-2 only")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for cid, ch, cv, _ in comps
+    }
+
+
+def _comp_blocks(sof, cid):
+    """Non-interleaved scan geometry: the component's own block raster
+    (ceil(comp_w / 8) x ceil(comp_h / 8)), T.81 A.2.2."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ch, cv = next((c[1], c[2]) for c in comps if c[0] == cid)
+    cw = -(-w * ch // hmax)
+    chh = -(-h * cv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _refine_nonzero(br, blk, k, p1):
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3: magnitudes grow away from zero)."""
+    if br.read_bit():
+        if (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _decode_prog_scan(sof, coefs, huff_dc, huff_ac, scan_comps,
+                      ss, se, ah, al, data, restart_interval):
+    """One progressive scan into the coefficient store. Interleaved
+    scans (ns > 1) are DC-only per T.81 G.1; single-component scans
+    walk the component's own block raster."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    byc = {c[0]: (c[1], c[2]) for c in comps}
+    for cs, _, _ in scan_comps:
+        if cs not in byc:
+            raise JpegError("scan selects unknown component")
+    if se > 63 or ss > se or (ss == 0) != (se == 0):
+        raise JpegError("bad spectral selection")
+    interleaved = len(scan_comps) > 1
+    if interleaved and ss != 0:
+        raise JpegError("interleaved progressive scans are DC-only")
+
+    br = _BitReader(data)
+    pred = {cs: 0 for cs, _, _ in scan_comps}
+    state = {"eobrun": 0}
+
+    def dc_unit(blk, td):
+        if ah == 0:
+            if td not in huff_dc:
+                raise JpegError("missing DHT")
+            s = br.read_huff(huff_dc[td])
+            diff = _decode_magnitude(br.read_bits(s), s)
+            pred[cs] += diff
+            blk[0] = pred[cs] << al
+        else:
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(blk, dec_ac):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.read_huff(dec_ac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                return
+            k += r
+            if k > se:
+                raise JpegError("AC run past band")
+            blk[k] = _decode_magnitude(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, dec_ac):
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.read_huff(dec_ac)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # ZRL: r stays 15 -> skip 16 zero-history coefs
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise JpegError("bad AC refinement code")
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(br, blk, k, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise JpegError("refinement deposit past band")
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(br, blk, k, p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        cs0 = scan_comps[0][0]
+        bh_i, bw_i = _comp_blocks(sof, cs0)
+        n_units = bh_i * bw_i
+
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.n = 0
+            br.acc = 0
+            p = br.pos
+            if not (
+                p + 1 < len(br.data)
+                and br.data[p] == 0xFF
+                and 0xD0 <= br.data[p + 1] <= 0xD7
+            ):
+                raise JpegError("missing restart marker")
+            br.pos = p + 2
+            for c in pred:
+                pred[c] = 0
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for cs, td, _ in scan_comps:
+                ch, cv = byc[cs]
+                arr = coefs[cs]
+                for sy in range(cv):
+                    for sx in range(ch):
+                        dc_unit(arr[my * cv + sy, mx * ch + sx], td)
+        else:
+            cs, td, ta = scan_comps[0]
+            by, bx = divmod(u, bw_i)
+            blk = coefs[cs][by, bx]
+            if ss == 0:
+                dc_unit(blk, td)
+            else:
+                if ta not in huff_ac:
+                    raise JpegError("missing DHT")
+                if ah == 0:
+                    ac_first(blk, huff_ac[ta])
+                else:
+                    ac_refine(blk, huff_ac[ta])
+
+
+def _finish_progressive(sof, qt, coefs):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks), then the same upsample/crop/color tail as the
+    baseline path."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            raise JpegError("missing DQT")
+        zz = coefs[cid]
+        bh, bw = zz.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz
+        x = nat.reshape(bh, bw, 8, 8) * qt[tq]
+        # per-block _idct2, NOT a batched matmul/einsum: batched BLAS
+        # sums in a different order and flips ±1 pixels at rounding
+        # boundaries (measured), breaking the progressive==baseline
+        # bit-equality the tests pin. The entropy decode above is
+        # per-code Python anyway; this loop is not the bottleneck.
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(x[by, bx]) + 128.0
+                )
+        planes[cid] = plane
+    return _assemble(sof, planes, hmax, vmax)
 
 
 def _decode_scan(sof, qt, huff_dc, huff_ac, sel, data, restart_interval):
@@ -558,7 +1088,13 @@ def _decode_scan(sof, qt, huff_dc, huff_ac, sel, data, restart_interval):
                     px = (mx * ch + sx) * 8
                     planes[cid][py : py + 8, px : px + 8] = block
 
-    # upsample to full size, crop, color-convert
+    return _assemble(sof, planes, hmax, vmax)
+
+
+def _assemble(sof, planes, hmax, vmax):
+    """Upsample to full size, crop, color-convert (shared by the
+    baseline and progressive paths)."""
+    h, w, comps = sof
     full = []
     for cid, ch, cv, tq in comps:
         p = planes[cid]

@@ -5,19 +5,21 @@ the same posture as the ``html: binary`` pages column. All Spark-side
 plumbing (schemas, Arrow batch shapes, partition sizing) is real and
 tested. ALL THREE image codecs decode for REAL (kernel/png.py:
 zlib + NumPy unfilter; kernel/gif.py: pure-Python LZW; kernel/jpeg.py:
-baseline Huffman + NumPy IDCT), as does WAV PCM (the samples are
-already little-endian PCM in the data chunk), and MP4 demux is a REAL
-ISO-BMFF box walk + sample-table resolution (kernel/mp4.py); the
-remaining codec work (progressive JPEG, Vorbis, compressed-video
+baseline AND progressive Huffman + NumPy IDCT), as does WAV PCM (the
+samples are already little-endian PCM in the data chunk), and MP4
+demux is a REAL ISO-BMFF box walk + sample-table resolution
+(kernel/mp4.py); the remaining codec work (Vorbis, compressed-video
 bitstream decode) is stubbed because no media libraries exist in this
 container:
 
-  * ``decode_image`` decodes real PNG, GIF, and baseline-JPEG payloads
-    to pixel arrays (PNG: all 5 filters, depths 1-16, palette/tRNS,
+  * ``decode_image`` decodes real PNG, GIF, and JPEG payloads to
+    pixel arrays (PNG: all 5 filters, depths 1-16, palette/tRNS,
     exact; GIF: variable-width LZW, interlace, GCE transparency,
-    exact; JPEG: SOF0 Huffman + IDCT + 4:2:0/4:2:2 upsampling -- lossy
-    by nature, tested exact on DC-only content and error-bounded
-    elsewhere).
+    exact; JPEG: SOF0/1 baseline AND SOF2 progressive -- spectral
+    selection + successive approximation per T.81 Annex G -- with
+    4:2:0/4:2:2 upsampling; lossy by nature, tested exact on DC-only
+    content, error-bounded elsewhere, and progressive pinned
+    pixel-identical to baseline for the same coefficients).
   * ``decode_audio`` extracts real PCM samples from WAV payloads
     (int8/int16/int32, exact integer peak/RMS); compressed codecs
     (Ogg-Vorbis audio data) remain header-only.
