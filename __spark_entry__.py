@@ -354,6 +354,88 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_persists(out, nodes)
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/links.anchor_text_index): each doc
+    contributes three anchors whose targets/texts are pure functions of
+    doc_id (one text carries an &amp; entity the kernel must decode,
+    one target is a corpus-wide hub exercising the skew path); the
+    oracle regenerates the link rows, re-counts, and re-ranks in SQL."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.links import (
+        anchor_text_index, extract_links,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p><a href="https://t.example/'),
+        (did % 7).cast("string"),
+        F.lit('">'),
+        F.when(did % 2 == 0, F.lit("nav")).otherwise(F.lit("link")),
+        F.lit('</a> <a href="https://t.example/'),
+        ((did + 1) % 7).cast("string"),
+        F.lit('">read '),
+        (did % 3).cast("string"),
+        F.lit('</a> <a href="https://hub.example/">home &amp; hub</a>'),
+        F.lit("</p></body></html>"),
+    )
+    links = extract_links(_pages_from_docs(docs, html))
+    return anchor_text_index(links, k=5)
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/frontier.crawl_delta): old = every doc,
+    new = docs with doc_id%4 != 0 (%4==0 removed), text mutated for
+    %4==1 (changed), plus brand-new 'n<doc_id>' urls for %4==3 (added).
+    The oracle replays both digest columns and the status lattice."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.frontier import crawl_delta
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    old = docs.select(
+        did.cast("string").alias("url"),
+        F.encode(text, "UTF-8").alias("html"),
+    )
+    kept = docs.where(did % 4 != 0).select(
+        did.cast("string").alias("url"),
+        F.encode(
+            F.when(did % 4 == 1, F.concat(text, F.lit("!"))).otherwise(text),
+            "UTF-8",
+        ).alias("html"),
+    )
+    added = docs.where(did % 4 == 3).select(
+        F.concat(F.lit("n"), did.cast("string")).alias("url"),
+        F.encode(text, "UTF-8").alias("html"),
+    )
+    return crawl_delta(old, kept.unionByName(added))
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler (operators/frontier.fetch_schedule): five
+    hosts from doc_id arithmetic, priority doc_id%3, per-host
+    crawl-delay overrides for two hosts (broadcast dim). The oracle
+    replays the per-host (priority desc, url asc) slot assignment."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.frontier import fetch_schedule
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"), (did % 5).cast("string"),
+            F.lit(".example/"), did.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (did % 5).cast("string")).alias("host"),
+        (did % 3).alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        [("h0", 100), ("h1", 200)], "host string, delay_ms int"
+    )
+    return fetch_schedule(frontier, default_delay_ms=1000, delays=delays)
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (sources/warc.cdx_index): urls synthesized
     with every SURT hazard at once -- mixed case, leading www,
@@ -1329,6 +1411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "sitemap_entries": q_sitemap_entries,
         "cdx_index": q_cdx_index,
+        "anchor_index": q_anchor_index,
+        "crawl_delta": q_crawl_delta,
+        "fetch_schedule": q_fetch_schedule,
         "xpath_lite": q_xpath_lite,
         "xpath_multi": q_xpath_multi,
         "image_codecs": q_image_codecs,
@@ -1623,6 +1708,80 @@ def oracle_sql() -> dict[str, str]:
                    'og-' || tok AS og_title,
                    CAST(3 AS INTEGER) AS n_meta
             FROM b
+        """,
+        # anchor index replayed analytically: regenerate the three
+        # link rows per doc, re-count per (target, anchor), re-rank
+        # (cnt desc, anchor asc), keep the top 5 per target
+        "anchor_index": """
+            WITH links AS (
+              SELECT 'https://t.example/' || doc_id % 7 AS target,
+                     CASE WHEN doc_id % 2 = 0 THEN 'nav'
+                          ELSE 'link' END AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'https://t.example/' || (doc_id + 1) % 7,
+                     'read ' || doc_id % 3
+              FROM documents
+              UNION ALL
+              SELECT 'https://hub.example/', 'home & hub' FROM documents
+            ), c AS (
+              SELECT target, anchor, COUNT(*) AS cnt
+              FROM links GROUP BY target, anchor
+            ), r AS (
+              SELECT target, anchor, cnt,
+                     CAST(row_number() OVER (
+                       PARTITION BY target
+                       ORDER BY cnt DESC, anchor) AS INTEGER) AS rnk
+              FROM c
+            )
+            SELECT target, anchor, cnt, rnk FROM r WHERE rnk <= 5
+        """,
+        # crawl delta replayed analytically: digests are sha256 over
+        # the same UTF-8 bytes on both engines; the status lattice
+        # follows doc_id % 4 (0 removed, 1 changed, 2 same, 3 same +
+        # a brand-new 'n<doc_id>' url)
+        "crawl_delta": """
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS tx,
+                     doc_id % 4 AS m
+              FROM documents
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CASE m WHEN 0 THEN 'removed'
+                          WHEN 1 THEN 'changed'
+                          ELSE 'same' END AS status,
+                   sha256(tx) AS old_digest,
+                   CASE WHEN m = 0 THEN NULL
+                        WHEN m = 1 THEN sha256(tx || '!')
+                        ELSE sha256(tx) END AS new_digest
+            FROM t
+            UNION ALL
+            SELECT 'n' || doc_id, 'added', NULL, sha256(tx)
+            FROM t WHERE m = 3
+        """,
+        # fetch schedule replayed analytically: slot = per-host
+        # row_number ordered (priority desc, url asc) minus 1;
+        # fetch_at = slot * the host's delay (h0=100, h1=200, rest 1000)
+        "fetch_schedule": """
+            WITH f AS (
+              SELECT 'https://h' || doc_id % 5 || '.example/' || doc_id
+                       AS url,
+                     'h' || doc_id % 5 AS host,
+                     doc_id % 3 AS priority
+              FROM documents
+            ), r AS (
+              SELECT url, host,
+                     CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot
+              FROM f
+            )
+            SELECT url, host, slot,
+                   CAST(slot * CASE host WHEN 'h0' THEN 100
+                                         WHEN 'h1' THEN 200
+                                         ELSE 1000 END AS BIGINT)
+                     AS fetch_at_ms
+            FROM r
         """,
         # CDX index replayed analytically: SURT reverses the host and
         # sorts the query; ts counts doc_id seconds from 2025-08-08Z;

@@ -224,3 +224,79 @@ def test_extract_links_survives_non_utf8_bytes(spark):
     assert r2["link_url"] is None and r2["link_host"] is None
     r3 = got["http://l.test/clean"]
     assert r3["href"] == "/ok" and r3["anchor_text"] == "fine"
+
+
+def test_anchor_text_index(spark):
+    """Top-k inbound anchor texts per target: counting, deterministic
+    tie-breaks, k cap, and the drop rules (null/empty anchors,
+    non-http targets); the salted two-phase must equal the naive
+    single-window ranking."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xhtml_parser_spark.operators.links import anchor_text_index
+
+    rows = []
+    # t1: 'a' x3, 'b' x3 (tie -> alphabetical), 'c' x2, 'd'..'f' x1
+    rows += [("t", "https://t.example/1", x) for x in
+             ["a", "a", "a", "b", "b", "b", "c", "c", "d", "e", "f"]]
+    # t2: single anchor, plus whitespace-trim merge (' x ' == 'x')
+    rows += [("t", "https://t.example/2", " x "),
+             ("t", "https://t.example/2", "x")]
+    # dropped: empty/whitespace/null anchors, non-http target
+    rows += [("t", "https://t.example/1", "  "),
+             ("t", "https://t.example/1", None),
+             ("t", "mailto:a@b.c", "mail me"),
+             ("t", None, "dangling")]
+    links = spark.createDataFrame(
+        rows, "url string, link_url string, anchor_text string"
+    )
+    out = anchor_text_index(links, k=5, n_salts=4).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["target"], []).append(r)
+    t1 = sorted(by_t["https://t.example/1"], key=lambda r: r["rnk"])
+    assert [(r["anchor"], r["cnt"], r["rnk"]) for r in t1] == [
+        ("a", 3, 1), ("b", 3, 2), ("c", 2, 3), ("d", 1, 4), ("e", 1, 5),
+    ]  # 'f' cut by k=5; tie a/b broken alphabetically
+    t2 = by_t["https://t.example/2"]
+    assert [(t2[0]["anchor"], t2[0]["cnt"])] == [("x", 2)]
+    assert set(by_t) == {"https://t.example/1", "https://t.example/2"}
+
+    # differential: two-phase == naive single window on random data
+    import random
+
+    rng = random.Random(7)
+    big = [
+        ("u", f"https://s.example/{rng.randrange(5)}",
+         f"anchor-{rng.randrange(9)}")
+        for _ in range(500)
+    ]
+    bl = spark.createDataFrame(
+        big, "url string, link_url string, anchor_text string"
+    )
+    got = {
+        (r["target"], r["anchor"], r["cnt"], r["rnk"])
+        for r in anchor_text_index(bl, k=3, n_salts=4).collect()
+    }
+    naive = (
+        bl.groupBy(
+            F.col("link_url").alias("target"),
+            F.col("anchor_text").alias("anchor"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("target").orderBy(
+                    F.desc("cnt"), F.asc("anchor")
+                )
+            ).cast("int"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+    want = {
+        (r["target"], r["anchor"], r["cnt"], r["rnk"])
+        for r in naive.collect()
+    }
+    assert got == want

@@ -1,5 +1,6 @@
 from .parse import parse_pages, parse_nodes, parse_attrs, parse_full, PARSED_SCHEMA
-from .links import extract_links, host_link_graph, pagerank
+from .frontier import crawl_delta, fetch_schedule
+from .links import anchor_text_index, extract_links, host_link_graph, pagerank
 from .corpus import (
     host_cap,
     hash_sample,
@@ -25,7 +26,10 @@ __all__ = [
     "parse_attrs",
     "parse_full",
     "PARSED_SCHEMA",
+    "anchor_text_index",
+    "crawl_delta",
     "extract_links",
+    "fetch_schedule",
     "host_link_graph",
     "pagerank",
     "host_cap",

@@ -383,3 +383,51 @@ def pagerank(
             r = r.localCheckpoint()
     e.unpersist()
     return r.select("node", F.col("rank").cast("bigint").alias("rank_scaled"))
+
+
+def anchor_text_index(links: DataFrame, k: int = 5, n_salts: int = 16) -> DataFrame:
+    """Inbound anchor-text index: for every link TARGET, the top-k most
+    frequent anchor texts across the corpus -- the classic
+    query-independent relevance/label signal (anchor text describes the
+    target better than the target describes itself), and a standard
+    training-corpus artifact.
+
+    Input is the ``extract_links`` output (``link_url``,
+    ``anchor_text``). Output (target, anchor, cnt, rnk) with rnk in
+    1..k, ordered by (cnt desc, anchor asc) -- fully deterministic.
+
+    Scale shape: one partial-aggregated hash shuffle for the
+    (target, anchor) counts, then the same skew-safe TWO-PHASE top-k
+    as ``corpus.host_cap``: phase 1 ranks per (target, salt) where
+    salt = xxhash64(anchor) %% n_salts and keeps k rows per shard, so
+    phase 2's per-target input is bounded at n_salts * k no matter how
+    many distinct anchors a hub page attracts -- a single row_number
+    over target would funnel https://home-pages through one task."""
+    base = links.where(
+        F.col("link_url").isNotNull()
+        & F.col("link_url").startswith("http")
+        & F.col("anchor_text").isNotNull()
+        & (F.trim(F.col("anchor_text")) != "")
+    ).select(
+        F.col("link_url").alias("target"),
+        F.trim(F.col("anchor_text")).alias("anchor"),
+    )
+    counts = base.groupBy("target", "anchor").agg(F.count("*").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    salt = F.pmod(F.xxhash64("anchor"), F.lit(n_salts))
+    w1 = Window.partitionBy("target", "salt").orderBy(
+        F.desc("cnt"), F.asc("anchor")
+    )
+    phase1 = (
+        counts.withColumn("salt", salt)
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("target").orderBy(F.desc("cnt"), F.asc("anchor"))
+    return (
+        phase1.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select("target", "anchor", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )
