@@ -280,6 +280,51 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-parse superpass (operators/metadata.web_record):
+    extracted text + main text + head metadata + href list from a
+    single kernel parse. Synthesis mirrors xhtml_main_text's
+    boilerplate structure (nav/footer stripped from main) plus a
+    canonical link and meta description; every output column is
+    replayed analytically."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators.metadata import web_record
+
+    docs = _docs(spark, sf_dir)
+    tok = F.regexp_replace(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 24), "[^a-z]", ""
+    )
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.coalesce(F.col("lang"), F.lit("xx")),
+        F.lit('"><head><title>T</title>'),
+        F.lit('<link rel="canonical" href="https://canon.example/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"/><meta name="description" content="d-'),
+        tok,
+        F.lit('"/></head><body>'),
+        F.lit('<nav><ul><li><a href="/m">menu one</a></li></ul></nav>'),
+        F.lit('<p class="c">'),
+        esc(F.col("text")),
+        F.lit('</p><footer><a href="/t">terms</a></footer></body></html>'),
+    )
+    rec = web_record(_pages_from_docs(docs, html))
+    return rec.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "title",
+        "lang",
+        "canonical",
+        "meta_description",
+        F.col("n_meta").cast("int").alias("n_meta"),
+        "text",
+        "text_main",
+        F.col("n_nodes").cast("int").alias("n_nodes"),
+        "links",
+        F.col("n_links").cast("int").alias("n_links"),
+    )
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap / sitemap-index parsing (operators/sitemap.py): per doc
     a spec-shaped sitemap is synthesized from doc_id arithmetic --
@@ -710,6 +755,69 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
         F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+def q_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless audio codec end-to-end through Spark with a full
+    SQL oracle: per document a deterministic stereo PCM signal
+    (n = 50 + doc_id %% 20 frames, left[i] = ((doc_id*37 + i*101) %%
+    4001) - 2000, right = -left) is FLAC-encoded by kernel/flac.py --
+    the stereo mode cycles through all four decorrelation modes by
+    doc_id %% 4 and every fifth doc adds a genuine LPC subframe -- and
+    decoded by decode_audio. Losslessness makes the oracle exact: it
+    replays every interleaved little-endian PCM byte analytically."""
+    _ensure_pkg(spark)
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from xhtml_parser_spark.operators.multimodal import decode_audio
+
+    docs = _docs(spark, sf_dir)
+    media_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ])
+    modes = ["independent", "left_side", "right_side", "mid_side"]
+
+    def make_media(it):
+        import numpy as np
+        import pandas as pd
+
+        from xhtml_parser_spark.kernel.flac import encode_flac
+
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 50 + d % 20
+                i = np.arange(n, dtype=np.int64)
+                left = ((d * 37 + i * 101) % 4001 - 2000).astype(np.int32)
+                st = np.stack([left, -left], axis=1)
+                payloads.append(
+                    encode_flac(
+                        st,
+                        sample_rate=16000,
+                        blocksize=32,  # multiple frames per doc
+                        stereo_mode=modes[d % 4],
+                        lpc_order=4 if d % 5 == 0 else 0,
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "audio",
+                 "payload": payloads, "mime": "audio/flac"}
+            )
+
+    media = docs.select("doc_id").mapInPandas(make_media, media_schema)
+    return decode_audio(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("peak").cast("bigint").alias("peak"),
+        F.lower(F.hex(F.col("pcm"))).alias("pcm_hex"),
     )
 
 
@@ -1409,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xhtml_spans": q_xhtml_spans,
         "xhtml_attrs": q_xhtml_attrs,
         "page_metadata": q_page_metadata,
+        "web_record": q_web_record,
         "sitemap_entries": q_sitemap_entries,
         "cdx_index": q_cdx_index,
         "anchor_index": q_anchor_index,
@@ -1418,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_multi": q_xpath_multi,
         "image_codecs": q_image_codecs,
         "video_frames": q_video_frames,
+        "audio_codecs": q_audio_codecs,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
         "dedup_exact": q_dedup_exact,
@@ -1800,6 +1910,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS length
             FROM documents
         """,
+        # web_record replayed analytically: text = concatenated text
+        # nodes in document order (ws-only body text yields no node),
+        # main = the body paragraph (nav/footer/head stripped), links =
+        # the three hrefs in document order
+        "web_record": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, ''),
+                                    ' ' || chr(9) || chr(10) || chr(13)
+                                        || chr(11) || chr(12)) = ''
+                          THEN '' ELSE coalesce(text, '') END AS body,
+                     regexp_replace(substr(coalesce(text, ''), 1, 24),
+                                    '[^a-z]', '', 'g') AS tok,
+                     coalesce(lang, 'xx') AS lang_c
+              FROM documents
+            )
+            SELECT doc_id,
+                   'T' AS title,
+                   lang_c AS lang,
+                   'https://canon.example/d/' || doc_id AS canonical,
+                   'd-' || tok AS meta_description,
+                   CAST(1 AS INTEGER) AS n_meta,
+                   'Tmenu one' || body || 'terms' AS text,
+                   body AS text_main,
+                   CAST(16 + CASE WHEN body = '' THEN 0 ELSE 1 END
+                        AS INTEGER) AS n_nodes,
+                   'https://canon.example/d/' || doc_id ||
+                     chr(10) || '/m' || chr(10) || '/t' AS links,
+                   CAST(3 AS INTEGER) AS n_links
+            FROM b
+        """,
         # sitemap entries replayed analytically: docs with doc_id%5=0
         # are <sitemapindex> docs (no changefreq/priority), the rest
         # <urlset> docs; the &amp; in loc decodes to a literal '&'
@@ -1892,6 +2033,37 @@ def oracle_sql() -> dict[str, str]:
                        192)
                    END AS pix_hex
             FROM hx
+        """,
+        # FLAC is lossless, so the oracle replays every interleaved
+        # little-endian int16 byte: u = two's complement of the sample,
+        # bytes (u%256, u//256), left then right per frame
+        "audio_codecs": """
+            WITH a AS (
+              SELECT doc_id, 50 + doc_id % 20 AS n FROM documents
+            ), s AS (
+              SELECT doc_id, n, unnest(range(0, n)) AS i FROM a
+            ), v AS (
+              SELECT doc_id, n, i,
+                     (doc_id * 37 + i * 101) % 4001 - 2000 AS l
+              FROM s
+            ), hx AS (
+              SELECT doc_id, n, i,
+                     lpad(lower(to_hex((l + 65536) % 65536 % 256)), 2, '0')
+                     || lpad(lower(to_hex((l + 65536) % 65536 // 256)),
+                             2, '0')
+                     || lpad(lower(to_hex((-l + 65536) % 65536 % 256)),
+                             2, '0')
+                     || lpad(lower(to_hex((-l + 65536) % 65536 // 256)),
+                             2, '0') AS frame_hex,
+                     abs(l) AS al
+              FROM v
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(max(al) AS BIGINT) AS peak,
+                   string_agg(frame_hex, '' ORDER BY i) AS pcm_hex
+            FROM hx
+            GROUP BY doc_id, n
         """,
         # MP4 demux replayed analytically: n = 2 + doc_id % 3 frames,
         # every_n=2 sampling keeps the even indices, frame byte j of

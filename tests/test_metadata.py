@@ -122,3 +122,49 @@ def test_page_metadata_plan_is_map_side(spark):
     )
     assert "Exchange" not in plan
     assert plan.count("MapInArrow") == 1
+
+
+def test_web_record_superpass(spark):
+    """One parse -> text + main + metadata + links; fields agree with
+    the dedicated operators and the plan stays a single map-side pass."""
+    from xhtml_parser_spark.operators.metadata import page_metadata, web_record
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                bytearray(
+                    b'<html lang="de"><head><title>Ti</title>'
+                    b'<link rel="canonical" href="https://c.example/1"/>'
+                    b"</head><body>"
+                    b'<nav><a href="/m">menu</a></nav>'
+                    b"<p>real body</p>"
+                    b'<a href="/x?a=1&amp;2">z</a><a href="\xff\xfe">b</a>'
+                    b"</body></html>"
+                ),
+            ),
+            ("u2", bytearray(b"<root><child>Content")),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in web_record(pages).collect()}
+    r = rows["u1"]
+    assert (r["title"], r["lang"], r["canonical"]) == (
+        "Ti", "de", "https://c.example/1")
+    assert r["text_main"] == "real body"
+    assert r["text"] == "Timenureal bodyzb"  # all text nodes, doc order
+    # hrefs in document order; the invalid-UTF-8 href is dropped
+    assert r["links"] == "https://c.example/1\n/m\n/x?a=1&2"
+    assert r["n_links"] == 3
+    bad = rows["u2"]
+    assert bad["parse_ok"] is False and bad["title"] is None
+    # metadata fields equal the dedicated operator's
+    meta = {m["url"]: m for m in page_metadata(pages).collect()}
+    for f in ("title", "lang", "canonical", "meta_description", "n_meta"):
+        assert r[f] == meta["u1"][f], f
+    # plan: ONE parse, zero shuffle
+    plan = (
+        web_record(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1

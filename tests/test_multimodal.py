@@ -429,3 +429,41 @@ def test_frame_sample_real_mp4(spark):
     assert [(r["frame_idx"], bytes(r["frame"])) for r in got] == [
         (0, frames[0]), (3, frames[3]), (6, frames[6])
     ]
+
+
+def test_decode_audio_real_flac(spark):
+    """FLAC decode is real and lossless through the Arrow operator:
+    samples byte-identical to the source PCM, exact peak, STREAMINFO
+    meta; hostile payloads degrade, never crash."""
+    from xhtml_parser_spark.kernel.flac import encode_flac
+    from xhtml_parser_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_meta,
+    )
+
+    n = 6000
+    t = np.arange(n)
+    left = (9000 * np.sin(t / 17)).astype(np.int32)
+    right = -left // 2
+    left[77] = -31111  # known peak
+    st = np.stack([left, right], axis=1)
+    flac = encode_flac(st, sample_rate=22050, stereo_mode="mid_side",
+                       lpc_order=4)
+    good = encode_flac(st, sample_rate=22050)
+    rows = [
+        (1, "audio", flac, "audio/flac"),
+        (2, "audio", good[: len(good) // 3], "audio/flac"),  # truncated
+        (3, "audio", b"fLaC" + b"\x00" * 3, "audio/flac"),   # bad meta
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    r = got[1]
+    assert (r["format"], r["channels"], r["sample_rate"],
+            r["bits_per_sample"], r["n_frames"], r["peak"], r["valid"]) == (
+        "flac", 2, 22050, 16, n, 31111, "ok")
+    assert bytes(r["pcm"]) == st.astype("<i2").tobytes()
+    assert got[2]["valid"] == "decode-error"
+    assert got[3]["valid"] == "truncated"
+    meta = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert meta[1]["duration_ms"] == n * 1000 // 22050
+    assert meta[1]["valid"] == "ok"

@@ -15,7 +15,7 @@ from .corpus import (
     remove_duplicate_ngrams,
 )
 from .textops import pii_scrub, gopher_quality, lm_surprisal
-from .metadata import page_metadata
+from .metadata import page_metadata, web_record
 from .robots import parse_robots, robots_filter
 from .sitemap import parse_sitemaps
 from .charset import sniff_charset_pages, transcode_utf8
@@ -52,4 +52,5 @@ __all__ = [
     "robots_filter",
     "sniff_charset_pages",
     "transcode_utf8",
+    "web_record",
 ]

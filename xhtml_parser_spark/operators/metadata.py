@@ -82,7 +82,18 @@ def page_metadata(pages: DataFrame) -> DataFrame:
 
     One kernel parse (parse_full), then JVM-side array expressions;
     map-side only.  See module docstring for exact semantics."""
-    full = parse_full(pages).select("url", "parse_ok", "nodes", "attrs")
+    return page_metadata_from_full(
+        parse_full(pages).select("url", "parse_ok", "nodes", "attrs")
+    )
+
+
+def page_metadata_from_full(full: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Metadata stages over an already-parsed ``parse_full`` projection
+    (url, parse_ok, nodes, attrs, *extra). ``extra`` columns are
+    threaded through every stage untouched -- this is what lets
+    ``web_record`` fuse text + links + metadata onto ONE parse instead
+    of joining three separately-parsed outputs."""
+    extra = tuple(extra)
 
     el = lambda tag: F.filter(  # noqa: E731 -- local plan shorthand
         F.col("nodes"),
@@ -99,6 +110,7 @@ def page_metadata(pages: DataFrame) -> DataFrame:
     s1 = full.select(
         "url",
         "parse_ok",
+        *extra,
         "nodes",
         "attrs",
         _first(el("title")).alias("t_node"),
@@ -132,6 +144,7 @@ def page_metadata(pages: DataFrame) -> DataFrame:
     s2 = s1.select(
         "url",
         "parse_ok",
+        *extra,
         "attrs",
         F.col("t_node")["node_id"].alias("t_id"),
         F.col("t_node")["last_descendant"].alias("t_ld"),
@@ -159,6 +172,7 @@ def page_metadata(pages: DataFrame) -> DataFrame:
     s3 = s2.select(
         "url",
         "parse_ok",
+        *extra,
         "n_meta",
         F.when(
             F.col("t_id").isNotNull(),
@@ -182,6 +196,7 @@ def page_metadata(pages: DataFrame) -> DataFrame:
     return s3.select(
         "url",
         "parse_ok",
+        *extra,
         _utf8(F.col("title_b")).alias("title"),
         _utf8(F.col("lang_b")).alias("lang"),
         _utf8(F.col("base_b")).alias("base_href"),
@@ -189,4 +204,63 @@ def page_metadata(pages: DataFrame) -> DataFrame:
         _utf8(F.col("desc_b")).alias("meta_description"),
         _utf8(F.col("og_b")).alias("og_title"),
         "n_meta",
+    )
+
+
+def web_record(pages: DataFrame) -> DataFrame:
+    """The one-parse superpass: everything a web-corpus builder wants
+    per page -- extracted text, boilerplate-stripped main text, head
+    metadata, outgoing hrefs -- from a SINGLE kernel parse.
+
+    (url, parse_ok, title, lang, base_href, canonical,
+     meta_description, og_title, n_meta, text, text_main, n_nodes,
+     links, n_links)
+
+    ``links`` is the newline-joined href attribute values in document
+    order (raw, entity-decoded by the kernel; invalid-UTF-8 hrefs are
+    dropped) -- the quick-scan form; ``extract_links`` remains the
+    precise per-link operator (tag-filtered, resolved, normalized,
+    with anchor text). At 100 TB this operator is the economics
+    argument made executable: running parse_pages + page_metadata +
+    extract_links separately parses every document three times;
+    web_record's plan is ONE MapInArrow stage plus codegen projections
+    (zero shuffle, plan-tested)."""
+    full = parse_full(pages).select(
+        "url", "parse_ok", "nodes", "attrs", "text", "text_main", "n_nodes"
+    )
+    # stage 0: href values in document order (one O(A) array filter)
+    full = full.select(
+        "url",
+        "parse_ok",
+        "nodes",
+        "attrs",
+        "text",
+        "text_main",
+        "n_nodes",
+        F.filter(
+            F.col("attrs"), lambda a: a["name"] == "href"
+        ).alias("href_attrs"),
+    )
+    meta = page_metadata_from_full(
+        full, extra=("text", "text_main", "n_nodes", "href_attrs")
+    )
+    links = F.filter(
+        F.transform(F.col("href_attrs"), lambda a: _utf8(a["value"])),
+        lambda v: v.isNotNull(),
+    )
+    return meta.select(
+        "url",
+        "parse_ok",
+        "title",
+        "lang",
+        "base_href",
+        "canonical",
+        "meta_description",
+        "og_title",
+        "n_meta",
+        _utf8(F.col("text")).alias("text"),
+        _utf8(F.col("text_main")).alias("text_main"),
+        "n_nodes",
+        F.array_join(links, "\n").alias("links"),
+        F.size(links).cast("int").alias("n_links"),
     )

@@ -5,12 +5,14 @@ the same posture as the ``html: binary`` pages column. All Spark-side
 plumbing (schemas, Arrow batch shapes, partition sizing) is real and
 tested. ALL THREE image codecs decode for REAL (kernel/png.py:
 zlib + NumPy unfilter; kernel/gif.py: pure-Python LZW; kernel/jpeg.py:
-baseline AND progressive Huffman + NumPy IDCT), as does WAV PCM (the
-samples are already little-endian PCM in the data chunk), and MP4
-demux is a REAL ISO-BMFF box walk + sample-table resolution
-(kernel/mp4.py); the remaining codec work (Vorbis, compressed-video
-bitstream decode) is stubbed because no media libraries exist in this
-container:
+baseline AND progressive Huffman + NumPy IDCT), as do BOTH audio
+paths -- WAV PCM (the samples are already little-endian PCM in the
+data chunk) and FLAC (kernel/flac.py: a genuine lossless decoder --
+Rice residuals, fixed + LPC predictors, stereo decorrelation, CRC
+validation) -- and MP4 demux is a REAL ISO-BMFF box walk +
+sample-table resolution (kernel/mp4.py); the remaining codec work
+(Vorbis, compressed-video bitstream decode) is stubbed because no
+media libraries exist in this container:
 
   * ``decode_image`` decodes real PNG, GIF, and JPEG payloads to
     pixel arrays (PNG: all 5 filters, depths 1-16, palette/tRNS,
@@ -304,9 +306,10 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
-    """Header-only audio metadata: RIFF/WAVE fmt+data chunk walk, and
-    Ogg-Vorbis identification header + last-page granule position.
-    Pure byte arithmetic, no codec (mirrors _sniff_image)."""
+    """Header-only audio metadata: RIFF/WAVE fmt+data chunk walk,
+    FLAC STREAMINFO, and Ogg-Vorbis identification header + last-page
+    granule position. Pure byte arithmetic, no codec (mirrors
+    _sniff_image)."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         ch = sr = bits = byte_rate = 0
         data_size = -1
@@ -327,6 +330,16 @@ def _sniff_audio(b: bytes) -> tuple[str, int, int, int, int, str]:
             dur = data_size * 1000 // byte_rate
             return "wav", ch, sr, bits, dur, "ok"
         return "wav", ch, sr, bits, 0, "truncated"
+    if len(b) >= 4 and b[:4] == b"fLaC":
+        # REAL container math: STREAMINFO walk (kernel/flac.py)
+        from ..kernel.flac import FlacError, parse_streaminfo
+
+        try:
+            sr, ch, bits, total, _off = parse_streaminfo(b)
+        except FlacError:
+            return "flac", 0, 0, 0, 0, "truncated"
+        dur = total * 1000 // sr if sr else 0
+        return "flac", ch, sr, bits, dur, "ok"
     if len(b) >= 58 and b[:4] == b"OggS":
         # first page: 27-byte header + segment table, then the Vorbis
         # identification packet \x01vorbis + version u32 + ch u8 + sr u32
@@ -448,6 +461,29 @@ def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                         else:
                             peak = int(np.abs(samples.astype(np.int64)).max())
                     pcm = data[:usable]
+            elif fmt == "flac" and valid == "ok":
+                # REAL lossless decode (kernel/flac.py): exact samples
+                from ..kernel.flac import FlacError, decode_flac
+
+                try:
+                    samples, _meta = decode_flac(b)
+                except FlacError:
+                    valid = "decode-error"
+                else:
+                    n_frames = samples.shape[0]
+                    if samples.size:
+                        peak = int(np.abs(samples.astype(np.int64)).max())
+                    # same wire convention as the WAV lane: u8 biased
+                    # for 8-bit, little-endian i16/i32 otherwise
+                    # (24-bit widens to i32)
+                    if bits <= 8:
+                        pcm = (
+                            samples.astype(np.int16) + 128
+                        ).astype(np.uint8).tobytes()
+                    elif bits <= 16:
+                        pcm = samples.astype("<i2").tobytes()
+                    else:
+                        pcm = samples.astype("<i4").tobytes()
             elif fmt == "ogg":
                 # compressed codec: header math only (documented stub)
                 valid = "stub-codec"
@@ -466,8 +502,11 @@ def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def decode_audio(media: DataFrame) -> DataFrame:
     """media(media_id, payload, ...) -> REAL PCM samples for WAV
     payloads (u8/i16/i32, exact integer peak, trailing partial frame
-    dropped); Ogg stays a header-only stub (valid='stub-codec') --
-    Vorbis needs a codec lib. Map-side Arrow pass."""
+    dropped) AND for FLAC payloads (genuine lossless decode via
+    kernel/flac.py -- exact integer samples re-emitted in the same
+    wire convention, 24-bit widening to i32); Ogg stays a header-only
+    stub (valid='stub-codec') -- Vorbis needs a codec lib. Map-side
+    Arrow pass."""
     return media.select("media_id", "payload").mapInPandas(
         _decode_audio_batches, DECODED_AUDIO_SCHEMA
     )
