@@ -325,6 +325,72 @@ def q_web_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing (operators/corpus.mixture_sample): five
+    synthetic domains from doc_id%5 with integer target weights
+    1/2/3/4 (the fifth domain has no target and must drop entirely;
+    the heaviest target saturates at keep-all). The oracle replays the
+    share/quota integer arithmetic and the md5 bucket bit-for-bit."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string")).alias(
+            "domain"
+        ),
+    )
+    targets = spark.createDataFrame(
+        [("d0", 1), ("d1", 2), ("d2", 3), ("d3", 4)],
+        "domain string, weight int",
+    )
+    return mixture_sample(tagged, targets, den=10_000)
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/robots.robots_
+    sitemaps): per doc a robots body with 1 + doc_id %% 2 Sitemap
+    lines buried in comments, mixed-case directive names, tab/space
+    noise, and rule groups that must NOT capture the directive; the
+    oracle replays the per-host ordinal list analytically."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.robots import robots_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    body = F.concat(
+        F.lit("# robots for host-"),
+        dids,
+        F.lit("\nUser-agent: *\nDisallow: /private\n"),
+        F.lit("SiTeMaP:\thttps://h"),
+        dids,
+        F.lit(".example/sm0.xml  # comment\n"),
+        F.when(
+            did % 2 == 1,
+            F.concat(
+                F.lit("Crawl-delay: 3\n  sitemap: https://h"),
+                dids,
+                F.lit(".example/sm1.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap:\n"),  # empty value: dropped
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), dids, F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    out = robots_sitemaps(robots)
+    return out.select(
+        F.regexp_extract("host", "^h([0-9]+)", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "idx",
+        "sitemap",
+    )
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap / sitemap-index parsing (operators/sitemap.py): per doc
     a spec-shaped sitemap is synthesized from doc_id arithmetic --
@@ -1519,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "web_record": q_web_record,
         "sitemap_entries": q_sitemap_entries,
+        "robots_sitemaps": q_robots_sitemaps,
+        "mixture_sample": q_mixture_sample,
         "cdx_index": q_cdx_index,
         "anchor_index": q_anchor_index,
         "crawl_delta": q_crawl_delta,
@@ -1940,6 +2008,47 @@ def oracle_sql() -> dict[str, str]:
                      chr(10) || '/m' || chr(10) || '/t' AS links,
                    CAST(3 AS INTEGER) AS n_links
             FROM b
+        """,
+        # mixture sampling replayed bit-for-bit: share = w*den DIV wsum,
+        # keep_num = least(den, share*total DIV cnt), md5 bucket as in
+        # hash_sample; domain d4 has no target row and drops entirely
+        "mixture_sample": """
+            WITH t AS (
+              SELECT doc_id, 'd' || doc_id % 5 AS domain FROM documents
+            ), c AS (
+              SELECT domain, COUNT(*) AS cnt FROM t GROUP BY domain
+            ), tot AS (SELECT COUNT(*) AS total FROM t),
+            w AS (
+              SELECT * FROM (VALUES ('d0', 1), ('d1', 2), ('d2', 3),
+                                    ('d3', 4)) AS w(domain, weight)
+            ), ws AS (SELECT SUM(weight) AS wsum FROM w),
+            dims AS (
+              SELECT c.domain,
+                     least(10000,
+                           ((CAST(weight AS BIGINT) * 10000) // wsum)
+                             * total // cnt) AS keep_num
+              FROM c JOIN w USING (domain), tot, ws
+            )
+            SELECT doc_id, domain,
+                   CAST(bucket AS BIGINT) AS bucket,
+                   CAST(keep_num AS BIGINT) AS keep_num
+            FROM (
+              SELECT t.doc_id, t.domain, dims.keep_num,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 10000 AS bucket
+              FROM t JOIN dims USING (domain)
+            ) WHERE bucket < keep_num
+        """,
+        # robots sitemap discovery replayed analytically: sm0 always,
+        # sm1 only on odd doc_ids; the empty-valued directive drops
+        "robots_sitemaps": """
+            SELECT doc_id, CAST(0 AS INTEGER) AS idx,
+                   'https://h' || doc_id || '.example/sm0.xml' AS sitemap
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER),
+                   'https://h' || doc_id || '.example/sm1.xml'
+            FROM documents WHERE doc_id % 2 = 1
         """,
         # sitemap entries replayed analytically: docs with doc_id%5=0
         # are <sitemapindex> docs (no changefreq/priority), the rest

@@ -91,6 +91,12 @@ KNOWN_SMJ = {
         "shuffle semi-join is the scale-safe strategy and AQE may still "
         "convert it when the runtime size allows"
     ),
+    "crawl_delta": (
+        "FULL OUTER equi-join of two crawl snapshots: Spark cannot "
+        "broadcast either side of a full outer hash join, and at scale "
+        "both snapshots are corpus-sized anyway -- SortMergeJoin IS the "
+        "correct strategy for this operator"
+    ),
 }
 
 

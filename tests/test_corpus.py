@@ -462,3 +462,46 @@ def test_pack_sequences_validates_params(spark):
         pack_sequences(docs, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_len=8, bucket_size=0)
+
+
+def test_mixture_sample(spark):
+    """Domain rebalancing: quota arithmetic, keep-all saturation,
+    absent-target drop, and agreement with a Python integer replica."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators.corpus import mixture_sample
+
+    n, den = 1000, 10_000
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 4).cast("string")).alias("domain"),
+    )
+    weights = {"d0": 1, "d1": 1, "d2": 8}  # d3 absent -> dropped
+    targets = spark.createDataFrame(
+        list(weights.items()), "domain string, weight int"
+    )
+    got = {
+        (r["doc_id"], r["domain"], r["bucket"], r["keep_num"])
+        for r in mixture_sample(docs, targets, den=den).collect()
+    }
+    # exact integer replica
+    wsum = sum(weights.values())
+    cnt = {f"d{i}": n // 4 for i in range(4)}
+    want = set()
+    for i in range(n):
+        dom = f"d{i % 4}"
+        w = weights.get(dom)
+        if w is None:
+            continue
+        share = w * den // wsum
+        keep = min(den, share * n // cnt[dom])
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % den
+        if bucket < keep:
+            want.add((i, dom, bucket, keep))
+    assert got == want
+    # saturation: the over-weighted domain keeps everything
+    assert all(k == den for (_, d, _, k) in got if d == "d2")
+    assert sum(1 for (_, d, _, _) in got if d == "d2") == cnt["d2"]
+    assert not any(d == "d3" for (_, d, _, _) in got)

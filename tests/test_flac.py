@@ -108,3 +108,40 @@ def test_hostile_inputs():
     bad2[off + 2] ^= 0x04
     with pytest.raises(FlacError):
         decode_flac(bytes(bad2))
+
+
+# ------------------------------------------------------------ property fuzz
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=10000)
+@given(
+    n=st.integers(1, 700),
+    ch=st.integers(1, 2),
+    bits=st.sampled_from([8, 16, 24]),
+    mode=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    lpc=st.sampled_from([0, 3, 7]),
+    bs=st.sampled_from([64, 192, 333]),
+    seed=st.integers(0, 2**31),
+)
+def test_flac_roundtrip_property(n, ch, bits, mode, lpc, bs, seed):
+    """Any PCM signal, any encoder configuration: decode(encode(x)) == x
+    exactly (FLAC is lossless -- the whole contract in one property)."""
+    if mode != "independent" and ch != 2:
+        mode = "independent"
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bits - 1)
+    # mix smooth and impulsive content so predictors/escapes both fire
+    t = np.arange(n)
+    smooth = (0.4 * lim * np.sin(t / 11))[:, None]
+    noise = rng.integers(-lim // 2, lim // 2, (n, ch))
+    arr = np.clip(smooth + noise, -lim, lim - 1).astype(np.int32)
+    out, meta = decode_flac(
+        encode_flac(arr, bits=bits, blocksize=bs, stereo_mode=mode,
+                    lpc_order=lpc)
+    )
+    assert np.array_equal(out, arr)
+    assert meta["bits_per_sample"] == bits and meta["channels"] == ch

@@ -169,3 +169,30 @@ def test_robots_rules_match_path_plus_query(spark):
         "https://q.com/p?id=1#frag": 0,
         "https://q.com/other": 1,
     }
+
+
+def test_robots_sitemaps_directive(spark):
+    """Sitemap: is group-independent, case-insensitive in name,
+    case-preserving in value; comments/tabs strip; empty values drop."""
+    from xhtml_parser_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "# header\n"
+        "User-agent: bot\nDisallow: /x\n"
+        "SITEMAP:\thttps://A.example/One.xml  # trailing\n"
+        "User-agent: other\n"
+        "  sitemap: https://a.example/two.xml\n"
+        "Sitemap:\n"          # empty -> dropped
+        "sitemapX: nope\n"    # unknown directive -> ignored
+    )
+    df = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nAllow: /\n")],
+        "host string, body string",
+    )
+    rows = sorted(
+        robots_sitemaps(df).collect(), key=lambda r: (r["host"], r["idx"])
+    )
+    assert [(r["host"], r["idx"], r["sitemap"]) for r in rows] == [
+        ("a.example", 0, "https://A.example/One.xml"),
+        ("a.example", 1, "https://a.example/two.xml"),
+    ]

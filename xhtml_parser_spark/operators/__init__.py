@@ -4,6 +4,7 @@ from .links import anchor_text_index, extract_links, host_link_graph, pagerank
 from .corpus import (
     host_cap,
     hash_sample,
+    mixture_sample,
     duplicate_ngram_stats,
     incremental_dedup,
     build_bloom,
@@ -34,6 +35,7 @@ __all__ = [
     "pagerank",
     "host_cap",
     "hash_sample",
+    "mixture_sample",
     "duplicate_ngram_stats",
     "incremental_dedup",
     "build_bloom",

@@ -791,3 +791,61 @@ def incremental_dedup(
         definite_new.unionByName(survivors.select("doc_id", "h", "was_maybe")),
         flagged,
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: DataFrame,
+    den: int = 10_000,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain rebalancing -- sample each domain down toward a target
+    mixture (the data-mixing step every LLM pretraining corpus runs:
+    "N%% web, M%% code, ..."). ``targets`` is the tiny (domain, weight)
+    dimension; a domain's keep quota is
+
+        share  = weight * den DIV sum(weights)          (0..den)
+        keep_n = min(den, share * total_docs DIV n_domain)
+
+    and a doc survives iff its md5-derived bucket (hash_sample's exact
+    convention, so splits stay reproducible across engines) is below
+    keep_n. All-integer arithmetic -- no float probabilities -- so the
+    selected row set is deterministic and the oracle replays it
+    bit-for-bit. Bounds: den * total_docs must fit int64 (den=10^4
+    covers 9*10^14 docs). Domains absent from ``targets`` are dropped
+    (weight 0); over-represented targets saturate at keep_n = den
+    (sampling never duplicates rows -- upsampling is an epoch-level
+    concern, not a filter's).
+
+    Scale shape: ONE partial-aggregated count shuffle over the corpus;
+    totals and the quota dimension are single-row/broadcast joins; the
+    final filter is a broadcast equi-join + map-side predicate. Output
+    (doc_id, domain, bucket, keep_num)."""
+    d = F.col(domain_col).alias("domain")
+    base = docs.select(F.col(id_col).alias("doc_id"), d)
+    counts = base.groupBy("domain").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    wsum = targets.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    dims = (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(targets.select("domain", "weight")), "domain")
+        .crossJoin(F.broadcast(wsum))
+        .selectExpr(
+            "domain",
+            f"least(CAST({den} AS BIGINT), "
+            f"((CAST(weight AS BIGINT) * {den}) DIV wsum) "
+            "* total DIV cnt) AS keep_num",
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(den)
+    )
+    return (
+        base.join(F.broadcast(dims), "domain")
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < F.col("keep_num"))
+        .select("doc_id", "domain", "bucket", "keep_num")
+    )

@@ -175,3 +175,43 @@ def _decide(u: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce(F.col("win_allow"), F.lit(1)).cast("int").alias("allowed"),
         )
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, idx, sitemap) for every ``Sitemap:`` directive -- the
+    crawl-side discovery hook feeding ``operators.sitemap``. Per the
+    sitemaps.org protocol the directive is GROUP-INDEPENDENT (it binds
+    to the file, not to a User-agent group), so this is a pure
+    line-filter: same comment/whitespace stripping as parse_robots,
+    ``idx`` is the 0-based document-order ordinal. Values keep their
+    case (URLs are case-sensitive; only the directive name folds).
+    Row-local string work, no shuffle beyond the posexplode."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    )
+
+    def _strip(col):
+        return F.regexp_replace(
+            F.regexp_replace(col, "^[ \t]+", ""), "[ \t]+$", ""
+        )
+
+    val = _strip(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    picked = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            _strip(F.regexp_extract(val, "^([A-Za-z-]+)[ \t]*:", 1))
+        ).alias("d"),
+        _strip(F.regexp_extract(val, "^[A-Za-z-]+[ \t]*:(.*)$", 1)).alias("v"),
+    ).where((F.col("d") == "sitemap") & (F.col("v") != ""))
+    w = Window.partitionBy("host").orderBy("pos")
+    return picked.select(
+        "host",
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        F.col("v").alias("sitemap"),
+    )
