@@ -77,8 +77,17 @@ def test_query_vs_oracle(spark, ddb, name):
     assert not mism, f"{name}: first mismatch {sset[mism[0]]} != {dset[mism[0]]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+# Every query currently carries a full oracle, so this rows-only lane is
+# normally empty; the sentinel keeps pytest from emitting an auto-skip
+# (an empty parametrize skips, and "N skipped" is the exact signal the
+# verify recipe watches for accel-suite regressions).
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES)) or ["<all queries oracled>"]
+)
 def test_rows_only_queries_run(spark, name):
+    if name == "<all queries oracled>":
+        assert set(QUERIES) == set(ORACLES)
+        return
     df = QUERIES[name](spark, SF_DIR)
     n = df.count()
     assert n >= 0
