@@ -300,3 +300,87 @@ def test_anchor_text_index(spark):
         for r in naive.collect()
     }
     assert got == want
+
+
+# Adversarial (base url, href) corpus for the host-graph derivation
+# differential: every resolution shape, scheme case, default/explicit
+# ports, userinfo, IPv6, non-http schemes, degenerate hrefs, and
+# missing/unschemed bases.
+HOST_GRAPH_CASES = [
+    ("https://h.com/a/b/x.html", "../t/p.html"),
+    ("https://h.com/a/b/x.html", "/css/m.css"),
+    ("https://h.com/a/b/x.html", "//other.com/q"),
+    ("https://h.com/a/b/x.html", "//CDN.com:443/lib.js"),
+    ("http://h.com/a/b/x.html", "//CDN.com:443/lib.js"),
+    ("https://h.com/a/b/x.html", "http://abs.com/z?a=1"),
+    ("https://h.com/a/b/x.html", "HTTPS://UP.COM:443/p"),
+    ("https://h.com/a/b/x.html", "http://up.com:80/p"),
+    ("https://h.com/a/b/x.html", "https://up.com:80/p"),
+    ("https://h.com/a/b/x.html", "http://[::1]:80/x"),
+    ("https://user@h.com/x", "p.html"),
+    ("https://h.com:8080/a", "b.html"),
+    ("HTTPS://H.com/x", "p.html"),
+    ("https://h.com/a/b/x.html", ""),
+    ("https://h.com/a/b/x.html", "#frag"),
+    ("https://h.com/a/b/x.html", "?q=2"),
+    ("https://h.com/a/b/x.html", "mailto:a@b.c"),
+    ("https://h.com/a/b/x.html", "javascript:void(0)"),
+    ("https://h.com/a/b/x.html", "http:relpath"),
+    ("https://h.com/a/b/x.html", "weird+scheme.x:thing"),
+    ("https://h.com/a/b/x.html", "a#b:c"),
+    ("https://h.com/a/b/x.html", "//"),
+    ("https://h.com/a/b/x.html", "///wat"),
+    ("https://h.com/a/b/x.html", None),
+    ("ftp://f.com/a", "x.html"),
+    ("ftp://f.com/a", "https://h.com/ok"),
+    ("h.com/noscheme", "a.html"),
+    ("", "http://x.com/"),
+    (None, "http://x.com/"),
+]
+
+
+def test_host_link_graph_matches_definitional_derivation(spark):
+    """host_link_graph derives hosts from the RAW (url, href) columns
+    (authority-only, per its docstring) so the plan never evaluates
+    the staged resolve/normalize aliases. This differential pins that
+    derivation to the definitional
+    url_host(normalize_url(resolve_url(url, href))) + '^https?://'
+    gate over the adversarial corpus, weights included."""
+    from xhtml_parser_spark.functions.urls import (
+        normalize_url,
+        resolve_url,
+        url_host,
+    )
+    from xhtml_parser_spark.operators.links import host_link_graph
+
+    df = spark.createDataFrame(HOST_GRAPH_CASES, "url string, href string")
+    link_url = F.when(
+        F.col("href").isNotNull(),
+        normalize_url(resolve_url(F.col("url"), F.col("href"))),
+    )
+    definitional = (
+        df.select(
+            url_host(F.col("url")).alias("src_host"),
+            url_host(link_url).alias("dst_host"),
+            link_url.alias("link_url"),
+        )
+        .where(F.col("link_url").rlike("^https?://"))
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+    want = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in definitional.collect()
+    }
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_link_graph(df).collect()
+    }
+    assert got == want
+    # sanity: the corpus actually exercises keeps AND drops
+    assert len(want) >= 8
+    assert ("h.com", "other.com") in want
+    assert ("h.com", "cdn.com") in want          # //-relative, :443 stripped
+    assert ("h.com", "up.com") in want            # absolute, case-folded
+    assert ("h.com:8080", "h.com:8080") in want   # src keeps its port
