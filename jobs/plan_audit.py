@@ -78,8 +78,36 @@ def audit_plan(plan: str) -> dict:
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": "PushedFilters: [" in plan
         and bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        # longest FILTER line: a predicate carrying a grotesquely long
+        # expression is the macro-expansion signature
+        # (PushDownPredicates substituting staged aliases into a
+        # condition -- host_link_graph once carried a 149 KB filter;
+        # see the CLAUDE.md pushdown gotcha). Project lines are exempt:
+        # within one ProjectExec, whole-stage codegen's subexpression
+        # elimination computes duplicated subtrees once, and measured
+        # walls confirm it (extract_links' 44 KB collapsed Project runs
+        # at its documented speed); Filter conditions short-circuit, so
+        # CSE can't save them, and they run BEFORE the Project that
+        # recomputes the same values.
+        "maxfilter": max(
+            (
+                len(ln)
+                for ln in plan.splitlines()
+                if re.match(r"[\s:+\-*()0-9]*Filter\b", ln)
+            ),
+            default=0,
+        ),
     }
 
+
+# Filter lines above this are flagged as likely alias-substitution
+# macro expansion (normal predicates top out well under a few KB here)
+MAXFILTER_FLAG = 20_000
+
+# Big filter lines that are reviewed and accepted -- annotated rather
+# than raised (anchor_index's 75 KB gate was here until its gate moved
+# to the raw-column scheme derivation; empty is the goal state)
+KNOWN_MAXFILTER: dict[str, str] = {}
 
 # SMJs that are the INTENDED plan at scale, reviewed and documented --
 # annotated in Flags rather than raised as smells
@@ -137,6 +165,19 @@ def main() -> None:
                 "SF -- check whether the build side is genuinely large or a "
                 "broadcast opportunity is being missed"
             )
+        if m["maxfilter"] > MAXFILTER_FLAG and name in KNOWN_MAXFILTER:
+            flags.append(
+                f"`{name}` ({m['maxfilter'] // 1000} KB filter, known): "
+                f"{KNOWN_MAXFILTER[name]}"
+            )
+        elif m["maxfilter"] > MAXFILTER_FLAG:
+            flags.append(
+                f"`{name}`: a Filter condition line is "
+                f"{m['maxfilter'] // 1000} KB -- likely alias-substitution "
+                "macro expansion (PushDownPredicates inlining staged "
+                "projections into a predicate; see the CLAUDE.md gotcha "
+                "and host_link_graph's raw-column gate for the fix pattern)"
+            )
         spark.catalog.clearCache()
 
     lines = [
@@ -148,17 +189,17 @@ def main() -> None:
         "re-printed under each InMemoryTableScan counts once -- these are the",
         "shuffles that actually executed. Regenerate: `python jobs/plan_audit.py`.",
         "",
-        "| query | exchanges | reused | bcast joins | sortmerge joins | python stages | codegen spans | pushed filters |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | reused | bcast joins | sortmerge joins | python stages | codegen spans | pushed filters | max filter line |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, m in rows:
         if "error" in m:
-            lines.append(f"| {name} | ERROR: {m['error']} | | | | | | |")
+            lines.append(f"| {name} | ERROR: {m['error']} | | | | | | | |")
             continue
         lines.append(
             f"| {name} | {m['exchanges']} | {m['reused']} | {m['bhj']} | "
             f"{m['smj']} | {m['python']} | {m['codegen']} | "
-            f"{'yes' if m['pushed'] else '-'} |"
+            f"{'yes' if m['pushed'] else '-'} | {m['maxfilter']} |"
         )
     lines += ["", "## Flags", ""]
     lines += [f"- {f}" for f in flags] if flags else ["- none"]

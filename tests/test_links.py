@@ -384,3 +384,47 @@ def test_host_link_graph_matches_definitional_derivation(spark):
     assert ("h.com", "cdn.com") in want          # //-relative, :443 stripped
     assert ("h.com", "up.com") in want            # absolute, case-folded
     assert ("h.com:8080", "h.com:8080") in want   # src keeps its port
+
+
+def test_anchor_index_raw_gate_matches_definitional(spark):
+    """anchor_text_index gates on the raw (url, href) columns when the
+    input carries them (the extract_links contract) and on link_url
+    otherwise. Both gates must select the same rows: run the index
+    over the same frame WITH and WITHOUT the raw columns, link_url
+    computed definitionally, across the adversarial corpus."""
+    from xhtml_parser_spark.functions.urls import normalize_url, resolve_url
+    from xhtml_parser_spark.operators.links import anchor_text_index
+
+    rows = [
+        (u, h, f"anchor {i % 3}")
+        for i, (u, h) in enumerate(HOST_GRAPH_CASES)
+    ]
+    # plus anchor-side drop cases on a kept link
+    rows += [
+        ("https://h.com/x", "kept.html", None),
+        ("https://h.com/x", "kept.html", "   "),
+        ("https://h.com/x", "kept.html", " padded "),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, href string, anchor_text string"
+    ).withColumn(
+        "link_url",
+        F.when(
+            F.col("href").isNotNull(),
+            normalize_url(resolve_url(F.col("url"), F.col("href"))),
+        ),
+    )
+    key = lambda r: (r["target"], r["anchor"], r["cnt"], r["rnk"])  # noqa: E731
+    with_raw = sorted(
+        map(key, anchor_text_index(df, k=3, n_salts=2).collect())
+    )
+    without_raw = sorted(
+        map(
+            key,
+            anchor_text_index(
+                df.drop("url", "href"), k=3, n_salts=2
+            ).collect(),
+        )
+    )
+    assert with_raw == without_raw
+    assert len(with_raw) >= 5  # the corpus actually keeps rows

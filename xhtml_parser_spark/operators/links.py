@@ -275,6 +275,37 @@ def extract_links(pages: DataFrame) -> DataFrame:
     )
 
 
+def _href_has_scheme(href) -> "F.Column":
+    """True when href carries an explicit scheme (RFC 3986 relative-ref
+    disambiguation). The fragment can't affect the authority ([^/?#]
+    classes) but CAN hide a scheme's ':' from the raw-href test -- '#'
+    is outside the scheme char class, so testing the raw href is
+    equivalent to testing the fragment-stripped form resolve_url
+    actually sees."""
+    return href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _resolved_scheme(url, href) -> "F.Column":
+    """Lowercased scheme of resolve_url(url, href)'s result as
+    normalize_url would extract it -- derived from the RAW columns so
+    gating on it never pushes the staged resolve/normalize aliases
+    into a filter condition (see host_link_graph's docstring). '' when
+    the resolved form has no '://' scheme (scheme-without-slashes
+    hrefs like 'mailto:' or an unschemed base). A NULL href (legacy-
+    encoded bytes nulled by extract_links' utf8 gate) must yield a
+    NULL scheme and fall out at the caller's gate -- WHEN treats a
+    null condition as false, so without the explicit first branch a
+    null href would silently inherit the base's scheme."""
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(
+            _href_has_scheme(href),
+            F.lower(F.regexp_extract(href, _SCHEME_RE, 1)),
+        )
+        .otherwise(F.lower(F.regexp_extract(url, _SCHEME_RE, 1)))
+    )
+
+
 def host_link_graph(links: DataFrame, drop_self: bool = False) -> DataFrame:
     """Weighted host-level edge list (src_host, dst_host, weight) from
     an extract_links output. Non-hierarchical link targets (mailto:,
@@ -314,20 +345,8 @@ def host_link_graph(links: DataFrame, drop_self: bool = False) -> DataFrame:
     differential-checks this derivation against the definitional
     expression over the adversarial href corpus."""
     url, href = F.col("url"), F.col("href")
-    # fragment can't affect the authority ([^/?#] classes) but CAN
-    # hide a scheme's ':' from the raw-href test -- '#' is outside the
-    # scheme char class, so testing the raw href is equivalent to
-    # testing the fragment-stripped form resolve_url actually sees
-    has_scheme = href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    # a NULL href (legacy-encoded bytes) must yield a NULL scheme and
-    # fall out at the isin gate -- WHEN treats a null condition as
-    # false, so without the explicit first branch a null href would
-    # silently inherit the base's scheme+authority
-    dst_scheme = (
-        F.when(href.isNull(), F.lit(None).cast("string"))
-        .when(has_scheme, F.lower(F.regexp_extract(href, _SCHEME_RE, 1)))
-        .otherwise(F.lower(F.regexp_extract(url, _SCHEME_RE, 1)))
-    )
+    has_scheme = _href_has_scheme(href)
+    dst_scheme = _resolved_scheme(url, href)
     dst_authority = (
         F.when(
             has_scheme,
@@ -480,12 +499,34 @@ def anchor_text_index(links: DataFrame, k: int = 5, n_salts: int = 16) -> DataFr
     phase 2's per-target input is bounded at n_salts * k no matter how
     many distinct anchors a hub page attracts -- a single row_number
     over target would funnel https://home-pages through one task."""
-    base = links.where(
-        F.col("link_url").isNotNull()
-        & F.col("link_url").startswith("http")
-        & F.col("anchor_text").isNotNull()
-        & (F.trim(F.col("anchor_text")) != "")
-    ).select(
+    anchor_ok = F.col("anchor_text").isNotNull() & (
+        F.trim(F.col("anchor_text")) != ""
+    )
+    if {"url", "href"} <= set(links.columns):
+        # extract_links output: gate on the raw columns so the pushed
+        # predicate never macro-expands the staged link_url alias (a
+        # filter on link_url carries a ~75 KB copy of the resolve/
+        # normalize tree below the Projects -- same disease
+        # host_link_graph had, see its docstring). link_url is NULL
+        # iff href is NULL, and it starts with "http" iff the resolved
+        # scheme does (link_url = concat(scheme, '://', ...), and no
+        # prefix of "http" can straddle the '://' separator) -- the
+        # differential test pins the two gates equal.
+        gate = (
+            F.col("href").isNotNull()
+            & _resolved_scheme(F.col("url"), F.col("href")).startswith(
+                "http"
+            )
+            & anchor_ok
+        )
+    else:
+        # bare (link_url, anchor_text) frames: the definitional gate
+        gate = (
+            F.col("link_url").isNotNull()
+            & F.col("link_url").startswith("http")
+            & anchor_ok
+        )
+    base = links.where(gate).select(
         F.col("link_url").alias("target"),
         F.trim(F.col("anchor_text")).alias("anchor"),
     )
