@@ -674,6 +674,44 @@ def q_xpath_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n"))
 
 
+def q_xpath_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused rule-pack XPath (xpath_select): the same three paths as
+    xpath_multi, but parse + select + subtree-text extraction all in
+    ONE map-side Arrow pass -- ZERO shuffles before the verification
+    aggregate (per-document path semantics never need an exchange;
+    the plan audit pins the exchange count). Output (doc_id, path, n,
+    text_md5) where text_md5 hashes the matched nodes' subtree texts
+    concatenated in document order, so the oracle checks the actual
+    extraction payload, not just counts: html//p text = all lines
+    joined, the positional path = line 2, the class predicate = the
+    even-indexed lines joined."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    docs = _docs(spark, sf_dir)
+    pages = _pages_from_docs(docs, _divline_html())
+    out = xpath_select(
+        pages,
+        ["html//p", "html/body/div[2]/p", "html/body/div[@class='even']/p"],
+    )
+    return out.groupBy(
+        F.col("url").cast("bigint").alias("doc_id"), "path"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("node_id", "text"))
+                    ),
+                    lambda s: s["text"].cast("string"),
+                ),
+            )
+        ).alias("text_md5"),
+    )
+
+
 def q_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three REAL image codecs end-to-end through Spark with a full
     SQL oracle: per document an 8x8 image is synthesized from doc_id
@@ -1593,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "xpath_lite": q_xpath_lite,
         "xpath_multi": q_xpath_multi,
+        "xpath_kernel": q_xpath_kernel,
         "image_codecs": q_image_codecs,
         "video_frames": q_video_frames,
         "audio_codecs": q_audio_codecs,
@@ -2105,6 +2144,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'html/body/div[@class=''even'']/p',
                    CAST((n + 1) // 2 AS BIGINT)
+            FROM l
+        """,
+        # the fused operator's payload check: matched subtree texts in
+        # document order ARE the lines (entity escape round-trips), so
+        # every digest is replayable from the raw text column
+        "xpath_kernel": """
+            WITH l AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS parts,
+                     len(string_split(coalesce(text, ''), chr(10))) AS n
+              FROM documents
+            )
+            SELECT doc_id, 'html//p' AS path, CAST(n AS BIGINT) AS n,
+                   md5(array_to_string(parts, '')) AS text_md5
+            FROM l
+            UNION ALL
+            SELECT doc_id, 'html/body/div[2]/p', CAST(1 AS BIGINT),
+                   md5(parts[2])
+            FROM l WHERE n >= 2
+            UNION ALL
+            SELECT doc_id, 'html/body/div[@class=''even'']/p',
+                   CAST((n + 1) // 2 AS BIGINT),
+                   md5(array_to_string(
+                       list_transform(range(1, n + 1, 2), i -> parts[i]),
+                       ''))
             FROM l
         """,
         # every pixel byte replayed analytically: PNG = the byte

@@ -162,3 +162,23 @@ def test_xpath_multi_shares_one_parse_scan(spark, pages_path):
     uplan = _plan(unshared)
     assert "InMemoryTableScan" not in uplan
     assert uplan.count("MapInArrow") >= 6, "without the cache every segment re-parses"
+
+
+def test_xpath_select_is_single_stage_no_shuffle(spark, pages_path):
+    """The fused rule-pack selector is map-side only: one scan, one
+    MapInArrow, ZERO Exchange however many paths the pack carries --
+    the per-document path semantics never need one. The scan must
+    still prune to (url, html)."""
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    df = xpath_select(
+        spark.read.parquet(pages_path),
+        ["html//p", "html/body/*", "//div//p", "//p[1]", "//div[@class='x']"],
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInArrow (") == 1, plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "url" in m.group(1) and "html" in m.group(1)
+    for col in ("warc_ts", "lang", "text"):
+        assert col not in m.group(1), f"{col} not pruned:\n{m.group(1)}"

@@ -188,3 +188,75 @@ def test_xpath_nodes_multi_empty_paths(spark):
     out = xpath_nodes_multi(parse_nodes(df), [])
     assert out.count() == 0
     assert out.columns[0] == "path"
+
+
+def test_xpath_select_matches_kernel_and_nodes_table(spark):
+    """The fused map-side operator == kernel select_path on (url,
+    node_id) for every path in the adversarial corpus, evaluated in
+    ONE pass for the whole pack; its identity columns must equal the
+    exploded nodes table's rows and its ``text`` must equal the
+    concatenated descendant text-node bytes of the nodes table."""
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    rows = []
+    ts = datetime.datetime(2025, 8, 8)
+    for f in sorted((FIXTURES / "simple_test" / "test_case").glob("*.xhtml")):
+        if f.stat().st_size > 100_000:
+            continue
+        rows.append((f.name, ts, f.read_bytes(), None, "en"))
+    rows.append(("synthetic", ts, DOC, None, "en"))
+    rows.append(
+        ("multiroot", ts, b"<html><p>a</p></html><extra><p>b</p></extra>",
+         None, "en")
+    )
+    rows.append(("dupattr", ts, b"<r><p id='1' id='2'>x</p></r>", None, "en"))
+    # failed parse contributes no rows, like parse_nodes
+    rows.append(("bad", ts, b"<a><b></a>", None, "en"))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got_rows = xpath_select(df, PATHS).collect()
+    docs = {u: parse_document(h) for u, _, h, _, _ in rows}
+
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["path"], {}).setdefault(r["url"], set()).add(
+            r["node_id"]
+        )
+    for path in PATHS:
+        for u, doc in docs.items():
+            want = (
+                set(n.idx for n in select_path(doc, path)) if doc.ok else set()
+            )
+            assert got.get(path, {}).get(u, set()) == want, (path, u)
+    assert not any(r["url"] == "bad" for r in got_rows)
+
+    # identity columns + subtree text vs the exploded nodes table
+    tbl = {}
+    for r in parse_nodes(df).collect():
+        tbl[(r["url"], r["node_id"])] = r
+    for r in got_rows:
+        n = tbl[(r["url"], r["node_id"])]
+        assert r["parent_id"] == n["parent_id"]
+        assert r["tag"] == n["tag"]
+        assert r["depth"] == n["depth"]
+        assert r["last_descendant"] == n["last_descendant"]
+        assert r["span_start"] == n["span_start"]
+        want_text = b"".join(
+            bytes(tbl[(r["url"], j)]["text"] or b"")
+            for j in range(r["node_id"] + 1, r["last_descendant"] + 1)
+            if tbl[(r["url"], j)]["kind"] == 2
+        )
+        assert bytes(r["text"]) == want_text, (r["path"], r["url"], r["node_id"])
+
+
+def test_xpath_select_empty_and_unmatched(spark):
+    import datetime as dt
+
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2025, 8, 8), DOC, None, "en")], PAGES_SCHEMA
+    )
+    assert xpath_select(df, []).count() == 0
+    assert xpath_select(df, ["nosuch/zz"]).count() == 0
+    with pytest.raises(ValueError):
+        xpath_select(df, ["a[@href][2]"])
