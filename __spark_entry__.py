@@ -1413,6 +1413,43 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, exact-integer: 2 refinement rounds
+    over the hash-sampled codebook (true squared-Euclidean assignment,
+    coordinate-wise trunc-toward-zero integer means, empty cells keep
+    their previous centroid). Output exploded per (cell, dim) so the
+    value hash pins every centroid coordinate; n_members counts the
+    final assignment. The oracle unrolls both rounds in SQL."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import kmeans_refine
+
+    cents = kmeans_refine(_emb(spark, sf_dir), n_cells=16, n_iter=2)
+    return cents.select(
+        "cell",
+        F.posexplode("cv").alias("dim", "c_val"),
+        "n_members",
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup: IVF-codebook
+    assignment confines the O(n^2) similarity graph to one cell, then
+    first-wins keep/drop per cell at cos >= 7/20 -- the curation
+    operator that removes semantic near-duplicates before training.
+    Output one (vec_id, cell, kept) row per non-null embedding;
+    integer-deterministic end to end (quantized dots, argmax ties to
+    the smaller cell), so the oracle replays codebook, assignment, and
+    the pair EXISTS exactly."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), tau_num=7, tau_den=20).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell"),
+        F.col("kept"),
+    )
+
+
 def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of embedding near-dup: hyperplane-LSH buckets
     (integer-deterministic), pairs only within a bucket. Fully
@@ -1664,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_batch": q_ann_topk_batch,
         "ivf_topk_batch": q_ivf_topk_batch,
         "ivf_topk": q_ivf_topk,
+        "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -2806,6 +2845,128 @@ FROM d
             JOIN probes p ON asg.cell = p.cell, qv
             WHERE e.vec_id <> 0
             ORDER BY dot DESC, e.vec_id LIMIT 10
+        """,
+        # distributed Lloyd replay: both refinement rounds unrolled --
+        # round r = argmax(2*dot - |c|^2) assignment (ties smaller
+        # cell) then per-(cell,dim) trunc-toward-zero integer mean,
+        # empty cells inheriting the prior centroid; n_members counts
+        # the final assignment
+        "kmeans": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), c0 AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ), cc0 AS (
+              SELECT cell, generate_subscripts(cv, 1) AS dim, unnest(cv) AS val FROM c0
+            ), c2_0 AS (
+              SELECT cell, SUM(val * val) AS c2 FROM cc0 GROUP BY cell
+            ), a1 AS (
+              SELECT e.vec_id, c0.cell,
+                     2 * CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c0.cv[i])) AS BIGINT) AS twodot
+              FROM e CROSS JOIN c0
+            ), g1 AS (
+              SELECT vec_id, cell FROM (
+                SELECT a1.vec_id, a1.cell,
+                       row_number() OVER (
+                         PARTITION BY a1.vec_id
+                         ORDER BY a1.twodot - c2_0.c2 DESC, a1.cell) AS rn
+                FROM a1 JOIN c2_0 ON a1.cell = c2_0.cell
+              ) WHERE rn = 1
+            ), x1 AS (
+              SELECT g1.cell, generate_subscripts(e.q, 1) AS dim, unnest(e.q) AS v
+              FROM e JOIN g1 USING (vec_id)
+            ), m1 AS (
+              SELECT cell, dim, SUM(v) AS s, COUNT(*) AS cnt FROM x1 GROUP BY cell, dim
+            ), cc1 AS (
+              SELECT cc0.cell, cc0.dim,
+                     COALESCE(CAST(sign(m.s) AS BIGINT) * (abs(m.s) // m.cnt),
+                              cc0.val) AS val
+              FROM cc0 LEFT JOIN m1 m ON m.cell = cc0.cell AND m.dim = cc0.dim
+            ), c2_1 AS (
+              SELECT cell, SUM(val * val) AS c2 FROM cc1 GROUP BY cell
+            ), eq AS (
+              SELECT vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM e
+            ), a2 AS (
+              SELECT eq.vec_id, cc1.cell, 2 * SUM(eq.v * cc1.val) AS twodot
+              FROM eq JOIN cc1 ON eq.dim = cc1.dim
+              GROUP BY eq.vec_id, cc1.cell
+            ), g2 AS (
+              SELECT vec_id, cell FROM (
+                SELECT a2.vec_id, a2.cell,
+                       row_number() OVER (
+                         PARTITION BY a2.vec_id
+                         ORDER BY a2.twodot - c2_1.c2 DESC, a2.cell) AS rn
+                FROM a2 JOIN c2_1 ON a2.cell = c2_1.cell
+              ) WHERE rn = 1
+            ), x2 AS (
+              SELECT g2.cell, generate_subscripts(e.q, 1) AS dim, unnest(e.q) AS v
+              FROM e JOIN g2 USING (vec_id)
+            ), m2 AS (
+              SELECT cell, dim, SUM(v) AS s, COUNT(*) AS cnt FROM x2 GROUP BY cell, dim
+            ), k2 AS (
+              SELECT cell, COUNT(*) AS cnt FROM g2 GROUP BY cell
+            )
+            SELECT cc1.cell, CAST(cc1.dim - 1 AS INTEGER) AS dim,
+                   COALESCE(CAST(sign(m2.s) AS BIGINT) * (abs(m2.s) // m2.cnt),
+                            cc1.val) AS c_val,
+                   COALESCE(k2.cnt, 0) AS n_members
+            FROM cc1
+            LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
+            LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # SemDeDup replay: same codebook + argmax assignment as
+        # ivf_topk, then one same-cell smaller-id self-join carrying
+        # the exact rational cosine test; kept = no qualifying pair
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), c AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ), a AS (
+              SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c.cv[i])) AS BIGINT) AS d
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+                FROM a
+              ) WHERE rn = 1
+            ), n AS (
+              SELECT e.vec_id, asg.cell, e.q,
+                     CAST(list_sum(list_transform(e.q, x -> x * x))
+                          AS BIGINT) AS n2
+              FROM e JOIN asg USING (vec_id)
+            ), p AS (
+              SELECT x.vec_id AS xid,
+                     CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+                          i -> x.q[i] * y.q[i])) AS BIGINT) AS dd,
+                     x.n2 AS xn, y.n2 AS yn
+              FROM n x JOIN n y
+                ON x.cell = y.cell AND y.vec_id < x.vec_id
+            ), d AS (
+              SELECT xid FROM p
+              WHERE dd > 0 AND 400 * dd * dd >= 49 * xn * yn
+              GROUP BY xid
+            )
+            SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
+                   d.xid IS NULL AS kept
+            FROM n LEFT JOIN d ON n.vec_id = d.xid
         """,
         # batch replay: probe masks = {0} u single bits (m=1); the
         # equi-join of corpus buckets x (query, xor-probe) pairs is

@@ -4,6 +4,8 @@ these prove the recall/verify path actually fires)."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -425,3 +427,154 @@ def test_ivf_topk_batch_matches_single_calls(spark, clustered_emb):
             )
         ]
         assert sorted(got.get(q, [])) == sorted(single), q
+
+
+def _semdedup_replay(rows, n_cells, tau_num, tau_den):
+    """Independent plain-Python replay of semantic_dedup: md5-sample
+    codebook, argmax assignment (ties to smaller cell), first-wins
+    same-cell cosine drop."""
+    import hashlib
+
+    def quant(v):
+        return [
+            int(math.copysign(math.floor(abs(x * 1000.0) + 0.5), x * 1000.0))
+            for x in v
+        ]
+
+    e = [(i, quant(v)) for i, v in rows if v is not None]
+    code = sorted(
+        e, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )[:n_cells]
+    cells = {}
+    for i, q in e:
+        dots = [sum(a * b for a, b in zip(q, cv)) for _, cv in code]
+        cells[i] = max(range(len(code)), key=lambda c: (dots[c], -c))
+    out = {}
+    for i, q in sorted(e):
+        n2 = sum(x * x for x in q)
+        dup = False
+        for j, qj in sorted(e):
+            if j >= i or cells[j] != cells[i]:
+                continue
+            d = sum(a * b for a, b in zip(q, qj))
+            nj = sum(x * x for x in qj)
+            if d > 0 and tau_den**2 * d * d >= tau_num**2 * n2 * nj:
+                dup = True
+                break
+        out[i] = (cells[i], not dup)
+    return out
+
+
+def test_semantic_dedup_matches_replay(spark, clustered_emb):
+    """Operator == independent replay on the tight-cluster corpus,
+    incl. a null embedding (no row) and a tiny chunk size so the
+    blockwise Gram path crosses block boundaries."""
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+
+    emb = clustered_emb.unionByName(
+        spark.createDataFrame(
+            [(99, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            emb, n_cells=4, tau_num=9, tau_den=10, chunk=3
+        ).collect()
+    }
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    want = _semdedup_replay(rows, n_cells=4, tau_num=9, tau_den=10)
+    assert got == want
+    assert 99 not in got
+    # the tight clusters must actually deduplicate at cos >= 0.9
+    assert sum(1 for _, k in got.values() if not k) >= 10
+
+
+def test_semantic_dedup_max_cell_raises(spark, clustered_emb):
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+
+    with pytest.raises(Exception, match="max_cell"):
+        semantic_dedup(clustered_emb, n_cells=1, max_cell=5).collect()
+
+
+def test_kmeans_refine_matches_replay(spark, clustered_emb):
+    """2-round Lloyd refinement == an independent plain-Python replay
+    (squared-Euclidean argmax, trunc-toward-zero integer means,
+    empty-cell carry-over) on the tight-cluster corpus, incl. a null
+    embedding; with 4 seeds over 2 real clusters some cells MUST end
+    empty, exercising the carry-over path."""
+    import hashlib
+
+    from xhtml_parser_spark.operators.similarity import kmeans_refine
+
+    emb = clustered_emb.unionByName(
+        spark.createDataFrame(
+            [(99, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    got = sorted(
+        (r["cell"], tuple(r["cv"]), r["n_members"])
+        for r in kmeans_refine(emb, n_cells=4, n_iter=2).collect()
+    )
+
+    def quant(v):
+        return [
+            int(math.copysign(math.floor(abs(x * 1000.0) + 0.5), x * 1000.0))
+            for x in v
+        ]
+
+    rows = [
+        (r["vec_id"], quant(r["embedding"]))
+        for r in emb.collect()
+        if r["embedding"] is not None
+    ]
+    code = [
+        q
+        for _, q in sorted(
+            rows,
+            key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+        )[:4]
+    ]
+    counts = [0] * 4
+    for _ in range(2):
+        sums = [[0] * len(code[0]) for _ in range(4)]
+        counts = [0] * 4
+        for _, q in rows:
+            best = max(
+                range(4),
+                key=lambda c: (
+                    2 * sum(a * b for a, b in zip(q, code[c]))
+                    - sum(x * x for x in code[c]),
+                    -c,
+                ),
+            )
+            counts[best] += 1
+            for d, x in enumerate(q):
+                sums[best][d] += x
+        code = [
+            [
+                (1 if s >= 0 else -1) * (abs(s) // counts[c])
+                for s in sums[c]
+            ]
+            if counts[c]
+            else code[c]
+            for c in range(4)
+        ]
+    want = sorted(
+        (c, tuple(code[c]), counts[c]) for c in range(4)
+    )
+    assert got == want
+    assert sum(n for _, _, n in got) == 20
+
+    # empty-cell carry-over: identical vectors make both seeds equal,
+    # ties send every row to cell 0 and cell 1 must keep its seed
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["cell"]: (tuple(r["cv"]), r["n_members"])
+        for r in kmeans_refine(same, n_cells=2, n_iter=2).collect()
+    }
+    assert out[0] == ((1000, 2000), 3)
+    assert out[1] == ((1000, 2000), 0)

@@ -709,3 +709,208 @@ def ann_topk_batch(
 
         out = attach_persists(out, buckets)
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    tau_num: int = 7,
+    tau_den: int = 20,
+    max_cell: int = 1_000_000,
+    chunk: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication: assign
+    every embedding to its nearest coarse centroid (the ivf_topk
+    codebook + Arrow matmul assignment), then WITHIN each cell mark a
+    vector dropped when any smaller-id vector in the same cell has
+    cosine >= tau_num/tau_den. Output (id, cell, kept) for every
+    non-null-embedding row; kept=False rows are the semantic
+    near-duplicates a curation pipeline removes before training.
+
+    Scale shape: the O(n^2) similarity graph is confined to one cell
+    (SemDeDup's point -- n_cells must grow with the corpus so cells
+    stay bounded; the per-cell Gram matrix additionally runs in
+    ``chunk``-row blocks so peak memory is O(chunk * cell), and a cell
+    above ``max_cell`` raises rather than silently funneling a corpus
+    into one task). One shuffle total (the cell groupBy); the
+    assignment emits (id, vec, cell) in a single map pass so the
+    vector payload shuffles exactly once.
+
+    Semantics note: the keep rule is first-wins against ALL earlier
+    same-cell rows (a dropped row still shadows later lookalikes) --
+    the same convention as paragraph/passage dedup, chosen over
+    connected-component representatives so the decision is
+    order-independent, blockwise-parallel, and SQL-replayable (the
+    oracle is one self-join + EXISTS); dedup_clusters provides CC
+    semantics where those are wanted. The cosine test is the exact
+    rational integer predicate of embedding_neardup_pairs; the
+    codebook collect is the bounded index-build step documented in
+    ivf_topk."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    cmat = np.array(
+        [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.int64,
+    ).T
+    id_type = emb.schema[id_col].dataType.simpleString()
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            notna = pdf[vec_col].notna().to_numpy()
+            if not notna.any():
+                continue
+            m = _np_quantize(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][notna]]
+                )
+            )
+            cell = np.argmax(m @ cmat, axis=1)  # first max = smallest cell
+            out = pdf[notna].copy()
+            out["cell"] = cell
+            yield out
+
+    vec_sql = emb.schema[vec_col].dataType.simpleString()
+    withc = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, {vec_col} {vec_sql}, cell bigint"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "cell": [], "kept": []})
+        if n > max_cell:
+            raise ValueError(
+                f"cell of {n} rows exceeds max_cell={max_cell}: raise "
+                "n_cells so cells stay bounded (SemDeDup's contract)"
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = _np_quantize(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )[order]
+        )
+        na2 = (q * q).sum(axis=1)
+        if int(na2.max(initial=0)) > 150_000_000 // tau_den:
+            raise ValueError("quantized norms too large for exact int64 test")
+        kept = np.ones(n, dtype=bool)
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            d = q[lo:hi] @ q[:hi].T
+            cond = (d > 0) & (
+                td2 * d * d >= tn2 * na2[lo:hi, None] * na2[None, :hi]
+            )
+            # only SMALLER-id columns count (col index < row index)
+            valid = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            kept[lo:hi] = ~(cond & valid).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "cell": pdf["cell"].iloc[0], "kept": kept}
+        )
+
+    return withc.groupBy("cell").applyInPandas(
+        per_cell, f"{id_col} {id_type}, cell bigint, kept boolean"
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic hash-sampled
+    codebook, exact-integer end to end: each round assigns every
+    quantized vector to its nearest centroid by TRUE squared Euclidean
+    distance (argmax of 2*dot - |c|^2, ties to the smaller cell -- the
+    |x|^2 term is constant per row and drops out) and recomputes each
+    centroid as the coordinate-wise integer mean of its members,
+    sign(s) * (|s| div n): truncation toward zero written explicitly
+    so Spark, NumPy and the SQL oracle share one division semantics
+    even on negative coordinate sums. Empty cells keep their previous
+    centroid. Output (cell, cv, n_members) after ``n_iter`` rounds
+    with n_members from the LAST assignment.
+
+    Scale shape: per round = ONE map pass over the embeddings emitting
+    per-(partition, cell) partial sums + counts, then a bounded
+    driver-side reduce of ~n_partitions * n_cells rows (the classic
+    distributed-Lloyd aggregate; same bounded index-build contract as
+    ivf_topk's codebook collect). Integer sums are reduction-order
+    independent, so the refined codebook is a pure function of the
+    input -- fixed n_iter, no convergence probe, exactly the pagerank
+    determinism recipe. Feed the result to ivf/semdedup-style
+    assignment for a density-adapted index."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    cmat = np.array(
+        [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.int64,
+    )  # (n_cells, dim)
+    k, dim = cmat.shape
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter):
+        cm = cmat  # bind the CURRENT codebook into this round's closure
+        c2 = (cm * cm).sum(axis=1)
+
+        def partials(it):
+            sums = np.zeros((k, dim), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            seen = False
+            for pdf in it:
+                vecs = pdf[vec_col]
+                notna = vecs.notna().to_numpy()
+                if not notna.any():
+                    continue
+                seen = True
+                q = _np_quantize(
+                    np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in vecs[notna]]
+                    )
+                )
+                score = 2 * (q @ cm.T) - c2[None, :]
+                cell = np.argmax(score, axis=1)  # first max = smaller cell
+                np.add.at(sums, cell, q)
+                np.add.at(cnts, cell, 1)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(k),
+                        "s": list(sums),
+                        "cnt": cnts,
+                    }
+                )
+
+        part = (
+            emb.select(vec_col)
+            .mapInPandas(partials, "cell bigint, s array<bigint>, cnt bigint")
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in part:
+            sums[r["cell"]] += np.array(r["s"], dtype=np.int64)
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        means = np.zeros_like(sums)
+        s_ne = sums[nonempty]
+        means[nonempty] = np.sign(s_ne) * (
+            np.abs(s_ne) // counts[nonempty, None]
+        )
+        cmat = np.where(nonempty[:, None], means, cmat)
+    return emb.sparkSession.createDataFrame(
+        [
+            (int(c), [int(x) for x in cmat[c]], int(counts[c]))
+            for c in range(k)
+        ],
+        "cell bigint, cv array<bigint>, n_members bigint",
+    )
