@@ -1413,6 +1413,49 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedding (hashing trick): signed
+    md5-bucket token counts per document, dim=32 -- the deterministic
+    featurizer bridging the text table into the similarity stack.
+    Exploded per (doc_id, dim) so the value hash pins every
+    coordinate. All codegen built-ins; the oracle replays bucket,
+    sign, and sums exactly."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import hash_embedding
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return hash_embedding(docs, dim=32).select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    )
+
+
+def q_semdedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text semantic dedup: hash_embedding featurizes the
+    raw documents (sign-compressed so quantized norms stay within the
+    exact-int64 bound at any document length), then semantic_dedup
+    clusters and first-wins-drops near-duplicates at cos >= 9/10 --
+    the full SemDeDup curation path from text to keep/drop decisions,
+    replayed end-to-end by one SQL oracle."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+    from xhtml_parser_spark.operators.textops import hash_embedding
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = hash_embedding(docs, dim=32).select(
+        "doc_id",
+        F.transform(
+            "embedding",
+            lambda x: F.when(x > 0, 1)
+            .when(x < 0, -1)
+            .otherwise(0)
+            .cast("bigint"),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb, n_cells=8, tau_num=9, tau_den=10, id_col="doc_id"
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "cell", "kept")
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means, exact-integer: 2 refinement rounds
     over the hash-sampled codebook (true squared-Euclidean assignment,
@@ -1703,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        "hash_embed": q_hash_embed,
+        "semdedup_text": q_semdedup_text,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -2920,6 +2965,92 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # hashing-trick featurizer replay: bucket = first-32-bits of
+        # md5(word) mod dim, sign = 9th hex nibble parity, coordinates
+        # = signed token counts; missing buckets are zero
+        "hash_embed": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n]+'), x -> x <> '')) AS w
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32 AS BIGINT) AS b,
+                     CASE WHEN ('0x' || substr(md5(w), 9, 1))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM w
+            ), sums AS (
+              SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM b GROUP BY doc_id, b
+            ), dims AS (
+              SELECT d.doc_id, t.i FROM documents d CROSS JOIN range(0, 32) t(i)
+            )
+            SELECT d.doc_id, CAST(d.i AS INTEGER) AS dim, COALESCE(s.v, 0) AS v
+            FROM dims d LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = d.i
+        """,
+        # end-to-end text SemDeDup: the hash_embed sums sign-compressed
+        # and scaled to the quantized domain (x1000), then the same
+        # codebook/assignment/pair-EXISTS replay as semdedup
+        "semdedup_text": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n]+'), x -> x <> '')) AS w
+              FROM documents
+            ), bk AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32 AS BIGINT) AS b,
+                     CASE WHEN ('0x' || substr(md5(w), 9, 1))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM w
+            ), sums AS (
+              SELECT doc_id, b, SUM(s) AS v FROM bk GROUP BY doc_id, b
+            ), dimv AS (
+              SELECT d.doc_id, t.i,
+                     1000 * COALESCE(CASE WHEN s.v > 0 THEN 1
+                                          WHEN s.v < 0 THEN -1 ELSE 0 END, 0) AS qv
+              FROM documents d CROSS JOIN range(0, 32) t(i)
+              LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = t.i
+            ), e AS (
+              SELECT doc_id AS vec_id, list(qv ORDER BY i) AS q
+              FROM dimv GROUP BY doc_id
+            ), c AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+            ), a AS (
+              SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c.cv[i])) AS BIGINT) AS d
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+                FROM a
+              ) WHERE rn = 1
+            ), n AS (
+              SELECT e.vec_id, asg.cell, e.q,
+                     CAST(list_sum(list_transform(e.q, x -> x * x)) AS BIGINT) AS n2
+              FROM e JOIN asg USING (vec_id)
+            ), p AS (
+              SELECT x.vec_id AS xid,
+                     CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+                          i -> x.q[i] * y.q[i])) AS BIGINT) AS dd,
+                     x.n2 AS xn, y.n2 AS yn
+              FROM n x JOIN n y
+                ON x.cell = y.cell AND y.vec_id < x.vec_id
+            ), d AS (
+              SELECT xid FROM p
+              WHERE dd > 0 AND 100 * dd * dd >= 81 * xn * yn
+              GROUP BY xid
+            )
+            SELECT n.vec_id AS doc_id, CAST(n.cell AS BIGINT) AS cell,
+                   d.xid IS NULL AS kept
+            FROM n LEFT JOIN d ON n.vec_id = d.xid
         """,
         # SemDeDup replay: same codebook + argmax assignment as
         # ivf_topk, then one same-cell smaller-id self-join carrying

@@ -578,3 +578,54 @@ def test_kmeans_refine_matches_replay(spark, clustered_emb):
     }
     assert out[0] == ((1000, 2000), 3)
     assert out[1] == ((1000, 2000), 0)
+
+
+def test_semantic_dedup_accepts_kmeans_codebook(spark, clustered_emb):
+    """Composition: semantic_dedup over a kmeans_refine codebook ==
+    the replay run against those refined centroids (dot-based
+    assignment, as semantic_dedup defines it)."""
+    from xhtml_parser_spark.operators.similarity import (
+        kmeans_refine,
+        semantic_dedup,
+    )
+
+    cb = kmeans_refine(clustered_emb, n_cells=4, n_iter=2)
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            clustered_emb, tau_num=9, tau_den=10, codebook=cb
+        ).collect()
+    }
+    code = {r["cell"]: list(r["cv"]) for r in cb.collect()}
+
+    def quant(v):
+        return [
+            int(math.copysign(math.floor(abs(x * 1000.0) + 0.5), x * 1000.0))
+            for x in v
+        ]
+
+    e = sorted(
+        (r["vec_id"], quant(r["embedding"]))
+        for r in clustered_emb.collect()
+        if r["embedding"] is not None
+    )
+    cells = {
+        i: max(
+            sorted(code),
+            key=lambda c: (sum(a * b for a, b in zip(q, code[c])), -c),
+        )
+        for i, q in e
+    }
+    want = {}
+    for i, q in e:
+        n2 = sum(x * x for x in q)
+        dup = any(
+            cells[j] == cells[i]
+            and (d := sum(a * b for a, b in zip(q, qj))) > 0
+            and 100 * d * d >= 81 * n2 * sum(x * x for x in qj)
+            for j, qj in e
+            if j < i
+        )
+        want[i] = (cells[i], not dup)
+    assert got == want
+    assert len(got) == 20

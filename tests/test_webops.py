@@ -182,3 +182,65 @@ def test_lm_surprisal_integer_model(spark):
 
     with _pytest.raises(ValueError):
         lm_surprisal(docs, spark.createDataFrame([(0, "")], "doc_id bigint, text string"))
+
+
+def test_hash_embedding_matches_replay(spark):
+    """hash_embedding == plain-Python hashing-trick replay; empty/null
+    text yields the zero vector; repeated words accumulate."""
+    import hashlib
+
+    from xhtml_parser_spark.operators.textops import hash_embedding
+
+    rows = [
+        (0, "the quick brown fox the the"),
+        (1, ""),
+        (2, None),
+        (3, "  spaced\tout\nwords  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 8
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hash_embedding(df, dim=dim).collect()
+    }
+
+    def replay(t):
+        v = [0] * dim
+        for w in (t or "").split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            v[b] += 1 if int(h[8], 16) % 2 == 0 else -1
+        return v
+
+    want = {i: replay(t) for i, t in rows}
+    assert got == want
+    assert got[1] == [0] * dim and got[2] == [0] * dim
+    assert sum(abs(x) for x in got[0]) >= 4  # counts accumulate
+
+
+def test_hash_embedding_feeds_semantic_dedup(spark):
+    """Composition: identical texts embed identically and semantic
+    dedup over hash embeddings drops the later copies."""
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+    from xhtml_parser_spark.operators.textops import hash_embedding
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embedding(df, dim=16)
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            emb, n_cells=2, tau_num=9, tau_den=10,
+            id_col="doc_id", vec_col="embedding",
+        ).withColumnRenamed("doc_id", "vec_id").collect()
+    }
+    assert out[0] is True
+    assert out[1] is False and out[2] is False  # exact copies dropped
+    assert out[3] is True

@@ -203,7 +203,13 @@ def embedding_neardup_pairs(
         )
         na2 = (q * q).sum(axis=1)
         # int64 exactness bound: td2 * dot^2 <= td2 * na2_max^2 must fit
-        if int(na2.max(initial=0)) > 150_000_000 // tau_den:
+        # exactness precondition: |dot| <= na2_max (Cauchy-Schwarz), so
+        # td^2*dot^2 and tn^2*na2*nb2 both fit int64 iff
+        # tau_den * na2_max <= floor(sqrt(2^63 - 1)) = 3_037_000_499
+        # (integer hash embeddings have much larger norms than
+        # unit-float vectors, so the bound is the true one, not a
+        # round conservative margin)
+        if int(na2.max(initial=0)) > 3_037_000_499 // tau_den:
             raise ValueError("quantized norms too large for exact int64 test")
         g = q @ q.T
         ia, ib = np.triu_indices(len(ids), 1)
@@ -364,10 +370,24 @@ def ivf_centroid_rows(
     )
 
 
+def _collect_codebook(emb, n_cells, id_col, vec_col, codebook):
+    """(cell, cv) rows of the coarse codebook: ``codebook`` (any
+    DataFrame carrying cell + cv columns, e.g. kmeans_refine output --
+    cells numbered 0..K-1, cv the quantized int64 centroid) when
+    given, else the default deterministic hash sample. Bounded collect
+    (<= K rows): the index-build step documented in ivf_topk."""
+    src = (
+        codebook.select("cell", "cv")
+        if codebook is not None
+        else ivf_centroid_rows(emb, n_cells, id_col, vec_col)
+    )
+    return src.collect()
+
+
 def ivf_topk(
     emb: DataFrame, query_vec_id: int, k: int = 10, n_cells: int = 16,
     n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    persist_assignments: bool = True,
+    persist_assignments: bool = True, codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     coarse centroid (one Arrow matmul pass, codebook in the closure),
@@ -388,7 +408,7 @@ def ivf_topk(
     import pandas as pd  # noqa: PLC0415 (worker-side)
     from pyspark import StorageLevel
 
-    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    rows = _collect_codebook(emb, n_cells, id_col, vec_col, codebook)
     # index build: n_cells rows, bounded. The probes plan below reuses
     # these collected rows as a local relation instead of referencing
     # the centroid DataFrame again -- that would re-run the md5
@@ -477,6 +497,7 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_assignments: bool = True,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k for EVERY id in a query table, one relational pass --
     the inverted-list twin of ann_topk_batch. Output
@@ -497,7 +518,7 @@ def ivf_topk_batch(
     from pyspark import StorageLevel
     from pyspark.sql.window import Window as W
 
-    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    rows = _collect_codebook(emb, n_cells, id_col, vec_col, codebook)
     cmat = np.array(
         [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])], dtype=np.int64
     ).T
@@ -720,6 +741,7 @@ def semantic_dedup(
     chunk: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication: assign
     every embedding to its nearest coarse centroid (the ivf_topk
@@ -747,11 +769,14 @@ def semantic_dedup(
     semantics where those are wanted. The cosine test is the exact
     rational integer predicate of embedding_neardup_pairs; the
     codebook collect is the bounded index-build step documented in
-    ivf_topk."""
+    ivf_topk. Pass ``codebook`` (e.g. kmeans_refine's output) to
+    dedup against density-adapted cells instead of the default hash
+    sample -- tighter clusters catch more near-duplicates at the same
+    threshold."""
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
-    rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
+    rows = _collect_codebook(emb, n_cells, id_col, vec_col, codebook)
     cmat = np.array(
         [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])],
         dtype=np.int64,
@@ -799,7 +824,13 @@ def semantic_dedup(
             )[order]
         )
         na2 = (q * q).sum(axis=1)
-        if int(na2.max(initial=0)) > 150_000_000 // tau_den:
+        # exactness precondition: |dot| <= na2_max (Cauchy-Schwarz), so
+        # td^2*dot^2 and tn^2*na2*nb2 both fit int64 iff
+        # tau_den * na2_max <= floor(sqrt(2^63 - 1)) = 3_037_000_499
+        # (integer hash embeddings have much larger norms than
+        # unit-float vectors, so the bound is the true one, not a
+        # round conservative margin)
+        if int(na2.max(initial=0)) > 3_037_000_499 // tau_den:
             raise ValueError("quantized norms too large for exact int64 test")
         kept = np.ones(n, dtype=bool)
         for lo in range(1, n, chunk):

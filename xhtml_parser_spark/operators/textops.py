@@ -319,3 +319,76 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     t = F.coalesce(F.col(text_col), F.lit(""))
     norm = F.trim(F.regexp_replace(F.lower(t), _WS, " "))
     return docs.select(F.col(id_col), F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+def hash_embedding(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick,
+    fastText/VW-style featurization): whitespace tokens land in
+    bucket = first-32-bits(md5(word)) % dim with a +/-1 sign from the
+    9th hex nibble's parity; the embedding is the signed token-count
+    vector, array<bigint>. Deterministic and engine-independent (md5
+    only), so any engine reproduces it bit-for-bit -- the bridge from
+    the raw text table into the integer-exact similarity stack:
+    semantic_dedup / kmeans_refine / embedding_neardup_pairs consume
+    its output directly (their round(x*1000) quantization maps the
+    integer-valued coordinates exactly, it just scales them).
+
+    Plan: one explode + one (id, bucket) partial-agg shuffle + one
+    per-id map-assembly agg; every expression is a codegen built-in,
+    no Python anywhere. Docs with no tokens (null/empty text) emit
+    the zero vector."""
+    w = F.explode(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS)
+    ).alias("w")
+    words = docs.select(F.col(id_col), w).where(F.col("w") != "")
+    h = F.md5(F.encode(F.col("w"), "UTF-8"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(dim)
+    ).alias("b")
+    sign = (
+        F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("s")
+    )
+    sums = (
+        words.select(id_col, bucket, sign)
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    vecs = (
+        sums.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("embedding"),
+        )
+    )
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.lit(0).cast("bigint"),
+    )
+    return (
+        docs.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("embedding"), zero).alias("embedding"),
+        )
+    )
