@@ -1413,6 +1413,18 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: global top-100 bigrams by (count
+    DESC, gram ASC) over all documents -- one partial-agg count
+    shuffle + TakeOrderedAndProject partial top-k, rank window over
+    the 100 surviving rows only. Deterministic tie-break makes the
+    full (gram, cnt, rank) triple value-hashable."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100, n=2)
+
+
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embedding (hashing trick): signed
     md5-bucket token counts per document, dim=32 -- the deterministic
@@ -1748,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hash_embed": q_hash_embed,
         "semdedup_text": q_semdedup_text,
+        "vocab_topk": q_vocab_topk,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -2965,6 +2978,24 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # bigram frequency replay: sliding windows over the filtered
+        # token list, global count, (cnt DESC, gram) top-100 with rank
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n]+'), x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(range(1, len(t) - 2 + 2),
+                         i -> array_to_string(t[i:i+1], ' '))) AS gram
+              FROM toks WHERE len(t) >= 2
+            ), c AS (
+              SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+            )
+            SELECT gram, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank
+            FROM c ORDER BY cnt DESC, gram LIMIT 100
         """,
         # hashing-trick featurizer replay: bucket = first-32-bits of
         # md5(word) mod dim, sign = 9th hex nibble parity, coordinates

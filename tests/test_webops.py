@@ -244,3 +244,36 @@ def test_hash_embedding_feeds_semantic_dedup(spark):
     assert out[0] is True
     assert out[1] is False and out[2] is False  # exact copies dropped
     assert out[3] is True
+
+
+def test_vocab_topk_replay_and_edges(spark):
+    """vocab_topk == plain-Python counter replay for n=1 and n=2;
+    deterministic (cnt DESC, gram ASC) tie-break; docs shorter than n
+    and null text contribute nothing."""
+    from collections import Counter
+
+    from xhtml_parser_spark.operators.textops import vocab_topk
+
+    rows = [
+        (0, "b a b a c"),
+        (1, "a c\td\nc"),
+        (2, None),
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2):
+        cnt = Counter()
+        for _, t in rows:
+            toks = (t or "").split()
+            for i in range(len(toks) - n + 1):
+                cnt[" ".join(toks[i : i + n])] += 1
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        want = [(g, c, r + 1) for r, (g, c) in enumerate(want)]
+        got = [
+            (r["gram"], r["cnt"], r["rank"])
+            for r in vocab_topk(df, k=4, n=n)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, n

@@ -392,3 +392,54 @@ def hash_embedding(
             F.coalesce(F.col("embedding"), zero).alias("embedding"),
         )
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    n: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level token / n-gram frequency ranking (vocabulary
+    mining -- the tokenizer-training / frequent-phrase-analysis prep
+    step): global top-k grams by (count DESC, gram ASC), output
+    (gram, cnt, rank) with rank 1..k. n=1 counts whitespace tokens;
+    n>1 counts n-grams of consecutive tokens joined by single spaces
+    (the dedup operators' shingle convention).
+
+    Scale shape: one partial-agg count shuffle, then ORDER BY+LIMIT
+    compiles to TakeOrderedAndProject (per-partition partial top-k +
+    a k-row merge) -- no global sort; the final rank window runs over
+    the k collected rows only. The token array is STAGED as its own
+    projection before the n-gram transform so the slice lambda
+    references a column, not the split expression (a lambda over the
+    raw expression re-evaluates it per element -- the O(n^2)
+    interpreted trap in CLAUDE.md); the size guard wraps the
+    sequence because Spark's sequence(1, stop) turns DESCENDING when
+    stop < 1 rather than empty."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
+        lambda x: x != "",
+    )
+    staged = docs.select(toks.alias("t"))
+    if n == 1:
+        grams = staged.select(F.explode("t").alias("gram"))
+    else:
+        windows = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.array_join(F.slice("t", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = staged.select(F.explode(windows).alias("gram"))
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), "gram")
+    return top.select("gram", "cnt", F.row_number().over(w).alias("rank"))
