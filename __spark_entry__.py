@@ -1413,6 +1413,24 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG prep): 64-token windows with 16
+    tokens of overlap over every document; zero-shuffle map-side
+    codegen. Output (doc_id, chunk_id, chunk_md5, n_tokens) -- the
+    digest pins each window's exact token content."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary mining: global top-100 bigrams by (count
     DESC, gram ASC) over all documents -- one partial-agg count
@@ -1761,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "semdedup_text": q_semdedup_text,
         "vocab_topk": q_vocab_topk,
+        "chunk_docs": q_chunk_docs,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -2978,6 +2997,27 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # sliding-window replay: stride 48 = 64 - 16, window count =
+        # 1 + ceil(max(L-64,0)/48), 1-based inclusive list slices
+        # truncate at the tail exactly like Spark's slice()
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n]+'), x -> x <> '') AS t
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) > 0
+            ), k AS (
+              SELECT doc_id, t,
+                     unnest(range(0, 1 + (greatest(L - 64, 0) + 47) // 48)) AS chunk_id
+              FROM nz
+            )
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5,
+                   CAST(len(t[chunk_id*48+1 : chunk_id*48+64]) AS INTEGER) AS n_tokens
+            FROM k
         """,
         # bigram frequency replay: sliding windows over the filtered
         # token list, global count, (cnt DESC, gram) top-100 with rank

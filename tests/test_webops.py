@@ -277,3 +277,44 @@ def test_vocab_topk_replay_and_edges(spark):
             .collect()
         ]
         assert got == want, n
+
+
+def test_chunk_documents_replay_and_edges(spark):
+    """chunk_documents == plain-Python sliding-window replay: full
+    coverage (every token in some chunk), exact overlap, tail shorter
+    than chunk kept, single-chunk and empty docs."""
+    from xhtml_parser_spark.operators.textops import chunk_documents
+
+    import pytest as _pytest
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(11))),  # 11 toks: 3 windows
+        (1, "a b c d"),                              # exactly one window
+        (2, "a b c d e"),                            # one full + tail
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    want = []
+    for d, t in rows:
+        toks = (t or "").split()
+        if not toks:
+            continue
+        stride = 3
+        n = 1 + max(0, -(-(max(len(toks) - 4, 0)) // stride))
+        for k in range(n):
+            w = toks[k * stride : k * stride + 4]
+            want.append((d, k, " ".join(w), len(w)))
+    assert got == sorted(want)
+    # coverage: every token of doc 0 appears in some chunk
+    covered = set()
+    for d, k, txt, _ in got:
+        if d == 0:
+            covered.update(txt.split())
+    assert covered == set(f"t{i}" for i in range(11))
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -443,3 +443,59 @@ def vocab_topk(
 
     w = Window.orderBy(F.col("cnt").desc(), "gram")
     return top.select("gram", "cnt", F.row_number().over(w).alias("rank"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    each document's whitespace tokens split into windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between
+    consecutive windows (stride = chunk_tokens - overlap). The last
+    window keeps the tail even when shorter; documents with no tokens
+    yield no chunks. Output (id, chunk_id, chunk_text, n_tokens),
+    chunk_id 0-based in document order.
+
+    Pure map-side codegen: the token array is staged once, window
+    starts enumerated with an integer-exact DIV (never float
+    division), windows gathered by slice (which truncates at the
+    array end) inside one posexplode -- no shuffle, no Python. Window
+    count = 1 + ceil(max(L - chunk, 0) / stride), the standard
+    cover-the-tail formula."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
+        lambda x: x != "",
+    )
+    staged = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .withColumn("L", F.size("t"))
+        .where(F.col("L") > 0)
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"1 + CAST((greatest(L - {chunk_tokens}, 0) "
+                f"+ {stride - 1}) DIV {stride} AS INT)"
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda k: F.slice("t", k * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_id", "ctoks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join("ctoks", " ").alias("chunk_text"),
+        F.size("ctoks").alias("n_tokens"),
+    )
