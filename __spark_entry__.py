@@ -1413,6 +1413,39 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality sketch over the corpus's bigrams
+    (vocabulary-size estimation without a full distinct shuffle):
+    per-partition k-min distinct hashes, kilobyte-scale merge,
+    integer-exact estimator -- deterministic md5 hashing makes even
+    the ESTIMATE itself oracle-replayable. exact_distinct rides along
+    as the verification column (computable at test scale; the sketch
+    exists so 10^12-row columns never need it)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import distinct_kmv
+    from xhtml_parser_spark.operators.textops import vocab_topk  # noqa: F401
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "[ \t\n]+"),
+        lambda x: x != "",
+    )
+    staged = docs.select(toks.alias("t"))
+    grams = staged.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.array_join(F.slice("t", i, 2), " "),
+            )
+        ).alias("value")
+    )
+    sk = distinct_kmv(grams, k=256)
+    exact = grams.agg(
+        F.countDistinct("value").cast("bigint").alias("exact_distinct")
+    )
+    return sk.crossJoin(exact)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (RAG prep): 64-token windows with 16
     tokens of overlap over every document; zero-shuffle map-side
@@ -1780,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_text": q_semdedup_text,
         "vocab_topk": q_vocab_topk,
         "chunk_docs": q_chunk_docs,
+        "distinct_kmv": q_distinct_kmv,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -2997,6 +3031,37 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # KMV sketch replay: the estimator itself is deterministic
+        # (60-bit md5 prefix hashes, bottom-256, integer DIV), so even
+        # the ESTIMATE is value-hashed, not just the exact control
+        "distinct_kmv": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n]+'), x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                         i -> array_to_string(t[i:i+1], ' '))) AS value
+              FROM toks WHERE len(t) >= 2
+            ), hh AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(value), 1, 15))::UBIGINT
+                                   AS BIGINT) AS h
+              FROM g
+            ), topk AS (
+              SELECT h FROM hh ORDER BY h LIMIT 256
+            ), s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash
+              FROM topk
+            ), x AS (
+              SELECT CAST(COUNT(DISTINCT value) AS BIGINT) AS exact_distinct FROM g
+            )
+            SELECT s.k_used, s.kth_hash,
+                   CASE WHEN s.k_used < 256 THEN s.k_used
+                        ELSE 255 * (1152921504606846976 // s.kth_hash) END
+                     AS est_distinct,
+                   x.exact_distinct
+            FROM s, x
         """,
         # sliding-window replay: stride 48 = 64 - 16, window count =
         # 1 + ceil(max(L-64,0)/48), 1-based inclusive list slices

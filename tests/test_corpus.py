@@ -505,3 +505,38 @@ def test_mixture_sample(spark):
     assert all(k == den for (_, d, _, k) in got if d == "d2")
     assert sum(1 for (_, d, _, _) in got if d == "d2") == cnt["d2"]
     assert not any(d == "d3" for (_, d, _, _) in got)
+
+
+def test_distinct_kmv_sketch(spark):
+    """KMV sketch: duplicate-invariant, exact below k, ~accurate above
+    it, deterministic across partitionings, k bounds enforced."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators.corpus import distinct_kmv
+
+    base = spark.range(5000).select(F.col("id").alias("value"))
+    r = distinct_kmv(base, k=256).collect()[0]
+    assert r["k_used"] == 256
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.25
+    # duplicates don't move the sketch
+    r3 = distinct_kmv(base.unionAll(base), k=256).collect()[0]
+    assert tuple(r3) == tuple(r)
+    # repartitioning doesn't either (the estimate is a pure function
+    # of the value SET)
+    r4 = distinct_kmv(base.repartition(17), k=256).collect()[0]
+    assert tuple(r4) == tuple(r)
+    # exact regime
+    small = distinct_kmv(
+        spark.range(40).select(F.col("id").alias("value")), k=256
+    ).collect()[0]
+    assert (small["k_used"], small["est_distinct"]) == (40, 40)
+    # empty input
+    empty = distinct_kmv(
+        spark.range(0).select(F.col("id").alias("value")), k=256
+    ).collect()[0]
+    assert (empty["k_used"], empty["kth_hash"], empty["est_distinct"]) == (
+        0, None, 0,
+    )
+    with _pytest.raises(ValueError):
+        distinct_kmv(base, k=1)

@@ -849,3 +849,78 @@ def mixture_sample(
         .where(F.col("bucket") < F.col("keep_num"))
         .select("doc_id", "domain", "bucket", "keep_num")
     )
+
+
+def distinct_kmv(
+    values: DataFrame,
+    k: int = 256,
+    value_col: str = "value",
+) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch, fully
+    deterministic (md5-based, no RNG) so any engine reproduces the
+    SAME estimate bit-for-bit: h(value) = first 60 bits of
+    md5(value); keep the k smallest DISTINCT hashes; with the k-th
+    smallest at H, estimate = (k-1) * (2^60 DIV H) -- the classic
+    KMV/bottom-k estimator in pure integer arithmetic (relative
+    error ~ 1/sqrt(k-2)). When fewer than k distinct hashes exist
+    the sketch is EXACT and the estimate is the count itself.
+
+    Scale shape (the whole point vs count(DISTINCT)): one Arrow pass
+    keeps <= k distinct hashes PER PARTITION (np.unique on the
+    partition's hashes -- bounded memory however many rows), the
+    global merge sees at most n_partitions * k rows, and the final
+    distinct+top-k runs on that tiny set. No shuffle of the full
+    value or hash domain ever happens; cardinality of 10^12-row
+    columns costs one scan + a kilobyte-scale merge. 60-bit hashes
+    keep every product in int64 ((k-1) * 2^60/H < 2^63 for k <= 4096
+    at the H >= k-1 regime where the estimator is used).
+
+    Output ONE row: (k_used, kth_hash, est_distinct) with
+    k_used = min(k, n_distinct_hashes); kth_hash is NULL when the
+    input is empty (est 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not 2 <= k <= 4096:
+        raise ValueError("k must be in [2, 4096]")
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+
+    def partial(batches):
+        seen = np.empty(0, dtype=np.int64)
+        got = False
+        for rb in batches:
+            a = rb.column(0).to_numpy(zero_copy_only=False)
+            if len(a) == 0:
+                continue
+            got = True
+            seen = np.unique(np.concatenate([seen, a]))[:k]
+        if got:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(seen, type=pa.int64())], names=["h"]
+            )
+
+    local = (
+        values.select(h)
+        .where(F.col("h").isNotNull())
+        .mapInArrow(partial, "h bigint")
+    )
+    merged = local.distinct().orderBy("h").limit(k)
+    return merged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("bigint"))
+        .otherwise(F.expr(f"{k - 1} * ({2**60} DIV kth_hash)"))
+        .alias("est_distinct"),
+    )
