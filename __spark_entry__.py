@@ -1413,6 +1413,21 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank document-length quantiles via the
+    bounded-domain histogram path (shuffle scales with DISTINCT
+    lengths, not rows) -- deterministic where approx_percentile's
+    t-digest is engine-specific and unreplayable."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.corpus import value_quantiles
+
+    docs = _docs(spark, sf_dir)
+    v = docs.select(
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("value")
+    )
+    return value_quantiles(v, [25, 50, 75, 90, 99])
+
+
 def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k cardinality sketch over the corpus's bigrams
     (vocabulary-size estimation without a full distinct shuffle):
@@ -1814,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "chunk_docs": q_chunk_docs,
         "distinct_kmv": q_distinct_kmv,
+        "len_quantiles": q_len_quantiles,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -3031,6 +3047,29 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # nearest-rank quantile replay: histogram -> running cum ->
+        # smallest value reaching rank floor((n-1)*q/100)+1
+        "len_quantiles": """
+            WITH v AS (
+              SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS v FROM documents
+            ), h AS (
+              SELECT v, COUNT(*) AS cnt FROM v GROUP BY v
+            ), c AS (
+              SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+              FROM h
+            ), t AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM h
+            ), q AS (
+              SELECT unnest([25, 50, 75, 90, 99]) AS q
+            ), r AS (
+              SELECT q.q, t.n_total,
+                     (t.n_total - 1) * q.q // 100 + 1 AS rank
+              FROM q, t
+            )
+            SELECT r.q, MIN(c.v) AS value, CAST(r.rank AS BIGINT) AS rank, r.n_total
+            FROM c JOIN r ON c.cum >= r.rank
+            GROUP BY r.q, r.rank, r.n_total
         """,
         # KMV sketch replay: the estimator itself is deterministic
         # (60-bit md5 prefix hashes, bottom-256, integer DIV), so even

@@ -540,3 +540,28 @@ def test_distinct_kmv_sketch(spark):
     )
     with _pytest.raises(ValueError):
         distinct_kmv(base, k=1)
+
+
+def test_value_quantiles_nearest_rank(spark):
+    """Exact nearest-rank semantics: uniform domain hits the exact
+    percentiles, a skewed two-value distribution picks the mass
+    holder, nulls drop, bad q raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.operators.corpus import value_quantiles
+
+    df = spark.range(101).select(F.col("id").alias("value"))
+    got = {r["q"]: r["value"] for r in value_quantiles(df).collect()}
+    assert got == {25: 25, 50: 50, 75: 75, 90: 90, 99: 99}
+
+    skew = spark.createDataFrame(
+        [(5,)] * 90 + [(50,)] * 10 + [(None,)], "value long"
+    )
+    got2 = {
+        r["q"]: (r["value"], r["n_total"])
+        for r in value_quantiles(skew, [50, 95]).collect()
+    }
+    assert got2 == {50: (5, 100), 95: (50, 100)}  # null dropped from n
+    with _pytest.raises(ValueError):
+        value_quantiles(df, [101])

@@ -924,3 +924,52 @@ def distinct_kmv(
         .otherwise(F.expr(f"{k - 1} * ({2**60} DIV kth_hash)"))
         .alias("est_distinct"),
     )
+
+
+def value_quantiles(
+    values: DataFrame,
+    quantiles: list[int] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT nearest-rank quantiles of a bounded-domain integer column
+    (doc lengths, token counts, status codes -- the corpus-statistics
+    staples), deterministic across engines: quantile q = the smallest
+    value whose cumulative count reaches rank floor((n-1)*q/100) + 1.
+    Output (q, value, rank, n_total), one row per requested q.
+
+    Scale shape: the shuffle is a partial-agg histogram over DISTINCT
+    values -- the bounded DOMAIN, not the row count -- so 10^12 rows
+    with, say, <= 10^6 distinct lengths aggregate into <= 10^6
+    histogram rows; the cumulative window then sorts only those. This
+    is exact where approx_percentile is sketchy and engine-specific
+    (its t-digest is not replayable in DuckDB); the explicit contract
+    is integer values with a bounded distinct domain -- for unbounded
+    or continuous columns, bucket first."""
+    qs = quantiles if quantiles is not None else [25, 50, 75, 90, 99]
+    if not qs or not all(0 <= q <= 100 for q in qs):
+        raise ValueError("quantiles must be percentages in [0, 100]")
+    hist = (
+        values.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    spark = values.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in sorted(set(qs))], "q int")
+    # rank = floor((n-1)*q/100) + 1 (nearest-rank, 1-based); n from the
+    # histogram total (one extra tiny agg, broadcast with the q list)
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    ranked = qdf.crossJoin(F.broadcast(total)).withColumn(
+        "rank",
+        F.expr("CAST((n_total - 1) * q DIV 100 AS BIGINT) + 1"),
+    )
+    return (
+        cum.join(
+            F.broadcast(ranked),
+            F.col("cum") >= F.col("rank"),
+        )
+        .groupBy("q", "rank", "n_total")
+        .agg(F.min("v").alias("value"))
+        .select("q", "value", "rank", "n_total")
+    )
