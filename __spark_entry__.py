@@ -1413,6 +1413,22 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_exact(_emb(spark, sf_dir), tau_num=7, tau_den=20)
 
 
+def q_ivf2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF assignment (n1=8 coarse x n2=4 fine): only the
+    8-row coarse codebook is collected; the fine codebook stays a
+    DataFrame and assignment runs as one cogrouped pandas pass
+    co-partitioned on the coarse key -- the cell-count regime where a
+    flat codebook's driver collect / closure broadcast breaks. Fully
+    integer-deterministic, so both argmax levels and the per-cell
+    md5-sampled fine codebook replay in SQL."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.similarity import ivf2_assign
+
+    return ivf2_assign(_emb(spark, sf_dir), n1=8, n2=4).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "coarse", "fine"
+    )
+
+
 def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank document-length quantiles via the
     bounded-domain histogram path (shuffle scales with DISTINCT
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "distinct_kmv": q_distinct_kmv,
         "len_quantiles": q_len_quantiles,
+        "ivf2_assign": q_ivf2_assign,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -3047,6 +3064,53 @@ FROM d
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
+        """,
+        # two-level IVF replay: coarse argmax, per-cell md5-sampled
+        # fine codebook (row_number window), fine argmax -- all
+        # integer dots, ties to the smaller cell at both levels
+        "ivf2_assign": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), c AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     q AS cv
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+            ), a AS (
+              SELECT e.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * c.cv[i])) AS BIGINT) AS d
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+                FROM a
+              ) WHERE rn = 1
+            ), fcb AS (
+              SELECT coarse, fine, q AS cv FROM (
+                SELECT asg.cell AS coarse, e.q,
+                       row_number() OVER (PARTITION BY asg.cell
+                         ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1 AS fine
+                FROM e JOIN asg USING (vec_id)
+              ) WHERE fine < 4
+            ), fa AS (
+              SELECT e.vec_id, asg.cell AS coarse, f.fine,
+                     CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * f.cv[i])) AS BIGINT) AS d
+              FROM e JOIN asg USING (vec_id)
+              JOIN fcb f ON f.coarse = asg.cell
+            )
+            SELECT vec_id, coarse, fine FROM (
+              SELECT vec_id, coarse, fine,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d DESC, fine) AS rn
+              FROM fa
+            ) WHERE rn = 1
         """,
         # nearest-rank quantile replay: histogram -> running cum ->
         # smallest value reaching rank floor((n-1)*q/100)+1

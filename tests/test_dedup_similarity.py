@@ -629,3 +629,71 @@ def test_semantic_dedup_accepts_kmeans_codebook(spark, clustered_emb):
         want[i] = (cells[i], not dup)
     assert got == want
     assert len(got) == 20
+
+
+def test_ivf2_assign_matches_replay_and_plan(spark, clustered_emb):
+    """Two-level assignment == plain-Python replay (coarse argmax,
+    per-cell md5-sampled fine codebook, fine argmax); nulls drop; the
+    plan must run the fine stage as a COGROUP (FlatMapCoGroupsInPandas)
+    with no broadcast -- the fine codebook never enters a closure."""
+    import contextlib
+    import hashlib
+    import io
+
+    from xhtml_parser_spark.operators.similarity import ivf2_assign
+
+    emb = clustered_emb.unionByName(
+        spark.createDataFrame(
+            [(99, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    out_df = ivf2_assign(emb, n1=2, n2=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    got = sorted(tuple(r) for r in out_df.collect())
+
+    def quant(v):
+        return [
+            int(math.copysign(math.floor(abs(x * 1000.0) + 0.5), x * 1000.0))
+            for x in v
+        ]
+
+    e = sorted(
+        (r["vec_id"], quant(r["embedding"]))
+        for r in emb.collect()
+        if r["embedding"] is not None
+    )
+
+    def md5key(i):
+        return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+    code = [q for _, q in sorted(e, key=lambda t: md5key(t[0]))[:2]]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    coarse = {i: max(range(2), key=lambda c: (dot(q, code[c]), -c))
+              for i, q in e}
+    fine_cb = {}
+    for c in range(2):
+        members = sorted(
+            (i for i, _ in e if coarse[i] == c), key=md5key
+        )[:3]
+        fine_cb[c] = [dict(e)[i] for i in members]
+    want = sorted(
+        (
+            i,
+            coarse[i],
+            max(
+                range(len(fine_cb[coarse[i]])),
+                key=lambda f: (dot(q, fine_cb[coarse[i]][f]), -f),
+            ),
+        )
+        for i, q in e
+    )
+    assert got == want
+    assert len(got) == 20

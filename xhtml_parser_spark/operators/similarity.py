@@ -945,3 +945,104 @@ def kmeans_refine(
         ],
         "cell bigint, cv array<bigint>, n_members bigint",
     )
+
+
+def ivf2_assign(
+    emb: DataFrame,
+    n1: int = 16,
+    n2: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-LEVEL IVF assignment -- the 10^12-row scale path for the
+    cell counts where the single-level contract breaks: a flat
+    codebook must fit the driver collect + task closure, which caps
+    usable cells at ~10^6; two levels give n1 * n2 effective cells
+    while only the n1-row COARSE codebook is ever collected. The FINE
+    codebook (n2 md5-sampled members per coarse cell, deterministic,
+    same recipe as ivf_centroid_rows but per-cell via one window) is
+    a DataFrame end to end: never collected, never broadcast --
+    assignment joins vectors to their cell's fine centroids with one
+    COGROUPED pandas pass, co-partitioned on the coarse key, so each
+    task sees one cell's vectors and that cell's centroids and runs
+    one matmul.
+
+    Assignment metric is max integer dot at both levels (ties to the
+    smaller cell id), matching the ivf family; everything is
+    quantized-integer deterministic, so coarse, fine codebook, and
+    both argmaxes replay exactly in SQL. Output
+    (id, coarse, fine) with fine in [0, per-cell sample size).
+
+    Shuffle budget: ONE coarse-keyed exchange shared by the fine-
+    codebook window and the cogroup (vectors move once), plus the
+    bounded coarse-codebook scan. Plug the output into cell-scoped
+    operators (semantic_dedup-style within-cell work keyed on
+    (coarse, fine))."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    rows = ivf_centroid_rows(emb, n1, id_col, vec_col).collect()
+    cmat = np.array(
+        [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.int64,
+    ).T
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_sql = emb.schema[vec_col].dataType.simpleString()
+
+    def assign_coarse(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            notna = pdf[vec_col].notna().to_numpy()
+            if not notna.any():
+                continue
+            m = _np_quantize(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][notna]]
+                )
+            )
+            out = pdf[notna].copy()
+            out["coarse"] = np.argmax(m @ cmat, axis=1)
+            yield out
+
+    withc = emb.select(id_col, vec_col).mapInPandas(
+        assign_coarse, f"{id_col} {id_type}, {vec_col} {vec_sql}, coarse bigint"
+    )
+
+    w = Window.partitionBy("coarse").orderBy(
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")),
+        F.col(id_col),
+    )
+    fine_cb = (
+        withc.withColumn("fine", F.row_number().over(w) - 1)
+        .where(F.col("fine") < n2)
+        .select("coarse", "fine", quantized(F.col(vec_col)).alias("cv"))
+    )
+
+    def per_cell(vecs: pd.DataFrame, cents: pd.DataFrame) -> pd.DataFrame:
+        if len(vecs) == 0 or len(cents) == 0:
+            return pd.DataFrame({id_col: [], "coarse": [], "fine": []})
+        q = _np_quantize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in vecs[vec_col]])
+        )
+        order = np.argsort(cents["fine"].to_numpy())
+        fmat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in cents["cv"]]
+        )[order].T
+        fine_ids = cents["fine"].to_numpy()[order]
+        best = np.argmax(q @ fmat, axis=1)  # first max = smallest fine
+        return pd.DataFrame(
+            {
+                id_col: vecs[id_col].to_numpy(),
+                "coarse": vecs["coarse"].to_numpy(),
+                "fine": fine_ids[best],
+            }
+        )
+
+    return (
+        withc.groupby("coarse")
+        .cogroup(fine_cb.groupby("coarse"))
+        .applyInPandas(
+            per_cell, f"{id_col} {id_type}, coarse bigint, fine bigint"
+        )
+    )
