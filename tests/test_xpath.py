@@ -260,3 +260,67 @@ def test_xpath_select_empty_and_unmatched(spark):
     assert xpath_select(df, ["nosuch/zz"]).count() == 0
     with pytest.raises(ValueError):
         xpath_select(df, ["a[@href][2]"])
+
+
+def test_xpath_select_randomized_nested_differential(spark):
+    """Seeded randomized differential for the fused selector's
+    hairiest semantics: deep random trees with HEAVILY repeated tag
+    names (so '//' positional predicates hit nested same-name
+    contexts and the laminar ancestor-walk must disambiguate), random
+    multi-root docs, random attribute duplication -- all paths
+    evaluated in ONE pass and compared node-for-node against the
+    kernel selector."""
+    import random
+
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    rng = random.Random(0xC0FFEE)
+    tags = ["a", "b", "c"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return f"t{rng.randrange(4)}"
+        return gen_elem(depth)
+
+    def gen_elem(depth):
+        t = rng.choice(tags)
+        attr = ""
+        if rng.random() < 0.4:
+            attr = f" k='{rng.randrange(3)}'"
+            if rng.random() < 0.3:
+                attr += f" k='{rng.randrange(3)}'"  # duplicate name
+        inner = "".join(gen(depth - 1) for _ in range(rng.randrange(1, 4)))
+        return f"<{t}{attr}>{inner}</{t}>"
+
+    docs_rows = []
+    for i in range(30):
+        # roots are always elements (bare top-level text is a parse
+        # error; failed docs contribute no rows by contract and are
+        # covered by the fixture-corpus test)
+        body = gen_elem(4)
+        if rng.random() < 0.25:  # multi-root sibling
+            body += gen_elem(2)
+        docs_rows.append((f"d{i}", datetime.datetime(2025, 8, 8),
+                          body.encode(), None, "en"))
+    paths = [
+        "//a", "//a[1]", "//a[2]", "//b[3]", "//a//a", "//a//a[1]",
+        "//a/a[2]", "a//b[2]", "//*[2]", "//a[@k]", "//a[@k='1']",
+        "//b[@k='0']", "*/*[1]", "//c//a[2]", "//a//b//c",
+    ]
+    df = spark.createDataFrame(docs_rows, PAGES_SCHEMA)
+    got = {}
+    for r in xpath_select(df, paths).collect():
+        got.setdefault(r["path"], {}).setdefault(r["url"], set()).add(
+            r["node_id"]
+        )
+    docs = {u: parse_document(h) for u, _, h, _, _ in docs_rows}
+    n_nonempty = 0
+    for p in paths:
+        for u, doc in docs.items():
+            want = (
+                set(n.idx for n in select_path(doc, p)) if doc.ok else set()
+            )
+            have = got.get(p, {}).get(u, set())
+            assert have == want, (p, u)
+            n_nonempty += bool(want)
+    assert n_nonempty > 100  # the corpus genuinely exercises the paths
