@@ -1546,7 +1546,8 @@ def q_semdedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return semantic_dedup(
-        emb, n_cells=8, tau_num=9, tau_den=10, id_col="doc_id"
+        emb, n_cells=8, tau_num=9, tau_den=10, id_col="doc_id",
+        persist_input=True,  # derived plan: featurize once, not twice
     ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "cell", "kept")
 
 

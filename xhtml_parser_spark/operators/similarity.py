@@ -742,6 +742,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication: assign
     every embedding to its nearest coarse centroid (the ivf_topk
@@ -772,10 +773,27 @@ def semantic_dedup(
     ivf_topk. Pass ``codebook`` (e.g. kmeans_refine's output) to
     dedup against density-adapted cells instead of the default hash
     sample -- tighter clusters catch more near-duplicates at the same
-    threshold."""
+    threshold.
+
+    When the default codebook is sampled from ``emb`` itself, the
+    input is consumed twice (codebook collect + assignment pass).
+    Pass ``persist_input=True`` when ``emb`` is a DERIVED plan (e.g.
+    hash_embedding's explode+aggs) so the featurization executes once
+    -- measured 3.3 -> 2.7 s on the text path; for a plain columnar
+    scan the cache write/read costs MORE than the pruned re-scan
+    (measured 0.65 -> 0.97 s), hence opt-in, not default. The handle
+    rides on the returned DataFrame; release with
+    ``caching.released_after(df)``."""
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
+    from pyspark import StorageLevel
 
+    from ..caching import attach_persists
+
+    cached: list[DataFrame] = []
+    if persist_input and codebook is None:
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(emb)
     rows = _collect_codebook(emb, n_cells, id_col, vec_col, codebook)
     cmat = np.array(
         [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])],
@@ -846,9 +864,10 @@ def semantic_dedup(
             {id_col: ids, "cell": pdf["cell"].iloc[0], "kept": kept}
         )
 
-    return withc.groupBy("cell").applyInPandas(
+    out = withc.groupBy("cell").applyInPandas(
         per_cell, f"{id_col} {id_type}, cell bigint, kept boolean"
     )
+    return attach_persists(out, *cached) if cached else out
 
 
 def kmeans_refine(
@@ -878,7 +897,13 @@ def kmeans_refine(
     independent, so the refined codebook is a pure function of the
     input -- fixed n_iter, no convergence probe, exactly the pagerank
     determinism recipe. Feed the result to ivf/semdedup-style
-    assignment for a density-adapted index."""
+    assignment for a density-adapted index.
+
+    The input is consumed n_iter+1 times (codebook + one scan per
+    round). It is deliberately NOT persisted here: a pruned columnar
+    scan re-reads cheaper than a cache round-trips (measured 0.89 vs
+    1.21 s at sf0.1) -- callers with a derived input should persist
+    it themselves around the call."""
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
@@ -977,9 +1002,21 @@ def ivf2_assign(
     codebook window and the cogroup (vectors move once), plus the
     bounded coarse-codebook scan. Plug the output into cell-scoped
     operators (semantic_dedup-style within-cell work keyed on
-    (coarse, fine))."""
+    (coarse, fine)).
+
+    Persist-before-fanout: the ASSIGNED frame (a python-stage output)
+    feeds BOTH cogroup sides -- the fine-codebook window and the
+    vector side -- so it is persisted; without the cache the coarse
+    assignment pass (and the whole emb upstream) would execute twice.
+    The raw ``emb`` is not cached (a pruned columnar scan re-reads
+    cheaper than a cache round-trip; persist a derived input around
+    the call). The handle rides on the returned DataFrame; release
+    with ``caching.released_after(df)``."""
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
+    from pyspark import StorageLevel
+
+    from ..caching import attach_persists
 
     rows = ivf_centroid_rows(emb, n1, id_col, vec_col).collect()
     cmat = np.array(
@@ -1007,7 +1044,7 @@ def ivf2_assign(
 
     withc = emb.select(id_col, vec_col).mapInPandas(
         assign_coarse, f"{id_col} {id_type}, {vec_col} {vec_sql}, coarse bigint"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     w = Window.partitionBy("coarse").orderBy(
         F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")),
@@ -1039,10 +1076,11 @@ def ivf2_assign(
             }
         )
 
-    return (
+    out = (
         withc.groupby("coarse")
         .cogroup(fine_cb.groupby("coarse"))
         .applyInPandas(
             per_cell, f"{id_col} {id_type}, coarse bigint, fine bigint"
         )
     )
+    return attach_persists(out, withc)
