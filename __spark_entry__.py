@@ -1495,6 +1495,20 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (tokenizer training, Sennrich
+    2016): 3 merge rounds over the corpus vocabulary -- the corpus is
+    shuffled once into distinct-word counts, each round is a pair
+    count + a 1-row argmax collect + a vocab re-segmentation.
+    Deterministic tie-break (cnt DESC, lhs, rhs) makes the learned
+    merge table value-hashable; the oracle unrolls all three rounds
+    incl. the greedy leftmost-nonoverlapping re-segmentation."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=3)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary mining: global top-100 bigrams by (count
     DESC, gram ASC) over all documents -- one partial-agg count
@@ -1848,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_kmv": q_distinct_kmv,
         "len_quantiles": q_len_quantiles,
         "ivf2_assign": q_ivf2_assign,
+        "bpe_merges": q_bpe_merges,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -3187,6 +3202,78 @@ FROM d
                    md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5,
                    CAST(len(t[chunk_id*48+1 : chunk_id*48+64]) AS INTEGER) AS n_tokens
             FROM k
+        """,
+        # BPE replay: three unrolled rounds -- pair counts via sliced
+        # list_zip (overlap-counting), argmax (cnt DESC, lhs, rhs),
+        # greedy re-segmentation as a list_reduce fold over
+        # '|'-delimited symbols (byte-safe under the ^[a-z]+$ word
+        # filter)
+        "bpe_merges": """
+            WITH w0 AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                    '[ \t\n]+'), x -> x <> '')) AS w
+                FROM documents
+              ) WHERE regexp_matches(w, '^[a-z]+$')
+              GROUP BY w
+            ), v0 AS (
+              SELECT string_split(w, '') AS syms, wc FROM w0
+            ), p1 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v0
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m1 AS (
+              SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            ), v1 AS (
+              SELECT CASE WHEN len(syms) = 1 THEN syms
+                     ELSE string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m1.rhs
+                                 AND (acc = m1.lhs OR ends_with(acc, '|' || m1.lhs))
+                            THEN CASE WHEN acc = m1.lhs THEN m1.lhs || m1.rhs
+                                 ELSE left(acc, length(acc) - length(m1.lhs) - 1)
+                                      || '|' || m1.lhs || m1.rhs END
+                            ELSE acc || '|' || x END), '|') END AS syms,
+                     wc
+              FROM v0, m1
+            ), p2 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v1
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m2 AS (
+              SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            ), v2 AS (
+              SELECT CASE WHEN len(syms) = 1 THEN syms
+                     ELSE string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m2.rhs
+                                 AND (acc = m2.lhs OR ends_with(acc, '|' || m2.lhs))
+                            THEN CASE WHEN acc = m2.lhs THEN m2.lhs || m2.rhs
+                                 ELSE left(acc, length(acc) - length(m2.lhs) - 1)
+                                      || '|' || m2.lhs || m2.rhs END
+                            ELSE acc || '|' || x END), '|') END AS syms,
+                     wc
+              FROM v1, m2
+            ), p3 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v2
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m3 AS (
+              SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            )
+            SELECT 1 AS rank, lhs, rhs, cnt FROM m1
+            UNION ALL SELECT 2, lhs, rhs, cnt FROM m2
+            UNION ALL SELECT 3, lhs, rhs, cnt FROM m3
         """,
         # bigram frequency replay: sliding windows over the filtered
         # token list, global count, (cnt DESC, gram) top-100 with rank

@@ -499,3 +499,94 @@ def chunk_documents(
         F.array_join("ctoks", " ").alias("chunk_text"),
         F.size("ctoks").alias("n_tokens"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    word_re: str = "^[a-z]+$",
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges over the
+    corpus vocabulary (the tokenizer-training step, Sennrich et al.
+    2016; marker-free word-internal variant). The corpus is touched
+    ONCE -- the distinct-word vocabulary with frequencies is the only
+    corpus-sized shuffle, and every merge round then works on the
+    vocab table, whose size is bounded by the language, not the
+    corpus. Per round: adjacent symbol pairs via one sliced
+    arrays_zip (overlapping occurrences count, weighted by word
+    frequency), the (cnt DESC, left, right) argmax as a 1-row collect
+    (the bounded index-build shape), and a greedy
+    leftmost-nonoverlapping re-segmentation of the vocab in one
+    pandas pass. Output (rank, lhs, rhs, cnt), rank 1..n_merges.
+
+    The vocab is persisted (it derives from a corpus explode and is
+    consumed every round) and released before returning -- the
+    returned merge table is a local relation. ``word_re`` restricts
+    the training words (default lowercase-alpha: keeps the SQL
+    oracle's delimiter-fold replay byte-safe and sidesteps multibyte
+    segmentation; segmentation of arbitrary text with the learned
+    table is a downstream concern)."""
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+    from pyspark import StorageLevel
+
+    vocab = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .where(F.col("w").rlike(word_re))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(F.split("w", "").alias("syms"), "wc")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    caches = [vocab]
+    for r in range(n_merges):
+        pairs = vocab.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"), "wc"
+        )
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((r + 1, a, b, cnt))
+        if r + 1 == n_merges:
+            break
+        ab = a + b
+
+        def reseg(it, a=a, b=b, ab=ab):
+            for pdf in it:
+                out = []
+                for syms in pdf["syms"]:
+                    acc: list = []
+                    for x in syms:
+                        if x == b and acc and acc[-1] == a:
+                            acc[-1] = ab
+                        else:
+                            acc.append(x)
+                    out.append(acc)
+                yield pd.DataFrame({"syms": out, "wc": pdf["wc"]})
+
+        vocab = vocab.mapInPandas(
+            reseg, "syms array<string>, wc bigint"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(vocab)
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(
+        merges or [], "rank int, lhs string, rhs string, cnt bigint"
+    )
