@@ -1509,6 +1509,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), n_merges=3)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer: learn 3 BPE merges on the corpus
+    (bpe_merges), then segment every document with the learned table
+    (bpe_segment, map-side, merge table in the closure). Output
+    (doc_id, n_tokens, seg_md5) where seg_md5 digests the full
+    '|'-joined segmentation in document order -- the oracle re-learns
+    the merges AND replays the greedy segmentation per word."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import bpe_merges, bpe_segment
+
+    docs = _docs(spark, sf_dir)
+    m = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    return bpe_segment(docs, m).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "|")).alias("seg_md5"),
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary mining: global top-100 bigrams by (count
     DESC, gram ASC) over all documents -- one partial-agg count
@@ -1863,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quantiles": q_len_quantiles,
         "ivf2_assign": q_ivf2_assign,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
         "label_centroids": q_label_centroids,
@@ -3274,6 +3297,126 @@ FROM d
             SELECT 1 AS rank, lhs, rhs, cnt FROM m1
             UNION ALL SELECT 2, lhs, rhs, cnt FROM m2
             UNION ALL SELECT 3, lhs, rhs, cnt FROM m3
+        """,
+        # end-to-end tokenizer replay: the bpe_merges CTE chain
+        # re-learns m1..m3, then every corpus word is segmented by the
+        # same greedy folds in rank order and digests compare in
+        # document order (opaque non-alpha words pass through)
+        "bpe_tokenize": """
+            WITH w0 AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                    '[ \t\n]+'), x -> x <> '')) AS w
+                FROM documents
+              ) WHERE regexp_matches(w, '^[a-z]+$')
+              GROUP BY w
+            ), v0 AS (
+              SELECT string_split(w, '') AS syms, wc FROM w0
+            ), p1 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v0
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m1 AS (
+              SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            ), v1 AS (
+              SELECT CASE WHEN len(syms) = 1 THEN syms
+                     ELSE string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m1.rhs
+                                 AND (acc = m1.lhs OR ends_with(acc, '|' || m1.lhs))
+                            THEN CASE WHEN acc = m1.lhs THEN m1.lhs || m1.rhs
+                                 ELSE left(acc, length(acc) - length(m1.lhs) - 1)
+                                      || '|' || m1.lhs || m1.rhs END
+                            ELSE acc || '|' || x END), '|') END AS syms,
+                     wc
+              FROM v0, m1
+            ), p2 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v1
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m2 AS (
+              SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            ), v2 AS (
+              SELECT CASE WHEN len(syms) = 1 THEN syms
+                     ELSE string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m2.rhs
+                                 AND (acc = m2.lhs OR ends_with(acc, '|' || m2.lhs))
+                            THEN CASE WHEN acc = m2.lhs THEN m2.lhs || m2.rhs
+                                 ELSE left(acc, length(acc) - length(m2.lhs) - 1)
+                                      || '|' || m2.lhs || m2.rhs END
+                            ELSE acc || '|' || x END), '|') END AS syms,
+                     wc
+              FROM v1, m2
+            ), p3 AS (
+              SELECT t.p[1] AS lhs, t.p[2] AS rhs, SUM(wc) AS cnt
+              FROM (
+                SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                       wc
+                FROM v2
+              ) t
+              GROUP BY t.p[1], t.p[2]
+            ), m3 AS (
+              SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1
+            ), dw AS (
+              SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+              FROM (
+                SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                    '[ \t\n]+'), x -> x <> '') AS ws
+                FROM documents
+              )
+            ), s0 AS (
+              SELECT doc_id, i,
+                     CASE WHEN regexp_matches(w, '^[a-z]+$')
+                          THEN string_split(w, '') ELSE [w] END AS syms,
+                     regexp_matches(w, '^[a-z]+$') AS train
+              FROM dw
+            ), s1 AS (
+              SELECT doc_id, i, train,
+                     CASE WHEN train THEN string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m1.rhs
+                                 AND (acc = m1.lhs OR ends_with(acc, '|' || m1.lhs))
+                            THEN CASE WHEN acc = m1.lhs THEN m1.lhs || m1.rhs
+                                 ELSE left(acc, length(acc) - length(m1.lhs) - 1)
+                                      || '|' || m1.lhs || m1.rhs END
+                            ELSE acc || '|' || x END), '|') ELSE syms END AS syms
+              FROM s0, m1
+            ), s2 AS (
+              SELECT doc_id, i, train,
+                     CASE WHEN train THEN string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m2.rhs
+                                 AND (acc = m2.lhs OR ends_with(acc, '|' || m2.lhs))
+                            THEN CASE WHEN acc = m2.lhs THEN m2.lhs || m2.rhs
+                                 ELSE left(acc, length(acc) - length(m2.lhs) - 1)
+                                      || '|' || m2.lhs || m2.rhs END
+                            ELSE acc || '|' || x END), '|') ELSE syms END AS syms
+              FROM s1, m2
+            ), s3 AS (
+              SELECT doc_id, i, train,
+                     CASE WHEN train THEN string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = m3.rhs
+                                 AND (acc = m3.lhs OR ends_with(acc, '|' || m3.lhs))
+                            THEN CASE WHEN acc = m3.lhs THEN m3.lhs || m3.rhs
+                                 ELSE left(acc, length(acc) - length(m3.lhs) - 1)
+                                      || '|' || m3.lhs || m3.rhs END
+                            ELSE acc || '|' || x END), '|') ELSE syms END AS syms
+              FROM s2, m3
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(flatten(list(syms ORDER BY i)), '|')) AS seg_md5
+              FROM s3 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.seg_md5, md5('')) AS seg_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # bigram frequency replay: sliding windows over the filtered
         # token list, global count, (cnt DESC, gram) top-100 with rank

@@ -350,3 +350,37 @@ def test_bpe_merges_textbook_corpus(spark):
     # round 2: pairs now (aa,aa) x2 ... wait 2 distinct words share; see counts
     assert got2[0] == (1, "a", "a", 7)
     assert got2[1][1:3] in {("aa", "aa"), ("aa", "b")}
+
+
+def test_bpe_segment_roundtrip_and_opaque(spark):
+    """Segmenting the training corpus with the learned table yields
+    the training loop's own final segmentation; merges apply in rank
+    order (later merges see earlier output); non-matching words stay
+    opaque single tokens."""
+    from xhtml_parser_spark.operators.textops import bpe_merges, bpe_segment
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest X9"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    m = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_segment(df, m).collect()
+    }
+    assert got[0] == [
+        "low", "low", "low", "low", "e", "r", "low", "e", "s", "t", "X9",
+    ]
+    assert got[1] == ["new", "new", "e", "r", "new", "e", "s", "t", "low"]
+    # empty merge table = pure character segmentation
+    chars = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_segment(
+            spark.createDataFrame([(0, "ab X")], "doc_id long, text string"),
+            [],
+        ).collect()
+    }
+    assert chars[0] == ["a", "b", "X"]

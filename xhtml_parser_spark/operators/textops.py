@@ -590,3 +590,66 @@ def bpe_merges(
     return spark.createDataFrame(
         merges or [], "rank int, lhs string, rhs string, cnt bigint"
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_re: str = "^[a-z]+$",
+) -> DataFrame:
+    """Apply a learned BPE merge table (the inference half of
+    bpe_merges): each matching word is split to characters and the
+    merges are applied IN RANK ORDER, each as a greedy
+    leftmost-nonoverlapping pass -- exactly the segmentation the
+    training loop's re-segmentation produced, so training-corpus words
+    round-trip to their final training segmentation. Words not
+    matching ``word_re`` pass through as single opaque tokens (they
+    never trained, same filter as bpe_merges). Output
+    (id, tokens array<string>), tokens in document order.
+
+    Map-side only: the merge table is a plain Python list in the task
+    closure (bounded -- it's the learned artifact, thousands of rows
+    at real vocab sizes, collected once by the caller from
+    bpe_merges), the pass is one mapInPandas, zero shuffle."""
+    import re as _re
+
+    import pandas as pd  # noqa: PLC0415 (worker-side)
+
+    mseq = [(a, b, a + b) for a, b in merges]
+    wre = _re.compile(word_re)
+    ws = _re.compile(_WS)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(it):
+        cache: dict = {}
+
+        def seg(w):
+            got = cache.get(w)
+            if got is None:
+                if wre.match(w):
+                    syms = list(w)
+                    for a, b, ab in mseq:
+                        acc: list = []
+                        for x in syms:
+                            if x == b and acc and acc[-1] == a:
+                                acc[-1] = ab
+                            else:
+                                acc.append(x)
+                        syms = acc
+                else:
+                    syms = [w]
+                got = cache[w] = syms
+            return got
+
+        for pdf in it:
+            toks = [
+                [s for w in ws.split(txt or "") if w for s in seg(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, tokens array<string>"
+    )
