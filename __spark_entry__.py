@@ -56,6 +56,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Spread a tiny-split input across the cores before a CPU-bound
+    python stage: testdata parquet is ONE split, so without this the
+    whole codec synthesis+decode chain runs in a single task (the
+    audio query measured 6.5 s single-task vs sub-second fanned; same
+    note as q_minhash_sig). A no-op choice at real scale, where scans
+    have enough splits of their own."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_tz(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -785,7 +795,9 @@ def q_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "payload": payloads, "mime": ""}
             )
 
-    media = docs.select("doc_id").mapInPandas(make_media, media_schema)
+    media = _fanout(docs.select("doc_id")).mapInPandas(
+        make_media, media_schema
+    )
     return decode_image(media).select(
         F.col("media_id").alias("doc_id"),
         "format",
@@ -846,7 +858,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "payload": payloads, "mime": "video/mp4"}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fanout(docs.select("doc_id")).mapInPandas(
         make_media, media_schema
     ).persist()
     meta = decode_video_meta(media)
@@ -916,7 +928,9 @@ def q_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "payload": payloads, "mime": "audio/flac"}
             )
 
-    media = docs.select("doc_id").mapInPandas(make_media, media_schema)
+    media = _fanout(docs.select("doc_id")).mapInPandas(
+        make_media, media_schema
+    )
     return decode_audio(media).select(
         F.col("media_id").alias("doc_id"),
         F.col("n_frames").cast("bigint").alias("n_frames"),
