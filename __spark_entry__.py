@@ -1468,7 +1468,6 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists so 10^12-row columns never need it)."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.corpus import distinct_kmv
-    from xhtml_parser_spark.operators.textops import vocab_topk  # noqa: F401
 
     docs = _docs(spark, sf_dir)
     toks = F.filter(
