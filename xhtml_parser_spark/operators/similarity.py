@@ -757,7 +757,10 @@ def semantic_dedup(
     stay bounded; the per-cell Gram matrix additionally runs in
     ``chunk``-row blocks so peak memory is O(chunk * cell), and a cell
     above ``max_cell`` raises rather than silently funneling a corpus
-    into one task). One shuffle total (the cell groupBy); the
+    into one task). The flat codebook's driver collect caps usable
+    n_cells at ~10^6; past that, assign with ivf2_assign (two-level,
+    fine codebook never collected) and run the same within-cell
+    first-wins drop grouped on (coarse, fine). One shuffle total (the cell groupBy); the
     assignment emits (id, vec, cell) in a single map pass so the
     vector payload shuffles exactly once.
 
