@@ -177,6 +177,16 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
+    # the int64 exactness guard below divides by tau_den and assumes
+    # tau_num <= tau_den (a cosine threshold > 1 is meaningless); with
+    # tau_num > tau_den the tn2*na2*nb2 side could exceed int64 and
+    # NumPy would wrap silently instead of raising
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"tau_num/tau_den must satisfy 0 < tau_num <= tau_den "
+            f"(got {tau_num}/{tau_den})"
+        )
+
     if n_bits > 0:
         # ONE map pass emits (id, vec, bucket) together: joining a
         # separately-computed bucket table back onto emb would read the
