@@ -697,3 +697,32 @@ def test_ivf2_assign_matches_replay_and_plan(spark, clustered_emb):
     )
     assert got == want
     assert len(got) == 20
+
+
+def test_codebook_noncontiguous_cells_raise(spark, clustered_emb):
+    """A caller-supplied codebook whose cell ids are not exactly
+    0..K-1 must raise instead of silently relabeling cells (every
+    consumer sorts by cell and reports the POSITIONAL argmax)."""
+    from xhtml_parser_spark.operators.similarity import semantic_dedup
+
+    cb = spark.createDataFrame(
+        [(0, [1000, 0, 0, 0]), (2, [0, 0, 1000, 0])],
+        "cell bigint, cv array<bigint>",
+    )
+    with pytest.raises(Exception, match="0..1"):
+        semantic_dedup(clustered_emb, codebook=cb).collect()
+
+
+def test_kmeans_refine_overflow_guard_raises(spark):
+    """Coordinate sums that could exceed int64 must raise (np.add.at
+    wraps silently): 3 rows with |q| ~ 5e18 push n_rows * max|q| past
+    2^63 while each individual quantized coordinate still fits."""
+    from xhtml_parser_spark.operators.similarity import kmeans_refine
+
+    big = 5.0e15  # quantized x1000 -> ~5e18; 3 * 5e18 > 2^63-1
+    emb = spark.createDataFrame(
+        [(i, [big, 1.0 * i]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="int64"):
+        kmeans_refine(emb, n_cells=2, n_iter=1).collect()

@@ -391,7 +391,18 @@ def _collect_codebook(emb, n_cells, id_col, vec_col, codebook):
         if codebook is not None
         else ivf_centroid_rows(emb, n_cells, id_col, vec_col)
     )
-    return src.collect()
+    rows = src.collect()
+    # every consumer sorts by cell and then reports the POSITIONAL
+    # argmax as the cell id; a caller-supplied codebook with
+    # non-contiguous cells would be silently relabeled, so enforce the
+    # documented 0..K-1 contract here instead
+    cells = sorted(r["cell"] for r in rows)
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"codebook cells must be exactly 0..{len(rows) - 1} "
+            f"(got {cells[:8]}{'...' if len(cells) > 8 else ''})"
+        )
+    return rows
 
 
 def ivf_topk(
@@ -934,6 +945,7 @@ def kmeans_refine(
         def partials(it):
             sums = np.zeros((k, dim), dtype=np.int64)
             cnts = np.zeros(k, dtype=np.int64)
+            maxabs = 0
             seen = False
             for pdf in it:
                 vecs = pdf[vec_col]
@@ -946,6 +958,7 @@ def kmeans_refine(
                         [np.asarray(v, dtype=np.float64) for v in vecs[notna]]
                     )
                 )
+                maxabs = max(maxabs, int(np.abs(q).max(initial=0)))
                 score = 2 * (q @ cm.T) - c2[None, :]
                 cell = np.argmax(score, axis=1)  # first max = smaller cell
                 np.add.at(sums, cell, q)
@@ -956,12 +969,16 @@ def kmeans_refine(
                         "cell": np.arange(k),
                         "s": list(sums),
                         "cnt": cnts,
+                        "maxabs": maxabs,
                     }
                 )
 
         part = (
             emb.select(vec_col)
-            .mapInPandas(partials, "cell bigint, s array<bigint>, cnt bigint")
+            .mapInPandas(
+                partials,
+                "cell bigint, s array<bigint>, cnt bigint, maxabs bigint",
+            )
             .collect()
         )
         sums = np.zeros((k, dim), dtype=np.int64)
@@ -969,6 +986,21 @@ def kmeans_refine(
         for r in part:
             sums[r["cell"]] += np.array(r["s"], dtype=np.int64)
             counts[r["cell"]] += r["cnt"]
+        # int64 exactness guard, mirroring embedding_neardup_pairs'
+        # norm bound: every running per-cell coordinate sum (worker
+        # np.add.at partials AND this driver reduce) is bounded by
+        # total_rows * max|q|, so checking that product post-hoc is
+        # sound -- if it fits int64 no intermediate can have wrapped,
+        # and if it doesn't we raise instead of returning a silently
+        # wrapped codebook (np.add.at wraps without warning).
+        total_rows = int(counts.sum())
+        gmax = max((int(r["maxabs"]) for r in part), default=0)
+        if total_rows * gmax > np.iinfo(np.int64).max:
+            raise ValueError(
+                f"quantized coordinate sums may exceed int64 "
+                f"({total_rows} rows * max|q|={gmax}): exact-integer "
+                "k-means needs n_rows * max|q| < 2^63"
+            )
         nonempty = counts > 0
         means = np.zeros_like(sums)
         s_ne = sums[nonempty]
