@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     StringType,
     StructField,
@@ -43,8 +42,11 @@ LINKS_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("node_id", IntegerType()),
         StructField("tag", StringType()),
-        StructField("href", BinaryType()),
-        StructField("text", BinaryType()),
+        # href/text are emitted PRE-VALIDATED by the Arrow pass:
+        # utf8 string, NULL when the raw bytes are not well-formed
+        # UTF-8 (legacy-encoded pages) -- see _utf8_or_null_from_packed
+        StructField("href", StringType()),
+        StructField("text", StringType()),
     ]
 )
 
@@ -77,11 +79,11 @@ def _links_arrow_batches(batches):
 
     from ..kernel.parser import TEXT, _get_cparser
     from .parse import (
-        _binary_from_spans,
         _doc_packed,
         _gather_spans,
         _html_views,
         _string_from_spans,
+        _utf8_or_null_from_packed,
     )
 
     cp = _get_cparser()
@@ -189,12 +191,14 @@ def _links_arrow_batches(batches):
         ).astype(np.int64)
         aoff = np.zeros(len(cnt_all) + 1, np.int64)
         np.cumsum(per_anchor, out=aoff[1:])
-        if aoff[-1] > np.iinfo(np.int32).max:
-            raise ValueError("batch anchor-text payload exceeds 2 GiB")
-        text_arr = pa.Array.from_buffers(
-            pa.binary(),
-            len(cnt_all),
-            [None, pa.py_buffer(aoff.astype(np.int32)), pa.py_buffer(tdata)],
+        # href/anchor-text UTF-8 validity is settled HERE, in the same
+        # Arrow pass that owns the bytes: the JVM plan then never
+        # carries the is_valid_utf8+CASE+decode tree (which macro-
+        # expands per reference through resolve/normalize -- the r3
+        # extract_links regression)
+        text_arr = _utf8_or_null_from_packed(pa, tdata, aoff)
+        hdata, hoff = _gather_spans(
+            bigbuf, np.concatenate(val_gs), np.concatenate(val_ge)
         )
         yield pa.RecordBatch.from_arrays(
             [
@@ -203,9 +207,7 @@ def _links_arrow_batches(batches):
                 _string_from_spans(
                     pa, bigbuf, np.concatenate(tag_gs), np.concatenate(tag_ge)
                 ),
-                _binary_from_spans(
-                    pa, bigbuf, np.concatenate(val_gs), np.concatenate(val_ge)
-                ),
+                _utf8_or_null_from_packed(pa, hdata, hoff),
                 text_arr,
             ],
             names=[f.name for f in LINKS_SCHEMA.fields],
@@ -221,32 +223,24 @@ def extract_links(pages: DataFrame) -> DataFrame:
     contribute no rows (join parse_pages on url for their errors).
 
     Raw crawls are not all UTF-8 and Spark 4's ANSI ``decode`` RAISES
-    on malformed bytes, so both decodes are gated by ``is_valid_utf8``
-    (same lane pattern as operators/charset.transcode_utf8): a legacy-
-    encoded href/anchor yields NULL for that column instead of
-    aborting the whole export job."""
-    raw = pages.select("url", "html").mapInArrow(
+    on malformed bytes, so the Arrow pass itself emits href/anchor
+    bytes as validated utf8-or-NULL (``_utf8_or_null_from_packed``): a
+    legacy-encoded href/anchor yields NULL for that column instead of
+    aborting the whole export job, and the JVM plan never carries the
+    is_valid_utf8+CASE+decode tree (which used to macro-expand once
+    per reference through resolve/normalize -- measured 3.6 s vs
+    ~2.5 s for this query at sf0.1)."""
+    decoded = pages.select("url", "html").mapInArrow(
         _links_arrow_batches, LINKS_SCHEMA
-    )
-
-    def _utf8_or_null(col):
-        return F.when(F.is_valid_utf8(col), F.decode(col, "UTF-8"))
+    ).withColumnRenamed("text", "anchor_text")
 
     # STAGED projections, deliberately: resolve_url/normalize_url
     # reference their input many times, and the DSL expands column
-    # expressions by substitution -- inlining the guarded decode (and
-    # then the normalized url) would duplicate the is_valid_utf8+CASE
-    # subtree once per reference, compounding to a ~3.5x slower plan
-    # (measured). Each stage aliases the value once; CollapseProject
-    # keeps multi-referenced non-trivial aliases in their own Project,
-    # so every derived value is computed once per row.
-    decoded = raw.select(
-        "url",
-        "node_id",
-        "tag",
-        _utf8_or_null(F.col("href")).alias("href"),
-        _utf8_or_null(F.col("text")).alias("anchor_text"),
-    )
+    # expressions by substitution -- inlining the normalized url would
+    # duplicate its subtree once per reference. Each stage aliases the
+    # value once; CollapseProject keeps multi-referenced non-trivial
+    # aliases in their own Project, so every derived value is computed
+    # once per row.
     # host from the NORMALIZED url so default ports are stripped and
     # the host matches the link_url's authority exactly.  resolve_url
     # coalesces a null href to "" (= the base document), so the derived

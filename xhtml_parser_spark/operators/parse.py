@@ -314,6 +314,72 @@ def _string_from_spans(pa, bigbuf, starts, ends, mask=None):
     return pa.Array.from_buffers(pa.utf8(), len(starts), buffers)
 
 
+def _utf8_or_null_from_packed(pa, data, off):
+    """Arrow utf8 array over packed span bytes (``data`` uint8,
+    ``off`` int64 value offsets, len n+1) where a span that is not
+    well-formed UTF-8 becomes NULL -- the ``is_valid_utf8`` +
+    ``decode`` gate moved map-side, so the Spark plan never carries a
+    CASE+decode expression tree per consumer (the extract_links
+    round-3 regression: the guarded decode macro-expands once per
+    reference through resolve_url/normalize_url). Python's strict
+    decoder and Spark's UTF8String validation agree exactly (RFC 3629:
+    no overlongs, no surrogates, max U+10FFFF).
+
+    Fast paths: spans with no high byte are ASCII and valid by
+    construction (one cumsum finds the suspects); only suspect spans
+    pay a per-value strict decode, and the data buffer is rebuilt
+    (invalid spans dropped) only when at least one span fails, keeping
+    the emitted buffer wholly valid UTF-8 for downstream Arrow/JVM
+    consumers."""
+    import numpy as np
+
+    n = len(off) - 1
+    if off[-1] > np.iinfo(np.int32).max:
+        raise ValueError("batch span payload exceeds 2 GiB; lower batch size")
+    hb = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(data >= 0x80, out=hb[1:])
+    suspects = np.flatnonzero(hb[off[1:]] != hb[off[:-1]])
+    valid = None
+    if len(suspects):
+        raw = data.tobytes()
+        bad = [
+            i
+            for i in suspects
+            if not _decodes_utf8(raw[off[i] : off[i + 1]])
+        ]
+        if bad:
+            valid = np.ones(n, dtype=bool)
+            valid[bad] = False
+    if valid is None:
+        return pa.Array.from_buffers(
+            pa.utf8(),
+            n,
+            [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(data)],
+        )
+    lens = np.diff(off)
+    data2 = data[np.repeat(valid, lens)]
+    off2 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.where(valid, lens, 0), out=off2[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        n,
+        [
+            pa.py_buffer(np.packbits(valid, bitorder="little")),
+            pa.py_buffer(off2.astype(np.int32)),
+            pa.py_buffer(data2),
+        ],
+        null_count=int(n - int(valid.sum())),
+    )
+
+
+def _decodes_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
 def _nodes_arrow_batches(batches):
     """Columnar exploded-DOM kernel: per document, ten frombuffer views
     over the C kernel's packed arrays; per batch, one concatenate + two
