@@ -1,0 +1,63 @@
+"""Ad-hoc single-query bench: same protocol as bench.py's query loop
+(warm once for JIT, then min-of-2, each run inside cache_scope so
+persisted intermediates never leak between runs).
+
+Usage: python jobs/qbench.py q1 [q2 ...]   [--runs N]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+       SPARK_GRAFT_CPUS   (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from xhtml_parser_spark.caching import cache_scope
+    from xhtml_parser_spark.session import get_spark
+
+    spark = get_spark("qbench", master=f"local[{CPUS}]")
+    qs = entry.queries()
+    out: dict = {"sf_dir": SF_DIR, "cpus": CPUS,
+                 "load_avg_at_start": round(os.getloadavg()[0], 2),
+                 "queries": {}, "runs": {}}
+    for name in args:
+        with cache_scope(spark):
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        walls = []
+        for _ in range(runs):
+            with cache_scope(spark):
+                t0 = time.monotonic()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                walls.append(round(time.monotonic() - t0, 3))
+        out["queries"][name] = min(walls)
+        out["runs"][name] = walls
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
