@@ -1544,6 +1544,80 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed merge table for the apply-only BPE entry (bpe_apply): rank
+# order, includes a 3-round chain t+a -> ta+b -> tab+le so the greedy
+# leftmost-nonoverlapping pass and multi-char lhs folds are exercised.
+# Precomputed == this is the tokenizer artifact users ship to a 100-TB
+# segmentation job; the entry measures ONLY the map-side apply cost,
+# unlike bpe_tokenize which re-learns the table per run (VERDICT r03
+# next-round item #3).
+_BPE_FIXED_MERGES = [("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("s", "c")]
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation with a PRECOMPUTED merge table -- the
+    inference half alone (bpe_segment, one mapInPandas, zero shuffle,
+    merge table in the task closure). Complements bpe_tokenize, whose
+    wall is dominated by re-learning the merges; at 100 TB users pay
+    only this map-side cost. Output (doc_id, n_tokens, seg_md5) as in
+    bpe_tokenize; the oracle replays the same greedy folds with the
+    same literal merge table."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.textops import bpe_segment
+
+    return bpe_segment(_docs(spark, sf_dir), _BPE_FIXED_MERGES).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "|")).alias("seg_md5"),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Unrolled DuckDB replay of q_bpe_apply: one fold stage per fixed
+    merge (same delimiter-fold pattern as the bpe_tokenize oracle, but
+    with the literal table instead of re-learned m1..m3 CTEs)."""
+    stages = []
+    prev = "s0"
+    for k, (a, b) in enumerate(_BPE_FIXED_MERGES, 1):
+        stages.append(f"""
+            , s{k} AS (
+              SELECT doc_id, i, train,
+                     CASE WHEN train THEN string_split(list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = '{b}'
+                                 AND (acc = '{a}' OR ends_with(acc, '|' || '{a}'))
+                            THEN CASE WHEN acc = '{a}' THEN '{a}' || '{b}'
+                                 ELSE left(acc, length(acc) - {len(a)} - 1)
+                                      || '|' || '{a}' || '{b}' END
+                            ELSE acc || '|' || x END), '|') ELSE syms END AS syms
+              FROM {prev})""")
+        prev = f"s{k}"
+    return f"""
+            WITH dw AS (
+              SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+              FROM (
+                SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                    '[ \t\n]+'), x -> x <> '') AS ws
+                FROM documents
+              )
+            ), s0 AS (
+              SELECT doc_id, i,
+                     CASE WHEN regexp_matches(w, '^[a-z]+$')
+                          THEN string_split(w, '') ELSE [w] END AS syms,
+                     regexp_matches(w, '^[a-z]+$') AS train
+              FROM dw
+            ){"".join(stages)}, agg AS (
+              SELECT doc_id,
+                     CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(flatten(list(syms ORDER BY i)), '|')) AS seg_md5
+              FROM {prev} GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.seg_md5, md5('')) AS seg_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary mining: global top-100 bigrams by (count
     DESC, gram ASC) over all documents -- one partial-agg count
@@ -1858,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf2_assign": q_ivf2_assign,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        # -- new in r04 --
+        "bpe_apply": q_bpe_apply,
         # -- r02-verified only; rotated out of the r03 window --
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
@@ -3446,6 +3522,9 @@ FROM d
                    COALESCE(a.seg_md5, md5('')) AS seg_md5
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # apply-only BPE replay: the same greedy folds, literal merge
+        # table (generated stage-per-merge from _BPE_FIXED_MERGES)
+        "bpe_apply": _bpe_apply_oracle(),
         # bigram frequency replay: sliding windows over the filtered
         # token list, global count, (cnt DESC, gram) top-100 with rank
         "vocab_topk": """
