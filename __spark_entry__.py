@@ -407,13 +407,14 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with doc_id %% 5 == 0 become <sitemapindex> docs, the rest
     <urlset> docs with 1 + doc_id %% 4 entries; loc carries an
     &amp; entity the kernel must decode, changefreq appears only on
-    even entries. The oracle replays every field analytically. The
-    nodes table is persisted because the operator's entry/field/text
-    legs are three consumers (xpath_lite cache contract)."""
+    even entries. The oracle replays every field analytically. Routed
+    through the FUSED rule-pack selector (parse_sitemaps_fused): one
+    Arrow pass + a slim pivot instead of three (url, node_id)-keyed
+    joins over the exploded DOM (VERDICT r03 item #7; differential
+    test pins fused == relational)."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.caching import attach_persists
-    from xhtml_parser_spark.operators import parse_nodes
-    from xhtml_parser_spark.operators.sitemap import parse_sitemaps
+    from xhtml_parser_spark.operators.sitemap import parse_sitemaps_fused
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
@@ -458,8 +459,7 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.when(
         is_idx, F.concat(F.lit("<sitemapindex>"), body, F.lit("</sitemapindex>"))
     ).otherwise(F.concat(F.lit("<urlset>"), body, F.lit("</urlset>")))
-    nodes = parse_nodes(_pages_from_docs(docs, xml)).persist()
-    ent = parse_sitemaps(nodes)
+    ent = parse_sitemaps_fused(_pages_from_docs(docs, xml))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("url").orderBy("entry_id")
@@ -472,7 +472,7 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "changefreq",
         "priority",
     )
-    return attach_persists(out, nodes)
+    return attach_persists(out, ent)
 
 
 def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
