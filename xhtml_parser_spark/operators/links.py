@@ -234,18 +234,23 @@ def extract_links(pages: DataFrame) -> DataFrame:
         _links_arrow_batches, LINKS_SCHEMA
     ).withColumnRenamed("text", "anchor_text")
 
-    # STAGED projections, deliberately: resolve_url/normalize_url
-    # reference their input many times, and the DSL expands column
-    # expressions by substitution -- inlining the normalized url would
-    # duplicate its subtree once per reference. Each stage aliases the
-    # value once; CollapseProject keeps multi-referenced non-trivial
-    # aliases in their own Project, so every derived value is computed
-    # once per row.
+    # STAGED projections, deliberately -- one alias per derived value,
+    # INCLUDING the intermediate resolved url: resolve_url/
+    # normalize_url/url_host each reference their argument many times,
+    # and the DSL expands column expressions by substitution, so
+    # composing normalize_url(resolve_url(...)) in one alias
+    # duplicates the whole resolve subtree once per reference inside
+    # normalize_url (measured 2.1 s vs 0.9 s for this query's scan at
+    # sf0.1 -- codegen subexpression elimination does NOT rescue a
+    # tree this large). CollapseProject keeps multi-referenced
+    # non-trivial aliases in their own Project, so each stage is
+    # computed once per row.
     # host from the NORMALIZED url so default ports are stripped and
     # the host matches the link_url's authority exactly.  resolve_url
-    # coalesces a null href to "" (= the base document), so the derived
-    # link columns are explicitly nulled when the href didn't decode.
-    with_url = decoded.select(
+    # coalesces a null href to "" (= the base document), so the
+    # resolved column is explicitly nulled when the href didn't decode
+    # and the nullity cascades through the staged gates.
+    resolved = decoded.select(
         "url",
         "node_id",
         "tag",
@@ -253,7 +258,18 @@ def extract_links(pages: DataFrame) -> DataFrame:
         "anchor_text",
         F.when(
             F.col("href").isNotNull(),
-            normalize_url(resolve_url(F.col("url"), F.col("href"))),
+            resolve_url(F.col("url"), F.col("href")),
+        ).alias("_resolved"),
+    )
+    with_url = resolved.select(
+        "url",
+        "node_id",
+        "tag",
+        "href",
+        "anchor_text",
+        F.when(
+            F.col("_resolved").isNotNull(),
+            normalize_url(F.col("_resolved")),
         ).alias("link_url"),
     )
     return with_url.select(
@@ -264,7 +280,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
         "anchor_text",
         "link_url",
         F.when(
-            F.col("href").isNotNull(), url_host(F.col("link_url"))
+            F.col("link_url").isNotNull(), url_host(F.col("link_url"))
         ).alias("link_host"),
     )
 

@@ -525,14 +525,19 @@ def ivf_topk_batch(
     (qid, id_col, dot, rank), rank 1..k per query (dot desc, id asc;
     integer-exact, full SQL oracle).
 
-    The codebook collect and the assignment scan happen ONCE for the
-    whole batch (vs once per query when calling ivf_topk N times);
-    probe selection is one (queries x n_cells-broadcast-centroids)
-    join + a per-qid window, candidates are one equi-join of the
-    assignment table against the (qid, cell) probe set, and the exact
-    rerank ends in one per-qid top-k window. Null-embedding queries
-    yield no rows. The assignment cache handle is attached; release
-    with ``caching.released_after(df)``.
+    The corpus is scanned ONCE for the whole batch: the Arrow
+    assignment pass emits (id, cell, quantized vector) together
+    (_np_quantize is the exact-integer twin of the SQL ``quantized``,
+    so downstream dots replay identically), and that persisted frame
+    serves BOTH the probe-candidate lookup and the exact rerank -- no
+    second JVM-side quantize scan, no corpus-keyed id-join (the r03
+    shape paid three corpus scans plus an id-join that shuffled the
+    vector payload; this one's only shuffle after the scan is the
+    scalar (qid, id, dot) top-k window, since the probe set broadcasts
+    and AQE broadcasts the query-vector side). Probe selection is one
+    (queries x n_cells-broadcast-centroids) join + a per-qid window.
+    Null-embedding queries yield no rows. The assignment cache handle
+    is attached; release with ``caching.released_after(df)``.
     """
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
@@ -562,20 +567,21 @@ def ivf_topk_batch(
             )
             cell = np.argmax(m @ cmat, axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[notna], "cell": cell}
+                {
+                    id_col: pdf[id_col].to_numpy()[notna],
+                    "cell": cell,
+                    "qv": list(m),
+                }
             )
 
     asg = emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} {id_type}, cell bigint"
+        assign, f"{id_col} {id_type}, cell bigint, qv array<bigint>"
     )
     if persist_assignments:
         asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
 
     q = queries.select(F.col(id_col).alias("qid")).distinct()
-    e = emb.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), quantized(F.col(vec_col)).alias("qv")
-    )
-    qe = e.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
+    qe = asg.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
         F.col(id_col).alias("qid"), F.col("qv").alias("qq")
     )
     pw = W.partitionBy("qid").orderBy(F.col("qd").desc(), F.col("cell"))
@@ -586,14 +592,13 @@ def ivf_topk_batch(
         .where(F.col("_pr") <= n_probe)
         .select("qid", "cell")
     )
-    cand = (
-        asg.join(F.broadcast(probes), "cell")
-        .where(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col)
-    )
     kw = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col(id_col))
     out = (
-        cand.join(e, id_col)
+        asg.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("qid"))
+        # qe is (#distinct queries x dim) -- small in any realistic
+        # batch but not provably so: no hard broadcast hint, AQE
+        # converts at runtime (the ann_lsh_topk candidate-set rule)
         .join(qe, "qid")
         .select("qid", id_col, dot_q(F.col("qv"), F.col("qq")).alias("dot"))
         .withColumn("rank", F.row_number().over(kw))
