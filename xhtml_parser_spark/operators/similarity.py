@@ -532,12 +532,20 @@ def ivf_topk_batch(
     serves BOTH the probe-candidate lookup and the exact rerank -- no
     second JVM-side quantize scan, no corpus-keyed id-join (the r03
     shape paid three corpus scans plus an id-join that shuffled the
-    vector payload; this one's only shuffle after the scan is the
-    scalar (qid, id, dot) top-k window, since the probe set broadcasts
-    and AQE broadcasts the query-vector side). Probe selection is one
-    (queries x n_cells-broadcast-centroids) join + a per-qid window.
-    Null-embedding queries yield no rows. The assignment cache handle
-    is attached; release with ``caching.released_after(df)``.
+    vector payload). Probe selection is free: the assignment pass has
+    every row's n_cells centroid dots in hand (the argmax input), so
+    it emits each row's top-n_probe cell list alongside the
+    assignment -- no (queries x centroids) join, no per-qid window
+    shuffle (a literal-centroid-array JVM expression was tried and
+    REJECTED: 16x64 literals make Catalyst analysis of the plan cost
+    more driver time than the window it replaced). The only shuffle
+    after the corpus scan is the scalar (qid, id, dot) top-k window;
+    the (qid, cell, query-vector) probe set broadcasts (bounded by
+    #queries * n_probe * dim -- the batch API's contract is a bounded
+    query table; corpus-sized "query" sets belong in
+    embedding_neardup_pairs/semantic_dedup). Null-embedding queries
+    yield no rows. The assignment cache handle is attached; release
+    with ``caching.released_after(df)``.
     """
     import numpy as np
     import pandas as pd  # noqa: PLC0415 (worker-side)
@@ -548,11 +556,8 @@ def ivf_topk_batch(
     cmat = np.array(
         [r["cv"] for r in sorted(rows, key=lambda r: r["cell"])], dtype=np.int64
     ).T
-    cents = emb.sparkSession.createDataFrame(
-        [(int(r["cell"]), [int(x) for x in r["cv"]]) for r in rows],
-        "cell bigint, cv array<bigint>",
-    )
     id_type = emb.schema[id_col].dataType.simpleString()
+    npb = min(n_probe, cmat.shape[1])
 
     def assign(it):
         for pdf in it:
@@ -565,41 +570,41 @@ def ivf_topk_batch(
             m = _np_quantize(
                 np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
             )
-            cell = np.argmax(m @ cmat, axis=1)
+            s = m @ cmat
+            # stable argsort of -s == (dot desc, cell asc) -- cells
+            # are positions 0..K-1, so stability IS the tie-break, and
+            # probes[:, 0] == argmax(s) (first max) by the same rule
+            probes = np.argsort(-s, axis=1, kind="stable")[:, :npb]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[notna],
-                    "cell": cell,
+                    "cell": probes[:, 0],
                     "qv": list(m),
+                    "probes": list(probes),
                 }
             )
 
     asg = emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} {id_type}, cell bigint, qv array<bigint>"
+        assign,
+        f"{id_col} {id_type}, cell bigint, qv array<bigint>, "
+        "probes array<bigint>",
     )
     if persist_assignments:
         asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
 
     q = queries.select(F.col(id_col).alias("qid")).distinct()
-    qe = asg.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
-        F.col(id_col).alias("qid"), F.col("qv").alias("qq")
-    )
-    pw = W.partitionBy("qid").orderBy(F.col("qd").desc(), F.col("cell"))
     probes = (
-        qe.crossJoin(F.broadcast(cents))
-        .select("qid", "cell", dot_q(F.col("cv"), F.col("qq")).alias("qd"))
-        .withColumn("_pr", F.row_number().over(pw))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", "cell")
+        asg.join(q, F.col(id_col) == F.col("qid"), "left_semi")
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("qv").alias("qq"),
+            F.explode("probes").alias("cell"),
+        )
     )
     kw = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col(id_col))
     out = (
         asg.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("qid"))
-        # qe is (#distinct queries x dim) -- small in any realistic
-        # batch but not provably so: no hard broadcast hint, AQE
-        # converts at runtime (the ann_lsh_topk candidate-set rule)
-        .join(qe, "qid")
         .select("qid", id_col, dot_q(F.col("qv"), F.col("qq")).alias("dot"))
         .withColumn("rank", F.row_number().over(kw))
         .where(F.col("rank") <= k)
