@@ -46,20 +46,53 @@ def main() -> None:
     qs = entry.queries()
     out: dict = {"sf_dir": SF_DIR, "cpus": CPUS,
                  "load_avg_at_start": round(os.getloadavg()[0], 2),
-                 "queries": {}, "runs": {}}
+                 "queries": {}, "runs": {}, "spill": {}}
     for name in args:
         with cache_scope(spark):
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         walls = []
+        before = _stage_totals(spark)
         for _ in range(runs):
             with cache_scope(spark):
                 t0 = time.monotonic()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 walls.append(round(time.monotonic() - t0, 3))
+        after = _stage_totals(spark)
         out["queries"][name] = min(walls)
         out["runs"][name] = walls
+        if after is not None and before is not None:
+            out["spill"][name] = {
+                k: round((after[k] - before[k]) / max(runs, 1))
+                for k in after
+            }
     print(json.dumps(out))
     spark.stop()
+
+
+def _stage_totals(spark):
+    """Cumulative spill/shuffle bytes across all completed stages, via
+    the UI REST API (diff around a run -> that run's totals; divided
+    by the run count for a per-run average). None when the UI is off."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    tot = {"spill_mem_b": 0, "spill_disk_b": 0, "shuffle_write_b": 0}
+    for s in stages:
+        tot["spill_mem_b"] += s.get("memoryBytesSpilled", 0)
+        tot["spill_disk_b"] += s.get("diskBytesSpilled", 0)
+        tot["shuffle_write_b"] += s.get("shuffleWriteBytes", 0)
+    return tot
 
 
 if __name__ == "__main__":
