@@ -713,6 +713,24 @@ def test_codebook_noncontiguous_cells_raise(spark, clustered_emb):
         semantic_dedup(clustered_emb, codebook=cb).collect()
 
 
+def test_tau_ratio_validated_at_entry(spark, clustered_emb):
+    """tau_num > tau_den (cosine threshold > 1) must raise at entry in
+    BOTH rational-cosine operators: past the guard, the tn2*na2*nb2
+    side of the int64 exactness test can wrap silently and flip
+    kept/pair decisions instead of erroring."""
+    from xhtml_parser_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup,
+    )
+
+    with pytest.raises(ValueError, match="tau_num"):
+        embedding_neardup_pairs(clustered_emb, tau_num=21, tau_den=20)
+    with pytest.raises(ValueError, match="tau_num"):
+        semantic_dedup(clustered_emb, tau_num=21, tau_den=20)
+    with pytest.raises(ValueError, match="tau_num"):
+        embedding_neardup_pairs(clustered_emb, tau_num=0, tau_den=20)
+
+
 def test_kmeans_refine_overflow_guard_raises(spark):
     """Coordinate sums that could exceed int64 must raise (np.add.at
     wraps silently): 3 rows with |q| ~ 5e18 push n_rows * max|q| past

@@ -824,6 +824,15 @@ def semantic_dedup(
 
     from ..caching import attach_persists
 
+    # same precondition as embedding_neardup_pairs: the int64 guard in
+    # the within-cell pass divides by tau_den and assumes the tn2 side
+    # never dominates; tau_num > tau_den would wrap silently
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"tau_num/tau_den must satisfy 0 < tau_num <= tau_den "
+            f"(got {tau_num}/{tau_den})"
+        )
+
     cached: list[DataFrame] = []
     if persist_input and codebook is None:
         emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
