@@ -87,6 +87,14 @@ def test_select_path_attribute_predicates():
     assert len(_ids(dup, "//p[@id='1']")) == 1
     assert _ids(dup, "//p[@id='2']") == []
     assert len(_ids(dup, "//p[@id]")) == 1
+    # '/' inside a quoted predicate value is literal, not a segment
+    # break (bracket-aware splitting)
+    mime = parse_document(
+        b'<r><script type="application/ld+json">x</script></r>'
+    )
+    assert len(_ids(mime, "//script[@type='application/ld+json']")) == 1
+    assert len(_ids(mime, "r/script[@type='application/ld+json']")) == 1
+    assert _ids(mime, "//script[@type='application/json']") == []
 
 
 PATHS = [
@@ -324,3 +332,43 @@ def test_xpath_select_randomized_nested_differential(spark):
             assert have == want, (p, u)
             n_nonempty += bool(want)
     assert n_nonempty > 100  # the corpus genuinely exercises the paths
+
+
+def test_xpath_select_attr_of_payload(spark):
+    import datetime as dt
+
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    html = (
+        b"<html><body>"
+        b'<a href="https://x/1" href="DUP">one</a>'
+        b"<a>no-href</a>"
+        b'<a href="a&amp;b">ent</a>'
+        b'<link rel="alternate" href="https://feed/"/>'
+        b"</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2025, 8, 8), html, None, "en")], PAGES_SCHEMA
+    )
+    out = xpath_select(
+        df,
+        ["//a", "//link[@rel='alternate']", "//body"],
+        attr_of={"//a": "href", "//link[@rel='alternate']": "href"},
+    ).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r.path, []).append(r)
+    a_rows = sorted(by_path["//a"], key=lambda r: r.node_id)
+    # first-wins on the duplicated href; absent -> NULL; entities decode
+    assert [r.attr_value for r in a_rows] == [
+        b"https://x/1",
+        None,
+        b"a&b",
+    ]
+    assert [r.text for r in a_rows] == [b"one", b"no-href", b"ent"]
+    assert by_path["//link[@rel='alternate']"][0].attr_value == b"https://feed/"
+    # path without a requested attribute -> NULL payload
+    assert by_path["//body"][0].attr_value is None
+    # attr_of key must be one of the paths
+    with pytest.raises(ValueError):
+        xpath_select(df, ["//a"], attr_of={"//b": "href"})

@@ -266,10 +266,25 @@ def _path_segments(
     names); an EMPTY segment (i.e. '//') switches the next segment to
     the descendant axis. Leading '/' is optional (paths are rooted at
     the context node either way). One predicate per segment.
+
+    Segment splitting is BRACKET-AWARE: a '/' inside a [...] predicate
+    is literal, so ``script[@type='application/ld+json']`` is ONE
+    segment (a naive ``path.split('/')`` silently shredded the quoted
+    value into dead segments that matched nothing).
     """
     segs: list[tuple[str, str, int | None, tuple[str, str | None] | None]] = []
     axis = "child"
-    parts = path.split("/")
+    parts: list[str] = []
+    seg_start, depth = 0, 0
+    for i, ch in enumerate(path):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+        elif ch == "/" and depth == 0:
+            parts.append(path[seg_start:i])
+            seg_start = i + 1
+    parts.append(path[seg_start:])
     if parts and parts[0] == "":
         parts = parts[1:]  # tolerate a leading '/'
     for raw in parts:
