@@ -192,6 +192,7 @@ XPATH_SELECT_SCHEMA = StructType(
         StructField("last_descendant", IntegerType()),
         StructField("span_start", LongType()),
         StructField("text", BinaryType()),
+        StructField("attr_value", BinaryType()),
     ]
 )
 
@@ -218,7 +219,7 @@ def _span_eq_mask(bigbuf, starts, ends, needle, cand=None):
     return out
 
 
-def _select_arrow_batches_factory(paths):
+def _select_arrow_batches_factory(paths, attr_of=None):
     """mapInArrow generator for xpath_select: per batch, parse every
     document once (same packed-array kernel as parse_nodes), then
     evaluate the whole rule pack with vectorized NumPy set algebra
@@ -232,6 +233,7 @@ def _select_arrow_batches_factory(paths):
     from ..kernel.parser import ELEMENT, HEAD, TEXT
 
     segs_per_path = [(p, _path_segments(p)) for p in paths]
+    attr_req = [(attr_of or {}).get(p) for p in paths]
 
     def gen(batches):
         import numpy as np
@@ -239,6 +241,7 @@ def _select_arrow_batches_factory(paths):
 
         from ..kernel.parser import _get_cparser
         from .parse import (
+            _binary_from_spans,
             _doc_packed,
             _gather_spans,
             _html_views,
@@ -466,6 +469,48 @@ def _select_arrow_batches_factory(paths):
                     pa.py_buffer(data),
                 ],
             )
+            # per-match attribute payload (attr_of): first-wins value
+            # of the requested attribute on each matched node, NULL
+            # when absent / not requested for the row's path.  The
+            # first-wins scan is the same global-(node, attr_idx)-order
+            # np.unique trick attr_mask uses; (uniq, fa) is cached per
+            # attribute name so several paths requesting the same
+            # attribute pay one scan.
+            if any(attr_req):
+                val_s = np.full(len(sel), -1, dtype=i64)
+                val_e = np.full(len(sel), -1, dtype=i64)
+                first_cache: dict = {}
+                for pi, aname in enumerate(attr_req):
+                    if aname is None:
+                        continue
+                    rows = np.flatnonzero(pids == pi)
+                    if not rows.size:
+                        continue
+                    if aname not in first_cache:
+                        nm = _span_eq_mask(
+                            bigbuf, a_g["ns"], a_g["ne"], aname.encode()
+                        )
+                        sel_a = np.flatnonzero(nm)
+                        uniq, fidx = np.unique(
+                            attr_node[sel_a], return_index=True
+                        )
+                        first_cache[aname] = (uniq, sel_a[fidx])
+                    uniq, fa = first_cache[aname]
+                    pos = np.searchsorted(uniq, sel[rows])
+                    pos_c = np.minimum(pos, max(len(uniq) - 1, 0))
+                    ok = (
+                        (pos < len(uniq)) & (uniq[pos_c] == sel[rows])
+                        if len(uniq)
+                        else np.zeros(len(rows), dtype=bool)
+                    )
+                    rr = rows[ok]
+                    val_s[rr] = a_g["vs"][fa[pos_c[ok]]]
+                    val_e[rr] = a_g["ve"][fa[pos_c[ok]]]
+                attr_arr = _binary_from_spans(
+                    pa, bigbuf, val_s, val_e, mask=val_s >= 0
+                )
+            else:
+                attr_arr = pa.nulls(len(sel), pa.binary())
             path_strs = np.array(paths, dtype=object)[pids]
             yield pa.RecordBatch.from_arrays(
                 [
@@ -480,6 +525,7 @@ def _select_arrow_batches_factory(paths):
                     pa.array((ld_g[sel] - nb_g[sel]).astype(np.int32)),
                     pa.array(ls_g[sel] - bb_g[sel], type=pa.int64()),
                     text_arr,
+                    attr_arr,
                 ],
                 names=[f.name for f in XPATH_SELECT_SCHEMA.fields],
             )
@@ -488,7 +534,7 @@ def _select_arrow_batches_factory(paths):
 
 
 def xpath_select(
-    pages: DataFrame, paths: list[str]
+    pages: DataFrame, paths: list[str], attr_of: dict[str, str] | None = None
 ) -> DataFrame:
     """Fused rule-pack XPath over raw pages: parse + select + extract
     in ONE map-side Arrow pass, zero shuffles (the 100-TB shape for
@@ -508,15 +554,29 @@ def xpath_select(
     '//' ranges (multi-root safe).
 
     Documents that fail to parse contribute no rows (see parse_nodes).
+
+    ``attr_of`` maps a path string to an attribute name: rows matched
+    by that path additionally carry the node's FIRST-WINS value of
+    that attribute (reference ``get_attribute`` scan order,
+    src/node.rs:674-705) in ``attr_value`` -- the extraction payload
+    for rule packs like ``a[@href]`` or Atom ``entry/link[@href]``
+    whose answer lives in an attribute, not the subtree text.
+    ``attr_value`` is NULL when absent or not requested for the row's
+    path; values arrive entity-decoded + whitespace-normalized from
+    the kernel (A12), raw bytes (callers gate utf8 like every other
+    crawl payload).
     """
     for p in paths:
         from ..kernel.document import _path_segments
 
         _path_segments(p)  # raise on bad grammar driver-side
+    for p in attr_of or {}:
+        if p not in paths:
+            raise ValueError(f"attr_of key {p!r} is not in paths")
     if not paths:
         return pages.select("url", "html").limit(0).mapInArrow(
             _select_arrow_batches_factory([]), XPATH_SELECT_SCHEMA
         )
     return pages.select("url", "html").mapInArrow(
-        _select_arrow_batches_factory(paths), XPATH_SELECT_SCHEMA
+        _select_arrow_batches_factory(paths, attr_of), XPATH_SELECT_SCHEMA
     )
