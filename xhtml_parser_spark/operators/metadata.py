@@ -264,3 +264,158 @@ def web_record(pages: DataFrame) -> DataFrame:
         F.array_join(links, "\n").alias("links"),
         F.size(links).cast("int").alias("n_links"),
     )
+
+
+def jsonld_records(pages: DataFrame, fields: dict | None = None) -> DataFrame:
+    """Structured-data (JSON-LD) extraction: one row per
+    ``<script type="application/ld+json">`` block, document order:
+
+    (url, node_id, jsonld, <out-col per requested field>)
+
+    ``fields`` maps output column -> top-level JSON key (default
+    ``{"sd_type": "@type", "name": "name"}`` -- the schema.org
+    discriminator + display name every curation pipeline keys on).
+
+    The block location is ONE fused rule-pack pass (``xpath_select``
+    with a ``[@type='...']`` predicate -- first-wins attribute
+    equality, so a hostile duplicate ``type`` attr can't smuggle a
+    block in); the payload is the script element's subtree text, which
+    in well-formed XHTML is its single text child.  JSON parsing stays
+    JVM-side (``json_tuple``: ONE parse for all requested fields;
+    malformed JSON yields NULLs, never an exception), the raw block is
+    kept so callers can re-parse with a full schema.  Zero shuffles,
+    map-side only.
+    """
+    from .xpath import xpath_select
+
+    fields = {"sd_type": "@type", "name": "name"} if fields is None else fields
+    path = "//script[@type='application/ld+json']"
+    # stage the utf8-gated payload as its OWN projection (json_tuple
+    # would otherwise macro-expand the CASE+decode per field)
+    staged = xpath_select(pages, [path]).select(
+        "url", "node_id", _utf8(F.col("text")).alias("jsonld")
+    )
+    if not fields:
+        return staged
+    return staged.select(
+        "url",
+        "node_id",
+        "jsonld",
+        F.json_tuple(F.col("jsonld"), *fields.values()),
+    ).toDF("url", "node_id", "jsonld", *fields.keys())
+
+
+_META_KEYS = ("name", "property", "http-equiv")
+
+
+def meta_kv(pages: DataFrame) -> DataFrame:
+    """Every ``<meta>`` key/value pair, one row each, document order:
+
+    (url, node_id, key_kind 'name'|'property'|'http-equiv', key,
+     content)
+
+    ``key`` is the meta element's first-wins ``name`` attribute,
+    falling back to ``property`` (OpenGraph) then ``http-equiv`` --
+    the precedence order real extractors use; metas with none of the
+    three (e.g. ``charset``) are dropped.  ``content`` is first-wins
+    and may be NULL (a keyless content-less meta row would carry no
+    signal).  This is the GENERIC companion to ``page_metadata``'s
+    fixed columns: quality/provenance pipelines want the whole bag
+    (og:*, twitter:*, robots, viewport...) without one operator per
+    key.
+
+    Plan shape: one kernel parse (``parse_full``), per-meta attribute
+    lookup evaluated INSIDE the per-document arrays (small-outer x
+    small-inner nested filters, the page_metadata discipline), then
+    one explode of the per-doc kv array -- the explode IS the output,
+    nothing re-shuffles.  Attribute values arrive entity-decoded;
+    strings are utf8-gated to NULL.
+    """
+    full = parse_full(pages).select("url", "nodes", "attrs")
+    metas = full.select(
+        "url",
+        "attrs",
+        F.filter(
+            F.col("nodes"),
+            lambda n: (n["kind"] == ELEMENT) & (n["tag"] == "meta"),
+        ).alias("metas"),
+    )
+
+    def first_attr(m, name):  # first-wins per node (array order = attr order)
+        return _first(
+            F.filter(
+                F.col("attrs"),
+                lambda a: (a["node_id"] == m["node_id"])
+                & (a["name"] == name),
+            )
+        )["value"]
+
+    rows = metas.select(
+        "url",
+        F.explode(
+            F.transform(
+                F.col("metas"),
+                lambda m: F.struct(
+                    m["node_id"].alias("node_id"),
+                    first_attr(m, "name").alias("k_name"),
+                    first_attr(m, "property").alias("k_prop"),
+                    first_attr(m, "http-equiv").alias("k_he"),
+                    first_attr(m, "content").alias("content"),
+                ),
+            )
+        ).alias("kv"),
+    )
+    staged = rows.select(
+        "url",
+        F.col("kv.node_id").alias("node_id"),
+        F.when(F.col("kv.k_name").isNotNull(), F.lit("name"))
+        .when(F.col("kv.k_prop").isNotNull(), F.lit("property"))
+        .when(F.col("kv.k_he").isNotNull(), F.lit("http-equiv"))
+        .alias("key_kind"),
+        F.coalesce("kv.k_name", "kv.k_prop", "kv.k_he").alias("key_b"),
+        F.col("kv.content").alias("content_b"),
+    )
+    return staged.where(F.col("key_kind").isNotNull()).select(
+        "url",
+        "node_id",
+        "key_kind",
+        _utf8(F.col("key_b")).alias("key"),
+        _utf8(F.col("content_b")).alias("content"),
+    )
+
+
+def canonical_groups(pages: DataFrame) -> DataFrame:
+    """``rel=canonical`` URL grouping -- the crawl-side dedup signal
+    that needs no content comparison (mirrors/trackers/pagination
+    declare their preferred URL themselves):
+
+    (url, canonical_url, group_size, keep)
+
+    ``canonical_url`` is the page's first ``<link rel="canonical">``
+    href (one kernel parse via ``page_metadata``), falling back to the
+    page's own url when absent/unparseable -- so every page lands in
+    exactly one group.  ``keep`` marks the group's minimum url (one
+    deterministic survivor per canonical target, the first-wins
+    discipline every dedup operator here uses).
+
+    Scale shape: ONE hash shuffle on canonical_url (two window
+    functions over the same partitioning -- Spark plans a single
+    Exchange); no join, no second parse.  Skew note: a mega-site
+    declaring one canonical for millions of pages concentrates a key
+    -- group_size is exactly the skew diagnostic a pipeline caps on
+    (cf. operators/corpus.host_cap for the salted-cap pattern).
+    """
+    from pyspark.sql.window import Window
+
+    meta = page_metadata(pages).select("url", "canonical")
+    staged = meta.select(
+        "url",
+        F.coalesce(F.col("canonical"), F.col("url")).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return staged.select(
+        "url",
+        "canonical_url",
+        F.count("*").over(w).alias("group_size"),
+        (F.col("url") == F.min("url").over(w)).alias("keep"),
+    )
