@@ -475,6 +475,197 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_persists(out, ent)
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 / Atom feed parsing (operators/feeds.py): per doc a
+    protocol-shaped feed is synthesized from doc_id arithmetic -- even
+    doc_ids become <rss><channel> docs with 1 + doc_id %% 3 <item>s
+    (title carries an &amp; entity; guid only on even ordinals), odd
+    doc_ids become Atom <feed> docs whose <entry> link lives in an
+    HREF ATTRIBUTE (with an entity, plus a second rel=self link that
+    first-wins must drop; updated only on even ordinals). One fused
+    Arrow pass (xpath_select + attr_of payload) + a slim per-entry
+    pivot; the oracle replays every unified field analytically."""
+    _ensure_pkg(spark)
+    from pyspark.sql.window import Window
+
+    from xhtml_parser_spark.caching import attach_persists
+    from xhtml_parser_spark.operators.feeds import parse_feeds
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    is_rss = did % 2 == 0
+
+    def entry(i: F.Column) -> F.Column:
+        ist = i.cast("string")
+        date = F.concat(
+            F.lit("2025-08-"),
+            F.lpad(((did + i) % 28 + 1).cast("string"), 2, "0"),
+        )
+        rss = F.concat(
+            F.lit("<item><title>item &amp; "), ist, F.lit("</title>"),
+            F.lit("<link>https://f.example/"), dids, F.lit("/"), ist,
+            F.lit("</link>"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("<guid>g"), dids, F.lit("-"), ist,
+                         F.lit("</guid>")),
+            ).otherwise(F.lit("")),
+            F.lit("<pubDate>"), date, F.lit("</pubDate></item>"),
+        )
+        atom = F.concat(
+            F.lit("<entry><title>a"), dids, F.lit("-"), ist,
+            F.lit("</title>"),
+            F.lit('<link rel="alternate" href="https://f.example/'),
+            dids, F.lit("/"), ist, F.lit('?a=1&amp;b=2"/>'),
+            F.lit('<link rel="self" href="https://self.example/x"/>'),
+            F.lit("<id>urn:f:"), dids, F.lit(":"), ist, F.lit("</id>"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("<updated>"), date, F.lit("</updated>")),
+            ).otherwise(F.lit("")),
+            F.lit("</entry>"),
+        )
+        return F.when(is_rss, rss).otherwise(atom)
+
+    body = F.array_join(F.transform(F.sequence(F.lit(0), did % 3), entry), "")
+    xml = F.when(
+        is_rss,
+        F.concat(F.lit("<rss><channel><title>c</title>"), body,
+                 F.lit("</channel></rss>")),
+    ).otherwise(F.concat(F.lit("<feed><title>f</title>"), body,
+                         F.lit("</feed>")))
+    ent = parse_feeds(_pages_from_docs(docs, xml))
+    w = Window.partitionBy("url").orderBy("entry_id")
+    out = ent.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        "kind",
+        "title",
+        "link",
+        "guid",
+        "updated",
+    )
+    return attach_persists(out, ent)
+
+
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data extraction (operators/metadata.py::
+    jsonld_records): every doc gets a head Article block, even docs a
+    second BreadcrumbList block in the body, and doc_id %% 13 == 0
+    docs a malformed block (NULL fields, raw payload kept). The block
+    location is the fused selector with the quoted-'/'-in-predicate
+    path the grammar fix made expressible; JSON field extraction is
+    JVM-side json_tuple. Oracle replays payloads + fields literally."""
+    _ensure_pkg(spark)
+    from pyspark.sql.window import Window
+
+    from xhtml_parser_spark.operators.metadata import jsonld_records
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    bad = did % 13 == 0
+    first = F.when(bad, F.lit('{"oops')).otherwise(
+        F.concat(
+            F.lit('{"@type":"Article","name":"n'), dids, F.lit('"}')
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        first,
+        F.lit('</script><script type="text/javascript">var x=1;</script>'),
+        F.lit("</head><body><p>t</p>"),
+        F.when(
+            did % 2 == 0,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"BreadcrumbList"}</script>'
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    out = jsonld_records(_pages_from_docs(docs, html))
+    w = Window.partitionBy("url").orderBy("node_id")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        "jsonld",
+        "sd_type",
+        "name",
+    )
+
+
+def q_meta_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic <meta> key/value mining (operators/metadata.py::
+    meta_kv): name= / property= / http-equiv= precedence, first-wins
+    on duplicated attributes, charset-only metas dropped, entity
+    decode in content. Per doc: a description (with &amp;), an
+    og:title, an http-equiv refresh on even docs, a charset meta
+    (dropped), and a duplicated-name meta exercising first-wins."""
+    _ensure_pkg(spark)
+    from pyspark.sql.window import Window
+
+    from xhtml_parser_spark.operators.metadata import meta_kv
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8"/>'),
+        F.lit('<meta name="description" content="d'), dids,
+        F.lit(' &amp; x"/>'),
+        F.lit('<meta property="og:title" content="t'), dids, F.lit('"/>'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="'),
+                (did % 60).cast("string"),
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="dup" name="LOSES" content="c'), dids,
+        F.lit('" content="LOSES"/>'),
+        F.lit("</head><body><p>t</p></body></html>"),
+    )
+    out = meta_kv(_pages_from_docs(docs, html))
+    w = Window.partitionBy("url").orderBy("node_id")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        "key_kind",
+        "key",
+        "content",
+    )
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical URL grouping (operators/metadata.py::
+    canonical_groups): docs cluster in canonical triples (doc_id
+    rounded down to a multiple of 3) except doc_id %% 7 == 0 docs,
+    which carry no canonical link and group alone under their own
+    url. keep = the group's min url (STRING order -- deterministic
+    and replayed identically by the oracle)."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.metadata import canonical_groups
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            did % 7 != 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://c.example/'),
+                (did - did % 3).cast("string"),
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<title>t</title></head><body><p>x</p></body></html>"),
+    )
+    return canonical_groups(_pages_from_docs(docs, html))
+
+
 def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (operators/links.anchor_text_index): each doc
     contributes three anchors whose targets/texts are pure functions of
@@ -1934,6 +2125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         # -- new in r04 --
         "bpe_apply": q_bpe_apply,
+        "feed_entries": q_feed_entries,
+        "jsonld": q_jsonld,
+        "meta_kv": q_meta_kv,
+        "canonical_dedup": q_canonical_dedup,
         # -- r02-verified only; rotated out of the r03 window --
         "neardup_cosine": q_neardup_cosine,
         "neardup_lsh": q_neardup_lsh,
@@ -4018,5 +4213,97 @@ FROM d
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # unified RSS/Atom fields replayed from the doc_id arithmetic
+        # that synthesized the feeds (see q_feed_entries): &amp;
+        # entities arrive decoded, Atom guid = <id>, Atom updated only
+        # on even ordinals, Atom link = FIRST href (rel=self dropped)
+        "feed_entries": """
+            WITH e AS (
+              SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS i
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'item'
+                        ELSE 'entry' END AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN 'item & ' || i
+                        ELSE 'a' || doc_id || '-' || i END AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://f.example/' || doc_id || '/' || i
+                        ELSE 'https://f.example/' || doc_id || '/' || i
+                             || '?a=1&b=2' END AS link,
+                   CASE WHEN doc_id % 2 = 0 AND i % 2 = 0
+                        THEN 'g' || doc_id || '-' || i
+                        WHEN doc_id % 2 = 1
+                        THEN 'urn:f:' || doc_id || ':' || i END AS guid,
+                   CASE WHEN doc_id % 2 = 0 OR i % 2 = 0
+                        THEN '2025-08-' ||
+                             lpad(CAST((doc_id + i) % 28 + 1 AS VARCHAR),
+                                  2, '0') END AS updated
+            FROM e
+        """,
+        # every doc: head Article block (malformed when doc_id%13=0 ->
+        # NULL fields, raw kept); even docs add a body BreadcrumbList
+        "jsonld": """
+            WITH b AS (
+              SELECT doc_id, unnest(range(0, CASE WHEN doc_id % 2 = 0
+                                               THEN 2 ELSE 1 END)) AS i
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS idx,
+                   CASE WHEN i = 1 THEN '{"@type":"BreadcrumbList"}'
+                        WHEN doc_id % 13 = 0 THEN '{"oops'
+                        ELSE '{"@type":"Article","name":"n' || doc_id
+                             || '"}' END AS jsonld,
+                   CASE WHEN i = 1 THEN 'BreadcrumbList'
+                        WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 'Article' END AS sd_type,
+                   CASE WHEN i = 0 AND doc_id % 13 != 0
+                        THEN 'n' || doc_id END AS name
+            FROM b
+        """,
+        # meta rows in document order: description, og:title,
+        # refresh (even docs), dup (first-wins); charset meta dropped
+        "meta_kv": """
+            WITH m AS (
+              SELECT doc_id, unnest(range(0, CASE WHEN doc_id % 2 = 0
+                                               THEN 4 ELSE 3 END)) AS i,
+                     CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS n
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS idx,
+                   CASE WHEN i = 0 THEN 'name'
+                        WHEN i = 1 THEN 'property'
+                        WHEN i = n - 1 THEN 'name'
+                        ELSE 'http-equiv' END AS key_kind,
+                   CASE WHEN i = 0 THEN 'description'
+                        WHEN i = 1 THEN 'og:title'
+                        WHEN i = n - 1 THEN 'dup'
+                        ELSE 'refresh' END AS key,
+                   CASE WHEN i = 0 THEN 'd' || doc_id || ' & x'
+                        WHEN i = 1 THEN 't' || doc_id
+                        WHEN i = n - 1 THEN 'c' || doc_id
+                        ELSE CAST(doc_id % 60 AS VARCHAR) END AS content
+            FROM m
+        """,
+        # canonical triples (doc_id rounded to %3) except doc_id%7=0
+        # docs, which carry no canonical and group under their own url
+        "canonical_dedup": """
+            WITH c AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id AS VARCHAR)
+                          ELSE 'https://c.example/' ||
+                               (doc_id - doc_id % 3) END AS canonical_url
+              FROM documents
+            )
+            SELECT url, canonical_url,
+                   count(*) OVER (PARTITION BY canonical_url)
+                       AS group_size,
+                   url = min(url) OVER (PARTITION BY canonical_url)
+                       AS keep
+            FROM c
         """,
     }
