@@ -78,6 +78,27 @@ def test_lsh_pairs_find_near_dups(spark, near_dup_docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_lsh_banding_subsets_and_validates(spark, near_dup_docs):
+    """rows_per_band=r keys each band on r CONCATENATED minhashes, so a
+    band collision needs all r rows equal: candidates at r=2 must be a
+    subset of r=1, exact dups always survive (identical signatures =>
+    identical banded keys), and r must divide n_hashes."""
+    def pairset(r):
+        return {
+            (row["a"], row["b"])
+            for row in lsh_candidate_pairs(
+                near_dup_docs, jaccard_min=0.0, rows_per_band=r
+            ).collect()
+        }
+
+    p1, p2, p4 = pairset(1), pairset(2), pairset(4)
+    assert p2 <= p1 and p4 <= p2
+    assert (0, 1) in p4  # exact dup collides at every selectivity
+    assert not any(4 in p or 5 in p for p in p1)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        lsh_candidate_pairs(near_dup_docs, rows_per_band=3)
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (worst-case diameter for min-label propagation:
     the min label walks one hop per round) plus a separate 2-clique
