@@ -39,6 +39,65 @@ def _np_quantize(m):
     return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
 
 
+def _quantized_from_batch(rb, vec_idx, dim):
+    """(filtered_batch, (n, dim) int64 quantized matrix) from a
+    RecordBatch whose ``vec_idx`` column is a list of numerics --
+    null-vector rows dropped, then ONE flat-buffer reshape over the
+    Arrow values buffer. The per-row ``np.stack([np.asarray(v) ...])``
+    ingestion this replaces was the measured bottleneck of every
+    vector pass at the 10x step-up (assignment scan of 50 k x 32:
+    3.0 s stacked vs ~0.2 s flat; BENCH.md round 4): iterating a
+    pandas object column costs a Python round-trip per ROW, while the
+    Arrow list column already holds one contiguous values buffer.
+    Raises (like np.stack before it) when a non-null list is ragged."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vc = rb.column(vec_idx)
+    valid = pc.is_valid(vc)
+    nv = pc.sum(valid).as_py() or 0
+    if nv == 0:
+        return None, None
+    if nv < rb.num_rows:
+        rb = rb.filter(valid)
+        vc = rb.column(vec_idx)
+    flat = vc.flatten().to_numpy(zero_copy_only=False)
+    return rb, _np_quantize(flat.astype(np.float64, copy=False).reshape(-1, dim))
+
+
+def _gram_exact(a, b):
+    """Integer matrix product via float64 BLAS when provably exact,
+    else the (BLAS-less, ~14x slower at dim 32) int64 matmul. Exact
+    whenever every partial sum is an integer below 2^53: any partial
+    sum of products is bounded by sum|a_i b_i| <= sqrt(|a|^2 |b|^2)
+    (Cauchy-Schwarz on the absolute values), and reordered addition of
+    exactly-representable integers is exact, so the cheap sufficient
+    check is max_row_norm2(a) * max_row_norm2(b) < 2^106 -- checked
+    here as dim * max|a| * max|b| < 2^53 per element (conservative,
+    one pass). The int64 guard semantic_dedup/embedding_neardup_pairs
+    already enforce (norms <= 3_037_000_499 / tau_den) implies this
+    bound with room to spare."""
+    import numpy as np
+
+    ab = float(np.abs(a).max(initial=0)) * float(np.abs(b).max(initial=0))
+    if a.shape[-1] * ab < 2.0**53:
+        return (a.astype(np.float64) @ b.astype(np.float64)).astype(np.int64)
+    return a @ b
+
+
+def _packed_binary(pa, m):
+    """pyarrow binary column of one little-endian int64 blob per row of
+    ``m`` (n, dim) -- the shuffle-friendly fixed-width encoding of a
+    quantized vector (8*dim bytes, one buffer, no per-row objects)."""
+    import numpy as np
+
+    data = np.ascontiguousarray(m, dtype="<i8").tobytes()
+    off = np.arange(len(m) + 1, dtype=np.int32) * (m.shape[1] * 8)
+    return pa.Array.from_buffers(
+        pa.binary(), len(m), [None, pa.py_buffer(off), pa.py_buffer(data)]
+    )
+
+
 def dot_q(a, b) -> "F.Column":
     """Exact integer dot product of two quantized vectors."""
     return F.aggregate(
@@ -221,7 +280,7 @@ def embedding_neardup_pairs(
         # round conservative margin)
         if int(na2.max(initial=0)) > 3_037_000_499 // tau_den:
             raise ValueError("quantized norms too large for exact int64 test")
-        g = q @ q.T
+        g = _gram_exact(q, q.T)
         ia, ib = np.triu_indices(len(ids), 1)
         d = g[ia, ib]
         keep = (d > 0) & (td2 * d * d >= tn2 * na2[ia] * na2[ib])
@@ -445,23 +504,23 @@ def ivf_topk(
 
     id_type = emb.schema[id_col].dataType.simpleString()
 
-    def assign(it):
-        for pdf in it:
-            if len(pdf) == 0:
+    dim = cmat.shape[0]
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            vecs = pdf[vec_col]
-            notna = vecs.notna().to_numpy()
-            if not notna.any():
+            frb, m = _quantized_from_batch(rb, 1, dim)
+            if m is None:
                 continue
-            m = _np_quantize(
-                np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
-            )
-            cell = np.argmax(m @ cmat, axis=1)  # first max = smallest cell
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[notna], "cell": cell}
+            cell = np.argmax(_gram_exact(m, cmat), axis=1)  # first max = smallest
+            yield pa.RecordBatch.from_arrays(
+                [frb.column(0), pa.array(cell)], names=[id_col, "cell"]
             )
 
-    asg = emb.select(id_col, vec_col).mapInPandas(
+    asg = emb.select(id_col, vec_col).mapInArrow(
         assign, f"{id_col} {id_type}, cell bigint"
     )
     if persist_assignments:
@@ -559,32 +618,41 @@ def ivf_topk_batch(
     id_type = emb.schema[id_col].dataType.simpleString()
     npb = min(n_probe, cmat.shape[1])
 
-    def assign(it):
-        for pdf in it:
-            if len(pdf) == 0:
+    dim = cmat.shape[0]
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            vecs = pdf[vec_col]
-            notna = vecs.notna().to_numpy()
-            if not notna.any():
+            frb, m = _quantized_from_batch(rb, 1, dim)
+            if m is None:
                 continue
-            m = _np_quantize(
-                np.stack([np.asarray(v, dtype=np.float64) for v in vecs[notna]])
-            )
-            s = m @ cmat
+            s = _gram_exact(m, cmat)
             # stable argsort of -s == (dot desc, cell asc) -- cells
             # are positions 0..K-1, so stability IS the tie-break, and
             # probes[:, 0] == argmax(s) (first max) by the same rule
             probes = np.argsort(-s, axis=1, kind="stable")[:, :npb]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[notna],
-                    "cell": probes[:, 0],
-                    "qv": list(m),
-                    "probes": list(probes),
-                }
+            n = len(m)
+            i32 = np.int32
+            yield pa.RecordBatch.from_arrays(
+                [
+                    frb.column(0),
+                    pa.array(probes[:, 0]),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n + 1, dtype=i32) * dim),
+                        pa.array(m.reshape(-1)),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n + 1, dtype=i32) * npb),
+                        pa.array(np.ascontiguousarray(probes).reshape(-1)),
+                    ),
+                ],
+                names=[id_col, "cell", "qv", "probes"],
             )
 
-    asg = emb.select(id_col, vec_col).mapInPandas(
+    asg = emb.select(id_col, vec_col).mapInArrow(
         assign,
         f"{id_col} {id_type}, cell bigint, qv array<bigint>, "
         "probes array<bigint>",
@@ -804,7 +872,13 @@ def semantic_dedup(
     semantics where those are wanted. The cosine test is the exact
     rational integer predicate of embedding_neardup_pairs; the
     codebook collect is the bounded index-build step documented in
-    ivf_topk. Pass ``codebook`` (e.g. kmeans_refine's output) to
+    ivf_topk. The assignment is an Arrow pass (flat-buffer vector
+    ingestion, no per-row Python) that ships each quantized vector
+    onward as ONE fixed-width binary blob, so the cell shuffle moves
+    packed bytes and the within-cell pass rebuilds its matrix with a
+    single frombuffer -- the stacked-ndarray ingestion this replaced
+    cost ~3 s per 50 k x 32 scan at the 10x step-up (BENCH.md
+    round 4). Pass ``codebook`` (e.g. kmeans_refine's output) to
     dedup against density-adapted cells instead of the default hash
     sample -- tighter clusters catch more near-duplicates at the same
     threshold.
@@ -844,27 +918,29 @@ def semantic_dedup(
     ).T
     id_type = emb.schema[id_col].dataType.simpleString()
     tn2, td2 = tau_num * tau_num, tau_den * tau_den
+    dim = cmat.shape[0]
 
-    def assign(it):
-        for pdf in it:
-            if len(pdf) == 0:
+    def assign(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            notna = pdf[vec_col].notna().to_numpy()
-            if not notna.any():
+            frb, m = _quantized_from_batch(rb, 1, dim)
+            if m is None:
                 continue
-            m = _np_quantize(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][notna]]
-                )
+            cell = np.argmax(_gram_exact(m, cmat), axis=1)  # first max = smallest cell
+            yield pa.RecordBatch.from_arrays(
+                [
+                    frb.column(0),
+                    _packed_binary(pa, m),
+                    pa.array(cell, type=pa.int64()),
+                ],
+                names=[id_col, "qv", "cell"],
             )
-            cell = np.argmax(m @ cmat, axis=1)  # first max = smallest cell
-            out = pdf[notna].copy()
-            out["cell"] = cell
-            yield out
 
-    vec_sql = emb.schema[vec_col].dataType.simpleString()
-    withc = emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} {id_type}, {vec_col} {vec_sql}, cell bigint"
+    withc = emb.select(id_col, vec_col).mapInArrow(
+        assign, f"{id_col} {id_type}, qv binary, cell bigint"
     )
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -879,11 +955,9 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        q = _np_quantize(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )[order]
-        )
+        q = np.frombuffer(
+            b"".join(pdf["qv"].to_numpy()), dtype="<i8"
+        ).reshape(n, dim)[order]
         na2 = (q * q).sum(axis=1)
         # exactness precondition: |dot| <= na2_max (Cauchy-Schwarz), so
         # td^2*dot^2 and tn^2*na2*nb2 both fit int64 iff
@@ -893,10 +967,15 @@ def semantic_dedup(
         # round conservative margin)
         if int(na2.max(initial=0)) > 3_037_000_499 // tau_den:
             raise ValueError("quantized norms too large for exact int64 test")
+        # the guard just passed => every Gram partial sum is an integer
+        # <= max(na2) <= 3.04e9 << 2^53, so the float64 BLAS product is
+        # exact (and ~14x faster than the BLAS-less int64 matmul; the
+        # 25k-row skewed cell at the 10x step-up went 15 s -> ~1 s)
+        qf = q.astype(np.float64)
         kept = np.ones(n, dtype=bool)
         for lo in range(1, n, chunk):
             hi = min(lo + chunk, n)
-            d = q[lo:hi] @ q[:hi].T
+            d = (qf[lo:hi] @ qf[:hi].T).astype(np.int64)
             cond = (d > 0) & (
                 td2 * d * d >= tn2 * na2[lo:hi, None] * na2[None, :hi]
             )
@@ -948,7 +1027,6 @@ def kmeans_refine(
     1.21 s at sf0.1) -- callers with a derived input should persist
     it themselves around the call."""
     import numpy as np
-    import pandas as pd  # noqa: PLC0415 (worker-side)
 
     rows = ivf_centroid_rows(emb, n_cells, id_col, vec_col).collect()
     cmat = np.array(
@@ -961,40 +1039,42 @@ def kmeans_refine(
         cm = cmat  # bind the CURRENT codebook into this round's closure
         c2 = (cm * cm).sum(axis=1)
 
-        def partials(it):
+        def partials(batches):
+            import pyarrow as pa
+
             sums = np.zeros((k, dim), dtype=np.int64)
             cnts = np.zeros(k, dtype=np.int64)
             maxabs = 0
             seen = False
-            for pdf in it:
-                vecs = pdf[vec_col]
-                notna = vecs.notna().to_numpy()
-                if not notna.any():
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                _frb, q = _quantized_from_batch(rb, 0, dim)
+                if q is None:
                     continue
                 seen = True
-                q = _np_quantize(
-                    np.stack(
-                        [np.asarray(v, dtype=np.float64) for v in vecs[notna]]
-                    )
-                )
                 maxabs = max(maxabs, int(np.abs(q).max(initial=0)))
-                score = 2 * (q @ cm.T) - c2[None, :]
+                score = 2 * _gram_exact(q, cm.T) - c2[None, :]
                 cell = np.argmax(score, axis=1)  # first max = smaller cell
                 np.add.at(sums, cell, q)
                 np.add.at(cnts, cell, 1)
             if seen:
-                yield pd.DataFrame(
-                    {
-                        "cell": np.arange(k),
-                        "s": list(sums),
-                        "cnt": cnts,
-                        "maxabs": maxabs,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(k)),
+                        pa.ListArray.from_arrays(
+                            pa.array(np.arange(k + 1, dtype=np.int32) * dim),
+                            pa.array(sums.reshape(-1)),
+                        ),
+                        pa.array(cnts),
+                        pa.array(np.full(k, maxabs, dtype=np.int64)),
+                    ],
+                    names=["cell", "s", "cnt", "maxabs"],
                 )
 
         part = (
             emb.select(vec_col)
-            .mapInPandas(
+            .mapInArrow(
                 partials,
                 "cell bigint, s array<bigint>, cnt bigint, maxabs bigint",
             )
@@ -1090,23 +1170,24 @@ def ivf2_assign(
     id_type = emb.schema[id_col].dataType.simpleString()
     vec_sql = emb.schema[vec_col].dataType.simpleString()
 
-    def assign_coarse(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            notna = pdf[vec_col].notna().to_numpy()
-            if not notna.any():
-                continue
-            m = _np_quantize(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][notna]]
-                )
-            )
-            out = pdf[notna].copy()
-            out["coarse"] = np.argmax(m @ cmat, axis=1)
-            yield out
+    dim = cmat.shape[0]
 
-    withc = emb.select(id_col, vec_col).mapInPandas(
+    def assign_coarse(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            frb, m = _quantized_from_batch(rb, 1, dim)
+            if m is None:
+                continue
+            coarse = np.argmax(_gram_exact(m, cmat), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [frb.column(0), frb.column(1), pa.array(coarse)],
+                names=[id_col, vec_col, "coarse"],
+            )
+
+    withc = emb.select(id_col, vec_col).mapInArrow(
         assign_coarse, f"{id_col} {id_type}, {vec_col} {vec_sql}, coarse bigint"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -1131,7 +1212,7 @@ def ivf2_assign(
             [np.asarray(v, dtype=np.int64) for v in cents["cv"]]
         )[order].T
         fine_ids = cents["fine"].to_numpy()[order]
-        best = np.argmax(q @ fmat, axis=1)  # first max = smallest fine
+        best = np.argmax(_gram_exact(q, fmat), axis=1)  # first max = smallest fine
         return pd.DataFrame(
             {
                 id_col: vecs[id_col].to_numpy(),
