@@ -90,6 +90,26 @@ def get_spark(
         )
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # print the worker's Python stack on a hard crash (segfault /
+        # OOM-kill) instead of a bare "connection reset": zero cost
+        # until a fault actually fires, priceless when one does (the
+        # 10x step-up debugging round; BENCH.md round 4)
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # Unix domain sockets for JVM<->worker IPC. Two reasons, both
+        # measured at the 10x parse corpus (BENCH.md round 4): (1) the
+        # TCP path deadlocks under sustained bidirectional pressure --
+        # JVM task thread parked in ReaderInputStream's selector
+        # (PythonRunner.scala:808) while the worker blocks in
+        # tcp_sendmsg with a 33 MB unread input Recv-Q; reproduced 3x
+        # (one worker-crash abort, two 133/134-task hangs), 0/8 hangs
+        # with UDS; (2) UDS is ~25% faster on the same workload
+        # (15.4-17.4 s vs 20.7-21.6 s per 1.2M-doc parse). Opt out via
+        # XPS_UDS=0 for A/Bs.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("XPS_UDS") == "0" else "true",
+        )
         .getOrCreate()
     )
     ship_package(spark)
