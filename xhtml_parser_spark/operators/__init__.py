@@ -20,6 +20,7 @@ from .metadata import page_metadata, web_record
 from .robots import parse_robots, robots_filter
 from .sitemap import parse_sitemaps
 from .charset import sniff_charset_pages, transcode_utf8
+from .tables import html_tables
 
 __all__ = [
     "parse_pages",
