@@ -1194,6 +1194,154 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "inter", "uni")
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused <table> extraction: header row (th, one colspan) + two
+    3-cell data rows whose cells are words of the document (one nested
+    <b> to exercise subtree text), parsed and flattened to (doc_id,
+    table_id, row_id, col_id, header, colspan, cell_text) in ONE
+    zero-shuffle Arrow pass (operators/tables.py). The oracle replays
+    the cell layout analytically from the same word arithmetic."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators.tables import html_tables
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+    def cell(k: int) -> "F.Column":
+        return esc(
+            F.element_at(
+                ws, (1 + (F.col("doc_id") + k) % F.size(ws)).cast("int")
+            )
+        )
+
+    html = F.concat(
+        F.lit(
+            '<html><body><table><thead><tr><th colspan="2">h0</th>'
+            "<th>h1</th></tr></thead><tbody><tr><td>"
+        ),
+        cell(0), F.lit("</td><td>"), cell(1), F.lit("</td><td><b>"),
+        cell(2), F.lit("</b></td></tr><tr><td>"),
+        cell(3), F.lit("</td><td>"), cell(4), F.lit("</td><td>"),
+        cell(5), F.lit("</td></tr></tbody></table></body></html>"),
+    )
+    t = html_tables(_pages_from_docs(docs, html))
+    return t.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "table_id", "row_id", "col_id", "header",
+        F.decode(F.col("colspan_raw"), "UTF-8").alias("colspan"),
+        F.decode(F.col("cell_text"), "UTF-8").alias("cell_text"),
+    )
+
+
+def q_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline mining: h1/h2/h3 subtree text via ONE fused
+    rule-pack pass (three document-local paths, zero shuffles) --
+    the heading-hierarchy feature a curation pipeline feeds to
+    section-aware chunking. Level is derived from the matched path."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+    def word(k: int) -> "F.Column":
+        # 'w' prefix: a text node must ALWAYS materialize, or node ids
+        # downstream of an empty word would shift under the analytic
+        # oracle (whitespace-only/empty PCData creates no node)
+        return esc(
+            F.concat(
+                F.lit("w"),
+                F.element_at(
+                    ws, (1 + (F.col("doc_id") + k) % F.size(ws)).cast("int")
+                ),
+            )
+        )
+
+    html = F.concat(
+        F.lit("<html><body><h1>"), word(0),
+        F.lit("</h1><p>x</p><h2>"), word(1),
+        F.lit("</h2><p>y</p><h2>"), word(2),
+        F.lit("</h2><h3>"), word(3),
+        F.lit("</h3></body></html>"),
+    )
+    sel = xpath_select(
+        _pages_from_docs(docs, html), ["//h1", "//h2", "//h3"]
+    )
+    return sel.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.substring("path", 4, 1).cast("int").alias("level"),
+        F.col("node_id").cast("bigint").alias("node_id"),
+        F.decode(F.col("text"), "UTF-8").alias("heading"),
+    )
+
+
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata property mining: every [@itemprop] node from ONE
+    fused parse (both rule-pack paths share the pass), value = the
+    content attribute for <meta> properties and the subtree text
+    otherwise (the schema.org convention). The meta-content lookup is
+    a same-(url, node_id) self-join of the single pass's output."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.functions.escaping import esc
+    from xhtml_parser_spark.operators.xpath import xpath_select
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+    def word(k: int) -> "F.Column":
+        # 'w' prefix: a text node must ALWAYS materialize, or node ids
+        # downstream of an empty word would shift under the analytic
+        # oracle (whitespace-only/empty PCData creates no node)
+        return esc(
+            F.concat(
+                F.lit("w"),
+                F.element_at(
+                    ws, (1 + (F.col("doc_id") + k) % F.size(ws)).cast("int")
+                ),
+            )
+        )
+
+    html = F.concat(
+        F.lit('<html><body><div itemscope="" '
+              'itemtype="https://schema.org/Article">'
+              '<span itemprop="name">'),
+        word(0),
+        F.lit('</span><b itemprop="author">'),
+        word(1),
+        F.lit('</b><meta itemprop="position" content="p'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"/></div></body></html>'),
+    )
+    p_all, p_meta = "//*[@itemprop]", "//meta[@itemprop]"
+    sel = xpath_select(
+        _pages_from_docs(docs, html),
+        [p_all, p_meta],
+        attr_of={p_all: "itemprop", p_meta: "content"},
+    )
+    props = sel.where(F.col("path") == p_all).select(
+        "url", "node_id", "tag",
+        F.decode(F.col("attr_value"), "UTF-8").alias("prop"),
+        F.decode(F.col("text"), "UTF-8").alias("txt"),
+    )
+    metas = sel.where(F.col("path") == p_meta).select(
+        "url", "node_id",
+        F.decode(F.col("attr_value"), "UTF-8").alias("content"),
+    )
+    return (
+        props.join(metas, ["url", "node_id"], "left")
+        .select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.col("node_id").cast("bigint").alias("node_id"),
+            "tag", "prop",
+            F.when(F.col("tag") == "meta", F.col("content"))
+            .otherwise(F.col("txt"))
+            .alias("value"),
+        )
+    )
+
+
 def q_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs at the SCALE selectivity setting: 2 bands of
     r=2 concatenated minhashes each (band 0 = h0||h1, band 1 = h2||h3),
@@ -2158,6 +2306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld": q_jsonld,
         "meta_kv": q_meta_kv,
         "canonical_dedup": q_canonical_dedup,
+        "html_tables": q_html_tables,
+        "headings": q_headings,
+        "microdata": q_microdata,
         "lsh_pairs_banded": q_lsh_pairs_banded,
         "ann_topk_batch": q_ann_topk_batch,
         # -- r02-verified only; rotated out of the r03 window --
@@ -2193,11 +2344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_record": q_web_record,
         "page_metadata": q_page_metadata,
         "image_codecs": q_image_codecs,
+        # ---- driver 50-entry window boundary (entries below carry ----
+        # ---- fresh r03 driver rows; see CORRECTNESS_r03.json)     ----
         "video_frames": q_video_frames,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
-        # ---- driver 50-entry window boundary (entries below carry ----
-        # ---- fresh r03 driver rows; see CORRECTNESS_r03.json)     ----
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
@@ -3211,6 +3362,72 @@ def oracle_sql() -> dict[str, str]:
              AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
             WHERE 2 * len(list_intersect(a.shs, b.shs))
                   >= len(list_distinct(list_concat(a.shs, b.shs)))
+        """,
+        # node ids fixed by the synthesis structure (html=1 body=2
+        # h1=3 text=4 p=5 text=6 h2=7 text=8 p=9 text=10 h2=11 text=12
+        # h3=13 text=14; the 'w' prefix guarantees every text node
+        # materializes); word k = 'w' || ws[1+(doc_id+k) mod n]
+        "headings": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS ws,
+                     len(string_split(coalesce(text, ''), ' ')) AS n
+              FROM documents
+            )
+            SELECT doc_id, 1 AS level, CAST(3 AS BIGINT) AS node_id,
+                   'w' || ws[CAST(1 + doc_id % n AS INTEGER)] AS heading
+            FROM c
+            UNION ALL
+            SELECT doc_id, 2, 7,
+                   'w' || ws[CAST(1 + (doc_id + 1) % n AS INTEGER)] FROM c
+            UNION ALL
+            SELECT doc_id, 2, 11,
+                   'w' || ws[CAST(1 + (doc_id + 2) % n AS INTEGER)] FROM c
+            UNION ALL
+            SELECT doc_id, 3, 13,
+                   'w' || ws[CAST(1 + (doc_id + 3) % n AS INTEGER)] FROM c
+        """,
+        # node ids: html=1 body=2 div=3 span=4 text=5 b=6 text=7
+        # meta=8 (self-closing); meta value = content attribute
+        "microdata": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS ws,
+                     len(string_split(coalesce(text, ''), ' ')) AS n
+              FROM documents
+            )
+            SELECT doc_id, CAST(4 AS BIGINT) AS node_id, 'span' AS tag,
+                   'name' AS prop,
+                   'w' || ws[CAST(1 + doc_id % n AS INTEGER)] AS value
+            FROM c
+            UNION ALL
+            SELECT doc_id, 6, 'b', 'author',
+                   'w' || ws[CAST(1 + (doc_id + 1) % n AS INTEGER)] FROM c
+            UNION ALL
+            SELECT doc_id, 8, 'meta', 'position',
+                   'p' || CAST(doc_id % 7 AS VARCHAR) FROM c
+        """,
+        # 8 cells per doc: header h0 (colspan 2) + h1, then 6 word
+        # cells in two rows of three; word k = ws[1+(doc_id+k) mod n]
+        "html_tables": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS ws,
+                     len(string_split(coalesce(text, ''), ' ')) AS n
+              FROM documents
+            )
+            SELECT doc_id, 0 AS table_id, 0 AS row_id, 0 AS col_id,
+                   TRUE AS header, '2' AS colspan, 'h0' AS cell_text
+            FROM c
+            UNION ALL
+            SELECT doc_id, 0, 0, 1, TRUE, NULL, 'h1' FROM c
+            UNION ALL
+            SELECT doc_id, 0,
+                   CAST(1 + k // 3 AS INTEGER),
+                   CAST(k % 3 AS INTEGER),
+                   FALSE, NULL,
+                   ws[CAST(1 + (doc_id + k) % n AS INTEGER)]
+            FROM c CROSS JOIN range(6) t(k)
         """,
         # r=2 banding: band key = concat of 2 consecutive minhashes, so
         # a candidate pair shares band 0 (h0||h1) or band 1 (h2||h3)
