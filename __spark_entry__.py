@@ -1234,6 +1234,38 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resolution on top of html_tables: expand colspan into
+    occupied grid columns (grid_col = running sum of preceding
+    colspans within the row, one output row per occupied column) --
+    the downstream step that turns DOM ordinals into rectangular
+    coordinates, all with built-ins (window sum + sequence/explode;
+    rowspan occupancy would need the sequential WHATWG algorithm and
+    stays a documented non-goal). Same synthesized layout as
+    q_html_tables: 'h0' spans columns 0-1."""
+    _ensure_pkg(spark)
+    from pyspark.sql.window import Window as W
+
+    t = q_html_tables(spark, sf_dir)
+    cs = F.coalesce(F.col("colspan").cast("int"), F.lit(1))
+    w = W.partitionBy("doc_id", "table_id", "row_id").orderBy("col_id")
+    g = (
+        t.withColumn("cs", cs)
+        .withColumn(
+            "gstart", (F.sum("cs").over(w) - F.col("cs")).cast("int")
+        )
+    )
+    return g.select(
+        "doc_id", "table_id", "row_id",
+        F.explode(
+            F.sequence(
+                F.col("gstart"), F.col("gstart") + F.col("cs") - F.lit(1)
+            )
+        ).alias("grid_col"),
+        "header", "cell_text",
+    )
+
+
 def q_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document outline mining: h1/h2/h3 subtree text via ONE fused
     rule-pack pass (three document-local paths, zero shuffles) --
@@ -2307,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_kv": q_meta_kv,
         "canonical_dedup": q_canonical_dedup,
         "html_tables": q_html_tables,
+        "table_grid": q_table_grid,
         "headings": q_headings,
         "microdata": q_microdata,
         "lsh_pairs_banded": q_lsh_pairs_banded,
@@ -2343,9 +2376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- high-value fill to 50 --
         "web_record": q_web_record,
         "page_metadata": q_page_metadata,
-        "image_codecs": q_image_codecs,
         # ---- driver 50-entry window boundary (entries below carry ----
         # ---- fresh r03 driver rows; see CORRECTNESS_r03.json)     ----
+        "image_codecs": q_image_codecs,
         "video_frames": q_video_frames,
         "pdf_roundtrip": q_pdf_roundtrip,
         "pdf_layout": q_pdf_layout,
@@ -3362,6 +3395,29 @@ def oracle_sql() -> dict[str, str]:
              AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
             WHERE 2 * len(list_intersect(a.shs, b.shs))
                   >= len(list_distinct(list_concat(a.shs, b.shs)))
+        """,
+        # colspan expansion of the html_tables layout: h0 occupies
+        # grid columns 0-1, h1 column 2; data colspans are all 1
+        "table_grid": """
+            WITH c AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS ws,
+                     len(string_split(coalesce(text, ''), ' ')) AS n
+              FROM documents
+            )
+            SELECT doc_id, 0 AS table_id, 0 AS row_id,
+                   CAST(gc AS INTEGER) AS grid_col,
+                   TRUE AS header, 'h0' AS cell_text
+            FROM c CROSS JOIN (VALUES (0), (1)) t(gc)
+            UNION ALL
+            SELECT doc_id, 0, 0, 2, TRUE, 'h1' FROM c
+            UNION ALL
+            SELECT doc_id, 0,
+                   CAST(1 + k // 3 AS INTEGER),
+                   CAST(k % 3 AS INTEGER),
+                   FALSE,
+                   ws[CAST(1 + (doc_id + k) % n AS INTEGER)]
+            FROM c CROSS JOIN range(6) t(k)
         """,
         # node ids fixed by the synthesis structure (html=1 body=2
         # h1=3 text=4 p=5 text=6 h2=7 text=8 p=9 text=10 h2=11 text=12
