@@ -75,6 +75,139 @@ def test_no_table_and_parse_error_yield_nothing(cells):
     assert not any(k[0] in ("u3", "u4") for k in cells)
 
 
+def _ref_tables(html: bytes):
+    """Naive reference extraction via the pure-Python Node API: walk
+    the DOM the obvious way and emit the same tuples html_tables
+    promises. Slow and simple on purpose -- the differential anchor."""
+    from xhtml_parser_spark.kernel.document import root as doc_root
+    from xhtml_parser_spark.kernel.parser import ELEMENT, TEXT, parse_document_pure
+
+    doc = parse_document_pure(html)
+    if not doc.ok:
+        return []
+    root = doc_root(doc)
+    if root is None:
+        return []
+
+    def elems(it):
+        return (n for n in it if doc.kind[n.idx] == ELEMENT)
+
+    def nearest_table(n):
+        p = n.parent()
+        while p is not None and p.idx != 0:
+            if doc.kind[p.idx] == ELEMENT and p.tag_name() == "table":
+                return p.idx
+            p = p.parent()
+        return None
+
+    all_nodes = [root] + list(root.descendants())
+    tables = [n.idx for n in elems(all_nodes) if n.tag_name() == "table"]
+    tid = {t: i for i, t in enumerate(tables)}
+    out = []
+    row_counter: dict = {}
+    for tr in elems(all_nodes):
+        if tr.tag_name() != "tr":
+            continue
+        tb = nearest_table(tr)
+        if tb is None:
+            continue
+        r = row_counter.get(tb, 0)
+        row_counter[tb] = r + 1
+        ci = 0
+        for c in elems(tr.children()):
+            tag = c.tag_name()
+            if tag not in ("td", "th"):
+                continue
+            text = b"".join(
+                d.text_bytes()
+                for d in c.descendants()
+                if doc.kind[d.idx] == TEXT
+            )
+            out.append(
+                (
+                    tid[tb], r, ci, tag == "th",
+                    c.get_attribute("colspan"), c.get_attribute("rowspan"),
+                    text,
+                )
+            )
+            ci += 1
+    return out
+
+
+def _gen_table_doc(rng, max_depth=2) -> bytes:
+    WORDS = ["alpha", "beta", "x1", "q"]
+
+    def table(depth):
+        wrap = rng.choice(["", "thead", "tbody", "tfoot"])
+        trs = []
+        for _ in range(rng.randint(0, 3)):
+            cells = []
+            for _ in range(rng.randint(0, 4)):
+                tag = rng.choice(["td", "th"])
+                attrs = ""
+                if rng.random() < 0.3:
+                    attrs += f' colspan="{rng.randint(1, 3)}"'
+                if rng.random() < 0.2:
+                    attrs += f' rowspan="{rng.randint(1, 3)}"'
+                cells.append(
+                    f"<{tag}{attrs}>{content(depth + 1)}</{tag}>"
+                )
+            trs.append("<tr>" + "".join(cells) + "</tr>")
+        inner = "".join(trs)
+        if wrap:
+            inner = f"<{wrap}>{inner}</{wrap}>"
+        return f"<table>{inner}</table>"
+
+    def content(depth):
+        parts = []
+        for _ in range(rng.randint(0, 3)):
+            roll = rng.random()
+            if roll < 0.4:
+                parts.append(rng.choice(WORDS))
+            elif roll < 0.55:
+                parts.append(f"<b>{rng.choice(WORDS)}</b>")
+            elif roll < 0.75 and depth < max_depth:
+                parts.append(table(depth))
+            else:
+                parts.append(f"<span>{rng.choice(WORDS)}</span>")
+        return "".join(parts)
+
+    body = content(0) + table(0) + content(0)
+    return f"<html><body>{body}</body></html>".encode()
+
+
+def test_randomized_differential_vs_node_api(spark):
+    """html_tables' batch-global NumPy index algebra must agree with
+    the obvious Node-API walk on randomized nested-table documents
+    (wrappers, nested tables, header cells, span attributes), plus
+    fixed adversarial cases: a tr outside any table and a td that is
+    not a DIRECT child of its tr (both contribute nothing)."""
+    import random
+
+    rng = random.Random(404)
+    docs = [(f"d{i}", _gen_table_doc(rng)) for i in range(40)]
+    docs.append(("stray_tr", b"<html><body><tr><td>x</td></tr></body></html>"))
+    docs.append(
+        ("indirect_td",
+         b"<html><body><table><tr><div><td>x</td></div>"
+         b"<td>y</td></tr></table></body></html>")
+    )
+    pages = spark.createDataFrame(docs, "url string, html binary")
+    got: dict = {}
+    for r in html_tables(pages).collect():
+        got.setdefault(r["url"], []).append(
+            (
+                r["table_id"], r["row_id"], r["col_id"], r["header"],
+                None if r["colspan_raw"] is None else bytes(r["colspan_raw"]).decode(),
+                None if r["rowspan_raw"] is None else bytes(r["rowspan_raw"]).decode(),
+                bytes(r["cell_text"]),
+            )
+        )
+    for url, html in docs:
+        want = _ref_tables(html)
+        assert sorted(got.get(url, [])) == sorted(want), url
+
+
 def test_zero_shuffle_plan(table_pages):
     import contextlib
     import io
