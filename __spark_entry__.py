@@ -1394,6 +1394,38 @@ def q_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "inter", "uni")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25-lite retrieval: floor-log2 idf bits x a
+    3-digit scaled-integer tf-saturation (numerator and denominator
+    both multiplied by 10*total so avgdl never becomes a float), top-5
+    corpus docs per query doc by (score desc, doc_id). The query batch
+    is BOUNDED (doc_id % 50 = 0 AND doc_id < 500 -- the same explicit
+    bounded-batch contract as ann/ivf_topk_batch, BENCH.md round-4
+    item #2): per-query cost is |query terms| x df with the idf=0 head
+    terms dropped before the postings join. No collect: corpus scalars
+    ride a 1-row broadcast cross join."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    qdocs = docs.where((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500))
+    return bm25_topk(docs, qdocs, k=5)
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained naive-Bayes language classifier (the quality-classifier
+    slot of a CCNet/fastText-style curation funnel): add-one-smoothed
+    class-conditional surprisal in integer log2 bits, train split
+    doc_id % 3 != 0, argmin-bits prediction over the 5-language class
+    dim, confusion matrix (actual, predicted, n) out. Complements the
+    heuristic textops.lang_id with the supervised path; every
+    likelihood is an integer so the oracle replays bit-for-bit."""
+    _ensure_pkg(spark)
+    from xhtml_parser_spark.operators.retrieval import nb_classify
+
+    return nb_classify(_docs(spark, sf_dir), label_col="lang")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end to end: LSH pairs -> connected
     components -> (doc_id, cluster_id, csize) for every document,
@@ -2343,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headings": q_headings,
         "microdata": q_microdata,
         "lsh_pairs_banded": q_lsh_pairs_banded,
+        "bm25_topk": q_bm25_topk,
+        "nb_classify": q_nb_classify,
         "ann_topk_batch": q_ann_topk_batch,
         # -- r02-verified only; rotated out of the r03 window --
         "neardup_cosine": q_neardup_cosine,
@@ -3500,6 +3534,103 @@ def oracle_sql() -> dict[str, str]:
              AND (a.h0 || a.h1 = b.h0 || b.h1 OR a.h2 || a.h3 = b.h2 || b.h3)
             WHERE 2 * len(list_intersect(a.shs, b.shs))
                   >= len(list_distinct(list_concat(a.shs, b.shs)))
+        """,
+        # BM25-lite: floor-log2 idf bits (length(bin(N div df)) - 1)
+        # times the 3-digit integer tf-saturation; both engines do the
+        # identical int64 floor-div chain, so scores and ranks agree
+        # bit-for-bit (ties break on integer doc_id).
+        "bm25_topk": """
+            WITH words AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                  coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS w
+              FROM documents
+            ), postings AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY doc_id, w
+            ), dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM words GROUP BY doc_id
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total
+              FROM dl
+            ), dfx AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY w
+            ), idf AS (
+              SELECT w, CAST(length(bin(CAST(n_docs // df AS BIGINT))) - 1
+                             AS BIGINT) AS idf_bits
+              FROM dfx CROSS JOIN stats
+            ), qterms AS (
+              SELECT DISTINCT doc_id AS query_id, w FROM words
+              WHERE doc_id % 50 = 0 AND doc_id < 500
+            ), cand AS (
+              SELECT q.query_id, p.doc_id,
+                     i.idf_bits * CAST((22000 * p.tf * s.total)
+                       // (10 * s.total * p.tf + 3 * s.total
+                           + 9 * d.dl * s.n_docs) AS BIGINT) AS contrib
+              FROM qterms q
+              JOIN idf i USING (w)
+              JOIN postings p USING (w)
+              JOIN dl d ON d.doc_id = p.doc_id
+              CROSS JOIN stats s
+              WHERE i.idf_bits > 0
+            ), scores AS (
+              SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+              FROM cand GROUP BY query_id, doc_id
+            ), ranked AS (
+              SELECT query_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+                     doc_id, score
+              FROM scores
+            )
+            SELECT query_id, rank, doc_id, score FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # NB classifier: add-one-smoothed class surprisal in integer
+        # log2 bits; argmin over the class dim (ties -> class asc);
+        # confusion matrix on the doc_id % 3 = 0 test split.
+        "nb_classify": """
+            WITH words AS (
+              SELECT doc_id, lang AS label,
+                     unnest(list_filter(regexp_split_to_array(
+                         coalesce(text, ''), '[ \\t\\n]+'), x -> x <> '')) AS w
+              FROM documents
+            ), train AS (
+              SELECT * FROM words WHERE doc_id % 3 <> 0
+            ), test AS (
+              SELECT * FROM words WHERE doc_id % 3 = 0
+            ), model AS (
+              SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM train GROUP BY label, w
+            ), totals AS (
+              SELECT label AS cls, CAST(sum(cnt) AS BIGINT) AS tot_c
+              FROM model GROUP BY label
+            ), vocab AS (
+              SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM model
+            ), classes AS (
+              SELECT cls, tot_c, v FROM totals CROSS JOIN vocab
+            ), scored AS (
+              SELECT t.doc_id, t.label, c.cls,
+                     CAST(length(bin(CAST((c.tot_c + c.v)
+                         // (coalesce(m.cnt, 0) + 1) AS BIGINT)))
+                         AS BIGINT) AS bits
+              FROM test t CROSS JOIN classes c
+              LEFT JOIN model m ON m.label = c.cls AND m.w = t.w
+            ), per_class AS (
+              SELECT doc_id, label, cls, sum(bits) AS score
+              FROM scored GROUP BY doc_id, label, cls
+            ), pred AS (
+              SELECT doc_id, label, cls AS predicted,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score, cls) AS rn
+              FROM per_class
+            )
+            SELECT label AS actual, predicted,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # components of the lsh_pairs graph by recursive reachability:
         # r(id, lab) = lab reachable from id over symmetrized pairs;
