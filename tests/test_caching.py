@@ -114,6 +114,8 @@ def test_released_after_releases_on_error(spark, docs):
         "lm_surprisal",
         "ivf_topk",
         "ann_lsh_topk",
+        "bm25_topk",
+        "nb_classify",
     ],
 )
 def test_operators_attach_their_persists(spark, docs, opname):
@@ -129,6 +131,7 @@ def test_operators_attach_their_persists(spark, docs, opname):
     )
     import xhtml_parser_spark.operators.corpus as corpus
     import xhtml_parser_spark.operators.similarity as similarity
+    import xhtml_parser_spark.operators.retrieval as retrieval
     import xhtml_parser_spark.operators.textops as textops
 
     builders = {
@@ -146,6 +149,13 @@ def test_operators_attach_their_persists(spark, docs, opname):
         ),
         "ann_lsh_topk": lambda: similarity.ann_lsh_topk(
             emb, 1, k=5, id_col="doc_id"
+        ),
+        "bm25_topk": lambda: retrieval.bm25_topk(
+            docs, docs.where(F.col("doc_id") % 3 == 0)
+        ),
+        "nb_classify": lambda: retrieval.nb_classify(
+            docs.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr")),
+            label_col="lang",
         ),
     }
     assert _storage_entries(spark) == 0, "dirty storage before test"

@@ -68,10 +68,13 @@ def bm25_topk(
     ``query_docs``; output is the top ``k`` corpus docs per query by
     (score desc, doc_id asc) as (query_id, rank, doc_id, score).
 
-    Scale shape: corpus postings = one explode + partial-agg groupBy
-    (doc, term); df = one agg over postings; the (N, total) scalars are
-    a 1-row aggregate CROSS JOIN (broadcast -- no collect, the plan
-    stays one job). The per-query fan-out is bounded by |query terms| x
+    Scale shape: corpus postings = ONE explode + partial-agg groupBy
+    (doc, term), persisted before the DAG fans out (dl = sum(tf) per
+    doc, df and the candidate join all read it -- the repo's
+    persist-before-fanout discipline; release with
+    ``caching.released_after``); the (N, total) scalars are a 1-row
+    aggregate CROSS JOIN (broadcast -- no collect, the plan stays one
+    job). The per-query fan-out is bounded by |query terms| x
     df -- at web scale the idf_bits=0 head terms dominate that product
     and contribute nothing, so filter them out BEFORE the join (done
     below), which is what keeps this sublinear per query. int64 bounds:
@@ -79,13 +82,25 @@ def bm25_topk(
     tokens with 10^4-token docs; beyond that flip the marked casts to
     DECIMAL(38,0) (DuckDB side is already hugeint-safe).
     """
+    from pyspark import StorageLevel
+
+    from ..caching import attach_persists
+
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_words(t)).alias("w")
     )
-    # (doc, term) postings with tf, plus per-doc length dl
-    postings = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # (doc, term) postings with tf -- the ONE corpus explode+agg pass.
+    # dl, df, and the candidate join all derive from it, so persist
+    # before the DAG fans out (three consumers = three full corpus
+    # explodes otherwise; postings is the distinct-terms-per-doc table,
+    # far smaller than the raw explode).
+    postings = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # corpus scalars as a 1-row broadcast, not a collect
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total")
@@ -127,11 +142,12 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scores.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+    return attach_persists(out, postings)
 
 
 def nb_classify(
@@ -168,7 +184,9 @@ def nb_classify(
     stable at any corpus size.
 
     Scale shape: the model is one partial-agg groupBy (class, term)
-    over the train split plus a classes-sized totals dim; scoring
+    over the train split, persisted before its three consumers
+    (totals, the vocab scalar, the scoring join -- release with
+    ``caching.released_after``), plus a classes-sized totals dim; scoring
     cross-joins each test token with the CLASS dimension (a broadcast
     of C rows -- C is languages or quality buckets, single digits) and
     left-joins the vocab x C model on (w, class), which AQE broadcasts
@@ -184,7 +202,17 @@ def nb_classify(
     )
     train = base.where(F.col("doc_id") % train_mod != 0)
     test = base.where(F.col("doc_id") % train_mod == 0)
-    model = train.groupBy("label", "w").agg(F.count("*").alias("cnt"))
+    # vocab x classes sized; consumed three times (totals, vocab
+    # scalar, scoring join) -- persist so training is one corpus pass
+    from pyspark import StorageLevel
+
+    from ..caching import attach_persists
+
+    model = (
+        train.groupBy("label", "w")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # classes-sized totals dim + the vocab scalar ride along broadcast
     totals = model.groupBy("label").agg(F.sum("cnt").alias("tot_c"))
     vocab = model.select("w").distinct().agg(F.count("*").alias("v"))
@@ -220,8 +248,9 @@ def nb_classify(
         .where(F.col("rn") == 1)
         .select("doc_id", "label", F.col("cls").alias("predicted"))
     )
-    return (
+    out = (
         pred.groupBy(F.col("label").alias("actual"), "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+    return attach_persists(out, model)
