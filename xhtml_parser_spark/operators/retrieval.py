@@ -38,6 +38,7 @@ def bm25_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_postings: bool = True,
 ) -> DataFrame:
     """BM25-lite top-k retrieval with integer-exact scoring.
 
@@ -94,12 +95,14 @@ def bm25_topk(
     # dl, df, and the candidate join all derive from it, so persist
     # before the DAG fans out (three consumers = three full corpus
     # explodes otherwise; postings is the distinct-terms-per-doc table,
-    # far smaller than the raw explode).
-    postings = (
-        words.groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # far smaller than the raw explode). Interleaved A/B at sf0.1
+    # measured the persist neutral-to-slightly-faster even at toy
+    # scale (3.2-5.0 s both arms, persist ahead each pair), so the
+    # scale-right setting is also the default; persist_postings=False
+    # opts out for zero cache footprint.
+    postings = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # corpus scalars as a 1-row broadcast, not a collect
     stats = dl.agg(
@@ -147,7 +150,7 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
-    return attach_persists(out, postings)
+    return attach_persists(out, postings) if persist_postings else out
 
 
 def nb_classify(
@@ -156,6 +159,7 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     train_mod: int = 3,
+    persist_model: bool = True,
 ) -> DataFrame:
     """Multinomial naive-Bayes text classifier with integer log2-bits
     likelihoods -- the trained-classifier counterpart of the heuristic
@@ -208,11 +212,9 @@ def nb_classify(
 
     from ..caching import attach_persists
 
-    model = (
-        train.groupBy("label", "w")
-        .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    model = train.groupBy("label", "w").agg(F.count("*").alias("cnt"))
+    if persist_model:
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
     # classes-sized totals dim + the vocab scalar ride along broadcast
     totals = model.groupBy("label").agg(F.sum("cnt").alias("tot_c"))
     vocab = model.select("w").distinct().agg(F.count("*").alias("v"))
@@ -253,4 +255,4 @@ def nb_classify(
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
-    return attach_persists(out, model)
+    return attach_persists(out, model) if persist_model else out
