@@ -151,11 +151,12 @@ def test_operators_attach_their_persists(spark, docs, opname):
             emb, 1, k=5, id_col="doc_id"
         ),
         "bm25_topk": lambda: retrieval.bm25_topk(
-            docs, docs.where(F.col("doc_id") % 3 == 0)
+            docs, docs.where(F.col("doc_id") % 3 == 0), persist_postings=True
         ),
         "nb_classify": lambda: retrieval.nb_classify(
             docs.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr")),
             label_col="lang",
+            persist_model=True,
         ),
     }
     assert _storage_entries(spark) == 0, "dirty storage before test"

@@ -14,9 +14,15 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#if defined(__GLIBC__)
+#include <malloc.h>
+#endif
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#if defined(__SSE2__) || defined(__x86_64__)
+#include <emmintrin.h>
+#endif
 #include "xps_tables.h"
 
 #define K_HEAD 0
@@ -77,6 +83,11 @@ typedef struct {
     int err_code;
     int64_t err_pos;
     int64_t aux[4];
+    /* parse-global ';' scan frontier (parser.py:_parse_pcdata
+     * docstring): -2 uncomputed, -1 absent to EOF, else next match
+     * at/after the last consulted cursor. Monotone across text nodes
+     * because every in-place rewrite lands behind the parse cursor. */
+    int64_t f_semi;
 } ctx_t;
 
 static inline int64_t find_b(const uint8_t *buf, int64_t size, int64_t p, uint8_t c) {
@@ -189,16 +200,21 @@ static int xlat_seq(ctx_t *c, int64_t from, int64_t to, int64_t *nf, int64_t *nt
 
 /* parse_pcdata: in-place entity expansion; returns new end, or -1 with
  * *crpos set on a raw CR (reference UB -> UnsupportedCR). */
-static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos) {
+static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos,
+                      int64_t seed_amp, int64_t seed_cr) {
     uint8_t *buf = c->buf;
     int64_t to = start, frm = start;
-    /* memoized scan frontiers (parser.py:_parse_pcdata): '&', '\r' and
-     * the document-global ';' positions are monotone and the buffer at
-     * or beyond the read cursor is immutable within this call, so each
-     * is found once instead of once per iteration (the rescans were
-     * quadratic: 0.9 MB/s on entity-dense megabyte text spans).
-     * -2 = stale (recompute), -1 = known absent. */
-    int64_t na = -2, nr = -2, semi = -2;
+    /* memoized scan frontiers (parser.py:_parse_pcdata): '&' and '\r'
+     * positions are monotone and the buffer at or beyond the read
+     * cursor is immutable within this call, so each is found once, not
+     * once per iteration (the rescans were quadratic: 0.9 MB/s on
+     * entity-dense megabyte spans). The caller's fused scan_text pass
+     * supplies the first positions as seeds, so the bytes up to the
+     * first match are never re-scanned; ';' uses the ctx-global
+     * frontier (one scan per DOCUMENT -- the per-call doc-global memo
+     * stayed quadratic across nodes on semicolon-free entity-dense
+     * input). -2 = stale (recompute), -1 = known absent. */
+    int64_t na = seed_amp, nr = seed_cr;
     for (;;) {
         if (na != -1 && na < frm) na = find_b_end(buf, frm, end, '&');
         if (nr != -1 && nr < frm) nr = find_b_end(buf, frm, end, '\r');
@@ -215,8 +231,9 @@ static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos) {
         }
         if (buf[np] == '&') {
             int64_t nf, nt;
+            int64_t semi = c->f_semi;
             if (semi != -1 && semi < np + 1)
-                semi = find_b(buf, c->size, np + 1, ';');
+                semi = c->f_semi = find_b(buf, c->size, np + 1, ';');
             if (xlat_seq(c, np + 1, to, &nf, &nt, semi)) { frm = nf; to = nt; }
             else {
                 if (frm != to) buf[to] = '&';
@@ -322,14 +339,61 @@ quirk:
     }
 }
 
-/* first-colon namespace strip */
+/* first-colon namespace strip. Names are a few bytes, so an inline
+ * scan beats a PLT memchr call: measured 13.4k calls/parse averaging
+ * 2.5 scanned bytes on the 960 KB book fixture -- pure call overhead
+ * at that shape. */
 static inline int64_t ns_strip(uint8_t *buf, int64_t start, int64_t end) {
-    const void *r = memchr(buf + start, ':', (size_t)(end - start));
-    if (!r) return end;
-    int64_t colon = (const uint8_t *)r - buf;
+    int64_t colon = -1;
+    for (int64_t p = start; p < end; p++)
+        if (buf[p] == ':') { colon = p; break; }
+    if (colon < 0) return end;
     int64_t n = end - colon - 1;
     memmove(buf + start, buf + colon + 1, (size_t)n);
     return start + n;
+}
+
+/* one fused pass over a text run: position of the next '<' (or -1 if
+ * none before EOF), plus the first '&' and the first '\r' strictly
+ * before it (-1 each if absent in that window). Collapses the three
+ * per-node scans (structure find + entity fast-path + CR fast-path)
+ * into ONE sweep: the separate short scans ran startup-cost-bound at
+ * ~3 GB/s effective on real markup (BENCH.md round 4). Python twin:
+ * the bounded bfind pair + bfind('<') in parser.py _parse -- same
+ * semantics, CPython's find IS the fast scan there. */
+static int64_t scan_text(const uint8_t *buf, int64_t size, int64_t p,
+                         int64_t *amp, int64_t *cr) {
+    int64_t a = -1, r = -1;
+#if defined(__SSE2__) || defined(__x86_64__)
+    const __m128i v_lt = _mm_set1_epi8('<');
+    const __m128i v_amp = _mm_set1_epi8('&');
+    const __m128i v_cr = _mm_set1_epi8('\r');
+    while (p + 16 <= size) {
+        __m128i x = _mm_loadu_si128((const __m128i *)(buf + p));
+        unsigned m_lt = (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(x, v_lt));
+        unsigned m_a = (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(x, v_amp));
+        unsigned m_r = (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(x, v_cr));
+        if (m_lt) {
+            unsigned lt_off = (unsigned)__builtin_ctz(m_lt);
+            unsigned before = (1u << lt_off) - 1u;
+            if (a < 0 && (m_a & before)) a = p + __builtin_ctz(m_a & before);
+            if (r < 0 && (m_r & before)) r = p + __builtin_ctz(m_r & before);
+            *amp = a; *cr = r;
+            return p + lt_off;
+        }
+        if (a < 0 && m_a) a = p + __builtin_ctz(m_a);
+        if (r < 0 && m_r) r = p + __builtin_ctz(m_r);
+        p += 16;
+    }
+#endif
+    for (; p < size; p++) {
+        uint8_t b = buf[p];
+        if (b == '<') { *amp = a; *cr = r; return p; }
+        if (b == '&' && a < 0) a = p;
+        if (b == '\r' && r < 0) r = p;
+    }
+    *amp = a; *cr = r;
+    return -1;
 }
 
 #define ADD_NODE(K, S, E) do {                                            \
@@ -377,16 +441,22 @@ static int do_parse(ctx_t *c) {
             i = skip_class(buf, size, i, M_SPACE);
             if (i < 0) { st = ST_END; break; }
             int64_t start = i;
-            i = find_b(buf, size, i, '<');
+            int64_t amp_in, cr_in;
+            /* fused: next '<' + first '&'/'\r' in [space_start, lt) in
+             * one pass ('<' cannot appear in the skipped ws run, so
+             * starting from space_start finds the same '<'; '\r' IS
+             * ws-class, so scanning from space_start reproduces the
+             * reference's CR handling in leading whitespace exactly) */
+            i = scan_text(buf, size, space_start, &amp_in, &cr_in);
             if (i < 0) goto unexpected_end;
             if (i > start) {
                 start = space_start;
                 int64_t crpos;
                 int64_t ne;
-                if (find_b_end(buf, start, i, '&') < 0 && find_b_end(buf, start, i, '\r') < 0)
+                if (amp_in < 0 && cr_in < 0)
                     ne = i;
                 else {
-                    ne = pcdata(c, start, i, &crpos);
+                    ne = pcdata(c, start, i, &crpos, amp_in, cr_in);
                     if (ne < 0) {
                         c->err_code = E_UNSUPPORTED_CR;
                         c->err_pos = crpos;
@@ -517,8 +587,19 @@ static int do_parse(ctx_t *c) {
             }
             i++;
             int64_t value_start = i;
-            i = find_b(buf, size, i, quote);
-            if (i < 0) goto unexpected_end;
+            /* attribute values average ~8 bytes on real markup: check a
+             * short inline window before paying the memchr call (the
+             * generic find_b hybrid was A/B'd neutral, but HERE the
+             * expected distance is known-short) */
+            {
+                int64_t lim = i + 16 < size ? i + 16 : size;
+                while (i < lim && buf[i] != quote) i++;
+                if (i == lim && lim == size) goto unexpected_end;
+                if (i == lim) {
+                    i = find_b(buf, size, i, quote);
+                    if (i < 0) goto unexpected_end;
+                }
+            }
             int64_t value_end = norm_attr(c, value_start, i);
             if (value_end < 0) goto fail;
             int64_t a_name_end = ns_strip(buf, start, name_end_raw);
@@ -728,6 +809,7 @@ static PyObject *compute_last_desc(ctx_t *c) {
  * (py_parse_texts). */
 static int run_parse(Py_buffer *in, ctx_t *c, int *prc) {
     memset(c, 0, sizeof(*c));
+    c->f_semi = -2;
     c->size = in->len;
     c->buf = (uint8_t *)malloc((size_t)(in->len > 0 ? in->len : 1));
     if (!c->buf) { PyBuffer_Release(in); PyErr_NoMemory(); return -1; }
@@ -877,4 +959,18 @@ static struct PyModuleDef module = {
     PyModuleDef_HEAD_INIT, "_xps_cparser", NULL, -1, methods,
 };
 
-PyMODINIT_FUNC PyInit__xps_cparser(void) { return PyModule_Create(&module); }
+PyMODINIT_FUNC PyInit__xps_cparser(void) {
+#if defined(__GLIBC__)
+    /* each parse mallocs ~3x the document (mutable buffer + 14 index
+     * arrays) and frees it all on return; glibc then TRIMS the heap,
+     * so the next parse re-faults every page -- measured as the
+     * dominant cost on the 960 KB book fixture (gprofng: ~60% of wall
+     * in kernel-zeroing/memset + brk, parse core only ~23%). Keeping
+     * the top of the heap resident across calls removes the fault
+     * storm; 64 MB covers the largest supported document (u32 cap)
+     * with room for the index arrays. */
+    mallopt(M_TRIM_THRESHOLD, 64 * 1024 * 1024);
+    mallopt(M_MMAP_THRESHOLD, 64 * 1024 * 1024);
+#endif
+    return PyModule_Create(&module);
+}

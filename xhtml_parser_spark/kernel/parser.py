@@ -296,7 +296,8 @@ def _translate_sequence(
     return (end + 1, to + n)
 
 
-def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
+def _parse_pcdata(buf: bytearray, start: int, end: int, fr: list[int],
+                  seed_amp: int = -2, seed_cr: int = -2) -> int:
     """In-place entity expansion + compaction of a text range; returns the
     new end. Decoded bytes are never re-scanned (so '&#38;amp;' yields a
     literal '&amp;'). Reference: src/parser.rs:664-732.
@@ -306,23 +307,31 @@ def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
     rewriting never touches -- writes land strictly below the read
     cursor, mirroring the reference's forward-only rewrite).
 
-    The '&', '\\r', and document-global ';' scan results are memoized
-    across iterations (positions are monotone and the buffer ahead of
-    the read cursor is immutable within this call), turning the
-    worst-case quadratic rescans -- measured 0.9 MB/s on entity-dense
-    megabyte text spans -- into one linear pass. Byte-identical output.
+    The '&' and '\\r' scan results are memoized across iterations
+    (positions are monotone and the buffer ahead of the read cursor is
+    immutable within this call), turning the worst-case quadratic
+    rescans -- measured 0.9 MB/s on entity-dense megabyte text spans --
+    into one linear pass; the caller seeds them with the positions its
+    own fast-path scan already found, so the bytes up to the first
+    match are never re-scanned. ``fr`` is a one-element PARSE-GLOBAL
+    frontier for the document-global ';' scan (-2 uncomputed, -1
+    absent to EOF): ';' positions are monotone across text nodes (all
+    in-place rewrites land strictly behind the parse cursor, and the
+    frontier is refetched whenever it sits behind the consult point),
+    so a semicolon-free entity-dense document pays ONE ';' scan total
+    instead of one per text node -- the per-call memo alone left that
+    cross-node case quadratic. Byte-identical output.
 
     Raw CR (the other PARSE_PCDATA byte) is reference UB -> UnsupportedCR.
     """
     to = start
     frm = start
-    na: int | None = None
-    nr: int | None = None
-    semi: int | None = None
+    na = seed_amp
+    nr = seed_cr
     while True:
-        if na is None or 0 <= na < frm:
+        if na != -1 and na < frm:
             na = buf.find(_AMP, frm, end)
-        if nr is None or 0 <= nr < frm:
+        if nr != -1 and nr < frm:
             nr = buf.find(13, frm, end)
         if na < 0:
             np_ = nr
@@ -342,8 +351,9 @@ def _parse_pcdata(buf: bytearray, start: int, end: int) -> int:
                 buf[to : to + (np_ - frm)] = buf[frm:np_]
             to += np_ - frm
         if buf[np_] == _AMP:
-            if semi is None or 0 <= semi < np_ + 1:
-                semi = buf.find(_SEMI, np_ + 1)  # document-global, like ref
+            semi = fr[0]
+            if semi != -1 and semi < np_ + 1:
+                semi = fr[0] = buf.find(_SEMI, np_ + 1)  # document-global, like ref
             r = _translate_sequence(buf, np_ + 1, to, semi)
             if r is not None:
                 frm, to = r
@@ -799,6 +809,13 @@ def _parse(
     n_text = 0
     max_d = 0
 
+    # parse-global ';' scan frontier (-2 uncomputed, -1 absent to EOF):
+    # consulted/refetched inside _parse_pcdata -- see its docstring for
+    # why a document-global monotone frontier is sound (rewrites land
+    # behind the cursor; anything behind the consult position is
+    # refetched)
+    fr = [-2]
+
     # states
     S_START, S_TAGSTART, S_TAGOPEN, S_TAGCLOSE, S_ATTR, S_PCDATA, S_END = range(7)
     state = S_START
@@ -824,11 +841,18 @@ def _parse(
                 else:
                     start = space_start
                 if parse_escapes:
-                    # fast path: no '&' and no CR -> the range is the text
-                    if bfind(_AMP, start, the_end) < 0 and bfind(13, start, the_end) < 0:
+                    # fast path: no '&' and no CR -> the range is the text;
+                    # the two scans double as _parse_pcdata's seeds (the
+                    # C twin fuses them with the '<' scan into one SSE2
+                    # pass, kernel/accel/_cparser.c:scan_text)
+                    seed_amp = bfind(_AMP, start, the_end)
+                    seed_cr = bfind(13, start, the_end)
+                    if seed_amp < 0 and seed_cr < 0:
                         new_end = the_end
                     else:
-                        new_end = _parse_pcdata(buf, start, the_end)
+                        new_end = _parse_pcdata(
+                            buf, start, the_end, fr, seed_amp, seed_cr
+                        )
                 else:
                     new_end = _parse_pcdata_noescape(buf, start, the_end)
                 if level > 0:

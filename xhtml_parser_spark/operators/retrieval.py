@@ -38,7 +38,7 @@ def bm25_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    persist_postings: bool = True,
+    persist_postings: bool = False,
 ) -> DataFrame:
     """BM25-lite top-k retrieval with integer-exact scoring.
 
@@ -95,11 +95,15 @@ def bm25_topk(
     # dl, df, and the candidate join all derive from it, so persist
     # before the DAG fans out (three consumers = three full corpus
     # explodes otherwise; postings is the distinct-terms-per-doc table,
-    # far smaller than the raw explode). Interleaved A/B at sf0.1
-    # measured the persist neutral-to-slightly-faster even at toy
-    # scale (3.2-5.0 s both arms, persist ahead each pair), so the
-    # scale-right setting is also the default; persist_postings=False
-    # opts out for zero cache footprint.
+    # far smaller than the raw explode). OFF by default per the repo's
+    # input-persist rule (CLAUDE.md): in a warm session the AQE
+    # broadcast plan runs the sf0.1 entry in 0.97 s while the persisted
+    # plan pays materialization + fixed-partition InMemoryRelation
+    # stages for 4.7 s (a cold-JIT interleaved A/B first read as
+    # neutral -- the 2-4 s of first-plans codegen masked the gap).
+    # At true scale the three extra corpus explodes dominate instead:
+    # flip persist_postings on when the corpus no longer fits the
+    # broadcast/codegen sweet spot.
     postings = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     if persist_postings:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
@@ -159,7 +163,7 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     train_mod: int = 3,
-    persist_model: bool = True,
+    persist_model: bool = False,
 ) -> DataFrame:
     """Multinomial naive-Bayes text classifier with integer log2-bits
     likelihoods -- the trained-classifier counterpart of the heuristic
