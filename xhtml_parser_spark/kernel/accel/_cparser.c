@@ -711,16 +711,18 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
             }
     }
 
-    /* main text: blacklist subtrees + link-density per block */
-    uint8_t *bad = (uint8_t *)calloc((size_t)n, 1);
-    uint8_t *anch = (uint8_t *)calloc((size_t)n, 1);
-    int32_t *blk = (int32_t *)calloc((size_t)n, 4);
-    int64_t *tlen = (int64_t *)calloc((size_t)n, 8);
-    int64_t *llen = (int64_t *)calloc((size_t)n, 8);
-    if (!bad || !anch || !blk || !tlen || !llen) {
-        free(bad); free(anch); free(blk); free(tlen); free(llen);
-        Py_DECREF(text); PyErr_NoMemory(); return -1;
-    }
+    /* main text: blacklist subtrees + link-density per block.
+     * One zeroed block for all five scratch arrays (they were five
+     * calloc/free pairs per parse; the 64-bit arrays lead so every
+     * slice stays naturally aligned). */
+    size_t scratch_sz = (size_t)n * (8 + 8 + 4 + 1 + 1);
+    uint8_t *scratch = (uint8_t *)calloc(scratch_sz ? scratch_sz : 1, 1);
+    if (!scratch) { Py_DECREF(text); PyErr_NoMemory(); return -1; }
+    int64_t *tlen = (int64_t *)scratch;
+    int64_t *llen = (int64_t *)(scratch + (size_t)n * 8);
+    int32_t *blk = (int32_t *)(scratch + (size_t)n * 16);
+    uint8_t *bad = scratch + (size_t)n * 20;
+    uint8_t *anch = scratch + (size_t)n * 21;
     for (Py_ssize_t i = 1; i < n; i++) {
         int32_t p = par[i];
         if (kind[i] == K_ELEM) {
@@ -760,7 +762,7 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
     }
     PyObject *mtext = PyBytes_FromStringAndSize(NULL, mtotal);
     if (!mtext) {
-        free(bad); free(anch); free(blk); free(tlen); free(llen);
+        free(scratch);
         Py_DECREF(text); return -1;
     }
     {
@@ -771,7 +773,7 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
             w += le[i] - ls[i];
         }
     }
-    free(bad); free(anch); free(blk); free(tlen); free(llen);
+    free(scratch);
     *out_text = text;
     *out_main = mtext;
     return 0;
@@ -807,20 +809,50 @@ static PyObject *compute_last_desc(ctx_t *c) {
  * *prc), -1 alloc failure with the Python error set. Shared by the
  * full-marshal entry (py_parse) and the texts-only hot path
  * (py_parse_texts). */
+/* fused input copy + '<' count: the capacity-estimation pass
+ * (src/document.rs:74-107) used to re-read the fresh copy -- one
+ * load-store-compare sweep does both (the count loop alone was ~20% of
+ * run_parse in the instruction-level profile, all paddq/punpck). */
+static int64_t copy_count_lt(uint8_t *dst, const uint8_t *src, int64_t n) {
+    int64_t cnt = 0, p = 0;
+#if defined(__SSE2__) || defined(__x86_64__)
+    const __m128i v_lt = _mm_set1_epi8('<');
+    const __m128i zero = _mm_setzero_si128();
+    __m128i acc = zero;          /* two 64-bit lane sums */
+    __m128i inner_acc = zero;    /* per-byte counts, flushed before overflow */
+    int inner = 0;
+    while (p + 16 <= n) {
+        __m128i x = _mm_loadu_si128((const __m128i *)(src + p));
+        _mm_storeu_si128((__m128i *)(dst + p), x);
+        inner_acc = _mm_sub_epi8(inner_acc, _mm_cmpeq_epi8(x, v_lt));
+        if (++inner == 255) {
+            acc = _mm_add_epi64(acc, _mm_sad_epu8(inner_acc, zero));
+            inner_acc = zero;
+            inner = 0;
+        }
+        p += 16;
+    }
+    acc = _mm_add_epi64(acc, _mm_sad_epu8(inner_acc, zero));
+    cnt = _mm_cvtsi128_si64(acc) +
+          _mm_cvtsi128_si64(_mm_srli_si128(acc, 8));
+#endif
+    for (; p < n; p++) {
+        dst[p] = src[p];
+        cnt += (src[p] == '<');
+    }
+    return cnt;
+}
+
 static int run_parse(Py_buffer *in, ctx_t *c, int *prc) {
     memset(c, 0, sizeof(*c));
     c->f_semi = -2;
     c->size = in->len;
     c->buf = (uint8_t *)malloc((size_t)(in->len > 0 ? in->len : 1));
     if (!c->buf) { PyBuffer_Release(in); PyErr_NoMemory(); return -1; }
-    memcpy(c->buf, in->buf, (size_t)in->len);
+    /* pre-size from count('<') like the reference (src/document.rs:74-107),
+     * fused with the mutable-copy pass (copy_count_lt above) */
+    int64_t est = 8 + copy_count_lt(c->buf, (const uint8_t *)in->buf, in->len);
     PyBuffer_Release(in);
-
-    /* pre-size from count('<') like the reference (src/document.rs:74-107);
-     * plain byte loop so -O3 vectorizes it (a memchr call per '<' costs
-     * ~1 ms/MB on tag-dense input, ~10x this loop) */
-    int64_t est = 8;
-    for (int64_t k = 0; k < c->size; k++) est += (c->buf[k] == '<');
     int okmem = iv_init(&c->parent, est) && iv_init(&c->prev_sib, est) &&
                 iv_init(&c->next_sib, est) && iv_init(&c->first_child, est) &&
                 iv_init(&c->kind, est) && iv_init(&c->loc_s, est) &&
