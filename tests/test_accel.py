@@ -146,6 +146,40 @@ CASES = [
 ]
 
 
+def _simd_boundary_cases() -> list[bytes]:
+    """Adversarial positions for the C kernel's 16-byte-block SIMD
+    paths (scan_text: fused '<'/'&'/CR discovery; copy_count_lt: fused
+    input copy + capacity count): matches at every offset around block
+    edges, '&'/CR after the '<' in the SAME block (must not leak into
+    the preceding text node), sub-16-byte scalar tails, and a
+    '<'-dense run longer than the 255-block accumulator flush."""
+    cases = []
+    for pad in (0, 1, 7, 14, 15, 16, 17, 30, 31, 32, 33):
+        p = b"t" * pad
+        cases.append(b"<a>" + p + b"&amp;x</a>")          # '&' at varying offset
+        cases.append(b"<a>" + p + b"\rx</a>")             # CR -> UnsupportedCR
+        cases.append(b"<a>" + p + b"</a>")                 # '<' at varying offset
+        cases.append(b"<a>" + p + b"&amp;</a><b>&#65;</b>")  # '&' then '<' then '&'
+    # '&' and CR in the same 16B block but AFTER the node's '<'
+    cases.append(b"<a>0123456789</a><b c='&amp;'>\r</b>")
+    # entity exactly spanning a block edge
+    cases.append(b"<a>" + b"x" * 13 + b"&amp;&lt;ok</a>")
+    # ws-only node with CR inside (dropped, never flagged)
+    cases.append(b"<a><b/> \r\n <c/></a>")
+    # leading-ws CR ahead of real text (flagged under default profile)
+    cases.append(b"<a> \rtext</a>")
+    # >255 SIMD blocks of tag-dense input: exercises the sad_epu8 flush
+    cases.append(b"<r>" + b"<a>x</a>" * 1200 + b"</r>")
+    return cases
+
+
+@pytest.mark.parametrize(
+    "xml", _simd_boundary_cases(), ids=lambda x: f"b{len(x)}-{hash(x) & 0xffff:04x}"
+)
+def test_simd_boundary_cases_agree(xml: bytes) -> None:
+    _assert_same(xml)
+
+
 @pytest.mark.parametrize("xml", CASES, ids=range(len(CASES)))
 def test_known_cases_agree(xml: bytes) -> None:
     _assert_same(xml)
