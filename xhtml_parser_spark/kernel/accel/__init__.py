@@ -45,6 +45,23 @@ def _gen_tables_header() -> str:
         vv = "".join(f"\\x{b:02x}" for b in val)
         lines.append(f'  {{"{nv}", {len(name)}, "{vv}", {len(val)}}},')
     lines.append("};")
+    # first-char bucket index into the sorted table: narrows a lookup
+    # to the same-initial run (max 10 entries) so ent_lookup does one
+    # length pre-check + at most a couple of memcmps instead of a
+    # ~7-probe binary search (each probe a PLT memcmp call)
+    ent_lo = [0] * 256
+    ent_cnt = [0] * 256
+    for idx, (name, _val) in enumerate(ents):
+        c0 = name[0]
+        if ent_cnt[c0] == 0:
+            ent_lo[c0] = idx
+        ent_cnt[c0] += 1
+    lines.append("static const unsigned char XPS_ENT_LO[256] = {")
+    lines.append(", ".join(str(v) for v in ent_lo))
+    lines.append("};")
+    lines.append("static const unsigned char XPS_ENT_CNT[256] = {")
+    lines.append(", ".join(str(v) for v in ent_cnt))
+    lines.append("};")
 
     from .. import extract
 
@@ -107,7 +124,12 @@ def _build() -> str | None:
     if src_bytes is None:
         LAST_BUILD_ERROR = "_cparser.c not found on disk or in package zip"
         return None
-    digest = hashlib.md5(src_bytes + " ".join(CFLAGS).encode()).hexdigest()[:16]
+    # the digest covers the GENERATED header too: a table change in the
+    # Python source-of-truth modules must invalidate the cached .so
+    # even when _cparser.c itself is untouched
+    digest = hashlib.md5(
+        src_bytes + _gen_tables_header().encode() + " ".join(CFLAGS).encode()
+    ).hexdigest()[:16]
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"xps_accel_{digest}_py{sys.version_info[0]}{sys.version_info[1]}"
     )
