@@ -261,9 +261,14 @@ static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos,
 static int64_t norm_attr(ctx_t *c, int64_t start, int64_t end) {
     uint8_t *buf = c->buf;
     uint8_t *saved = NULL;
+    uint8_t sbuf[256];  /* typical attr values; heap only beyond (the
+                           per-attr malloc/free pair was measurable on
+                           entity-bearing-attr markup) */
     int64_t has_amp = find_b_end(buf, start, end, '&');
     if (has_amp >= 0) {
-        saved = (uint8_t *)malloc((size_t)(end - start));
+        saved = (end - start) <= (int64_t)sizeof(sbuf)
+                    ? sbuf
+                    : (uint8_t *)malloc((size_t)(end - start));
         if (!saved) { c->err_code = E_NOMEM; return -1; }
         memcpy(saved, buf + start, (size_t)(end - start));
     }
@@ -275,14 +280,14 @@ static int64_t norm_attr(ctx_t *c, int64_t start, int64_t end) {
             int64_t np = frm;
             while (np < end && !(CT(buf[np]) & M_ATRNORM)) np++;
             if (np >= end) {
-                if (frm != to) memmove(buf + to, buf + frm, (size_t)(end - frm));
+                if (frm != to) move_back(buf, to, frm, end - frm);
                 to += end - frm;
                 if (to > start && buf[to - 1] == ' ') to--;
-                free(saved);
+                if (saved != sbuf) free(saved);
                 return to;
             }
             if (np > frm) {
-                memmove(buf + to, buf + frm, (size_t)(np - frm));
+                move_back(buf, to, frm, np - frm);
                 to += np - frm;
                 space_added = 0;
             }
@@ -304,7 +309,7 @@ quirk:
     /* restore pristine value bytes, replay with the reference's
      * stale-`from` invalid-escape quirk; overruns flagged. */
     memcpy(buf + start, saved, (size_t)(end - start));
-    free(saved);
+    if (saved != sbuf) free(saved);
     {
         int64_t to = start, frm = start;
         int space_added = 0;
