@@ -28,6 +28,7 @@ def _docs() -> dict[str, bytes]:
     return {
         "plain_text": b"<r>" + b"hello world this is plain text " * (TARGET // 32) + b"</r>",
         "element_dense": b"<r>" + b"<p>word here</p>" * (TARGET // 16) + b"</r>",
+        "attr_amp_no_semi": b"<r>" + b"<a b='& x'/>" * (TARGET // 12) + b"</r>",
         "entity_dense": b"<r>" + b"x &amp; y &lt;z&gt; " * (TARGET // 20) + b"</r>",
         "amp_no_semi": b"<r>" + b"& no semis here " * (TARGET // 16) + b"&#65;</r>",
         "attr_dense": b"<r>" + b"<p a='1' bb='two three' c='x'>t</p>" * (TARGET // 35) + b"</r>",

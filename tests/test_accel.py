@@ -143,6 +143,10 @@ CASES = [
     b"<a>tail",
     b"   \n\t  ",
     b"<a><b>deep</b>",
+    # ';'-free '&'-bearing attr values across many tags: the attr fast
+    # path's document-global ';' scan is frontier-memoized across
+    # attrs (one EOF scan per document, not one per entity)
+    b"<r>" + b"<a b='& x'/>" * 3000 + b"</r>",
 ]
 
 

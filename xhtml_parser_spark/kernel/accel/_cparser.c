@@ -83,11 +83,11 @@ typedef struct {
     int err_code;
     int64_t err_pos;
     int64_t aux[4];
-    /* parse-global ';' scan frontier (parser.py:_parse_pcdata
-     * docstring): -2 uncomputed, -1 absent to EOF, else next match
-     * at/after the last consulted cursor. Monotone across text nodes
-     * because every in-place rewrite lands behind the parse cursor. */
-    int64_t f_semi;
+    /* parse-global ANCHORED ';' frontier (parser.py:_next_semi):
+     * f_semi = first ';' at/after f_semi_a (-1 = none through EOF).
+     * Forward consults refetch past the cache; rewound consults (the
+     * attr quirk replay) scan only the short [q, anchor) window. */
+    int64_t f_semi, f_semi_a;
 } ctx_t;
 
 static inline int64_t find_b(const uint8_t *buf, int64_t size, int64_t p, uint8_t c) {
@@ -206,6 +206,29 @@ static inline void move_back(uint8_t *buf, int64_t to, int64_t frm, int64_t n) {
     for (int64_t k = 0; k < n; k++) buf[to + k] = buf[frm + k];
 }
 
+/* anchored document-global ';' frontier (parser.py:_next_semi for the
+ * soundness argument: consulted regions are pristine in any successful
+ * parse; the quirk replay live-scans its own value range and consults
+ * this only from the value END). */
+static int64_t next_semi(ctx_t *c, int64_t q) {
+    int64_t f = c->f_semi, a = c->f_semi_a;
+    if (q >= a) {
+        if (f == -1 || f >= q) { c->f_semi_a = q; return f; }
+        f = find_b(c->buf, c->size, q, ';');
+        c->f_semi = f;
+        c->f_semi_a = q;
+        return f;
+    }
+    int64_t local = find_b_end(c->buf, q, a, ';');
+    if (local >= 0) {
+        c->f_semi = local;
+        c->f_semi_a = q;
+        return local;
+    }
+    c->f_semi_a = q;
+    return f;
+}
+
 /* parse_pcdata: in-place entity expansion; returns new end, or -1 with
  * *crpos set on a raw CR (reference UB -> UnsupportedCR). */
 static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos,
@@ -239,9 +262,7 @@ static int64_t pcdata(ctx_t *c, int64_t start, int64_t end, int64_t *crpos,
         }
         if (buf[np] == '&') {
             int64_t nf, nt;
-            int64_t semi = c->f_semi;
-            if (semi != -1 && semi < np + 1)
-                semi = c->f_semi = find_b(buf, c->size, np + 1, ';');
+            int64_t semi = next_semi(c, np + 1);
             if (xlat_seq(c, np + 1, to, &nf, &nt, semi)) { frm = nf; to = nt; }
             else {
                 if (frm != to) buf[to] = '&';
@@ -293,7 +314,8 @@ static int64_t norm_attr(ctx_t *c, int64_t start, int64_t end) {
             }
             if (buf[np] == '&') {
                 int64_t nf, nt;
-                if (!xlat_seq(c, np + 1, to, &nf, &nt, -2)) goto quirk;
+                if (!xlat_seq(c, np + 1, to, &nf, &nt,
+                              next_semi(c, np + 1))) goto quirk;
                 frm = nf; to = nt;
                 space_added = 0;
             } else {
@@ -332,7 +354,12 @@ quirk:
             if (to > end) goto corrupt;
             if (buf[np] == '&') {
                 int64_t nf, nt;
-                if (xlat_seq(c, np + 1, to, &nf, &nt, -2)) { frm = nf; to = nt; }
+                /* LIVE scan within the value (the duplication quirk
+                 * rewrites bytes ahead of np inside it); pristine
+                 * frontier for the tail beyond the value */
+                int64_t semi = find_b_end(buf, np + 1, end, ';');
+                if (semi < 0) semi = next_semi(c, end);
+                if (xlat_seq(c, np + 1, to, &nf, &nt, semi)) { frm = nf; to = nt; }
                 else frm += 1;  /* the stale-from quirk: NOT np+1 */
                 space_added = 0;
             } else {
@@ -858,7 +885,7 @@ static int64_t copy_count_lt(uint8_t *dst, const uint8_t *src, int64_t n) {
 
 static int run_parse(Py_buffer *in, ctx_t *c, int *prc) {
     memset(c, 0, sizeof(*c));
-    c->f_semi = -2;
+
     c->size = in->len;
     c->buf = (uint8_t *)malloc((size_t)(in->len > 0 ? in->len : 1));
     if (!c->buf) { PyBuffer_Release(in); PyErr_NoMemory(); return -1; }
@@ -866,6 +893,9 @@ static int run_parse(Py_buffer *in, ctx_t *c, int *prc) {
      * fused with the mutable-copy pass (copy_count_lt above) */
     int64_t est = 8 + copy_count_lt(c->buf, (const uint8_t *)in->buf, in->len);
     PyBuffer_Release(in);
+    /* vacuous "no ';' at/after EOF": first consult scans once */
+    c->f_semi = -1;
+    c->f_semi_a = c->size;
     int okmem = iv_init(&c->parent, est) && iv_init(&c->prev_sib, est) &&
                 iv_init(&c->next_sib, est) && iv_init(&c->first_child, est) &&
                 iv_init(&c->kind, est) && iv_init(&c->loc_s, est) &&

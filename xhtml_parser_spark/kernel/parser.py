@@ -296,6 +296,36 @@ def _translate_sequence(
     return (end + 1, to + n)
 
 
+def _next_semi(buf: bytearray, fr: list[int], q: int) -> int:
+    """Anchored document-global ';' frontier: ``fr`` = [f, a] with f the
+    first ';' at/after anchor a (-1 = none through EOF). Forward
+    consults (q >= a) refetch only when the cached match is behind q;
+    REWOUND consults (q < a -- the attribute quirk replay restarts at
+    its value start) scan just the short [q, a) window and splice with
+    the cached tail. Sound because every consulted region is pristine:
+    all successful-parse rewrites land strictly behind the consulting
+    cursor (the quirk's within-value duplication writes are handled by
+    its caller live-scanning the value range itself and consulting
+    this frontier only from the value END, which overflow-aborts
+    before any write could cross)."""
+    f, a = fr[0], fr[1]
+    if q >= a:
+        if f == -1 or f >= q:
+            fr[1] = q
+            return f
+        f = buf.find(_SEMI, q)
+        fr[0] = f
+        fr[1] = q
+        return f
+    local = buf.find(_SEMI, q, a)
+    if local >= 0:
+        fr[0] = local
+        fr[1] = q
+        return local
+    fr[1] = q
+    return f
+
+
 def _parse_pcdata(buf: bytearray, start: int, end: int, fr: list[int],
                   seed_amp: int = -2, seed_cr: int = -2) -> int:
     """In-place entity expansion + compaction of a text range; returns the
@@ -351,9 +381,7 @@ def _parse_pcdata(buf: bytearray, start: int, end: int, fr: list[int],
                 buf[to : to + (np_ - frm)] = buf[frm:np_]
             to += np_ - frm
         if buf[np_] == _AMP:
-            semi = fr[0]
-            if semi != -1 and semi < np_ + 1:
-                semi = fr[0] = buf.find(_SEMI, np_ + 1)  # document-global, like ref
+            semi = _next_semi(buf, fr, np_ + 1)  # document-global, like ref
             r = _translate_sequence(buf, np_ + 1, to, semi)
             if r is not None:
                 frm, to = r
@@ -374,7 +402,8 @@ def _parse_pcdata(buf: bytearray, start: int, end: int, fr: list[int],
     return to
 
 
-def _normalize_attr_fast(buf: bytearray, start: int, end: int) -> int:
+def _normalize_attr_fast(buf: bytearray, start: int, end: int,
+                         fr: list[int] | None = None) -> int:
     """Attribute-value normalization, fast path (valid/no escapes).
 
     Reference: src/parser.rs:751-809. Leading ws dropped, each internal
@@ -392,6 +421,11 @@ def _normalize_attr_fast(buf: bytearray, start: int, end: int) -> int:
     re-reading bytes its own copy_within already moved -- behavior a
     stale map cannot reproduce. The caller restores the pristine value
     bytes and replays with the live-buffer slow path.
+
+    ``fr`` is the parse-global ';' frontier (see _parse_pcdata): sound
+    here because attribute values are processed in document order and
+    this fast path's escape positions are monotone; the quirk replay
+    (which REWINDS its read cursor) deliberately keeps per-call scans.
     """
     lm = bytes(buf[start:end]).translate(T_SCAN_ATRNORM)
     to = start
@@ -412,7 +446,8 @@ def _normalize_attr_fast(buf: bytearray, start: int, end: int) -> int:
             to += np_ - frm
             space_added = False
         if buf[np_] == _AMP:
-            r = _translate_sequence(buf, np_ + 1, to)
+            semi = None if fr is None else _next_semi(buf, fr, np_ + 1)
+            r = _translate_sequence(buf, np_ + 1, to, semi)
             if r is None:
                 raise _AttrQuirk()
             frm, to = r
@@ -435,7 +470,8 @@ _ATRNORM_SET = frozenset(
 )
 
 
-def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
+def _normalize_attr_quirk(buf: bytearray, start: int, end: int,
+                          fr: list[int] | None = None) -> int:
     """Slow live-buffer replay of normalize_attribute_value, reproducing
     the reference's stale-``from`` invalid-escape quirk byte-for-byte
     (src/parser.rs:751-809: on invalid escape, ``from`` advances from its
@@ -481,7 +517,19 @@ def _normalize_attr_quirk(buf: bytearray, start: int, end: int) -> int:
         if to > end:
             raise _overflow(to)
         if buf[np_] == _AMP:
-            r = _translate_sequence(buf, np_ + 1, to)
+            # the ';' scan must stay LIVE within the value range (the
+            # duplication quirk can rewrite bytes ahead of np_ inside
+            # it); beyond the value the buffer is pristine in any
+            # successful parse, so the anchored frontier supplies the
+            # tail instead of an EOF re-scan per '&'
+            semi = buf.find(_SEMI, np_ + 1, end)
+            if semi < 0:
+                semi = (
+                    _next_semi(buf, fr, end)
+                    if fr is not None
+                    else buf.find(_SEMI, end)
+                )
+            r = _translate_sequence(buf, np_ + 1, to, semi)
             if r is not None:
                 frm, to = r
             else:
@@ -809,12 +857,10 @@ def _parse(
     n_text = 0
     max_d = 0
 
-    # parse-global ';' scan frontier (-2 uncomputed, -1 absent to EOF):
-    # consulted/refetched inside _parse_pcdata -- see its docstring for
-    # why a document-global monotone frontier is sound (rewrites land
-    # behind the cursor; anything behind the consult position is
-    # refetched)
-    fr = [-2]
+    # parse-global anchored ';' frontier [f, anchor] (see _next_semi):
+    # initialized to the vacuous "no ';' at/after EOF" so the first
+    # consult scans once and every later one is incremental
+    fr = [-1, len(buf)]
 
     # states
     S_START, S_TAGSTART, S_TAGOPEN, S_TAGCLOSE, S_ATTR, S_PCDATA, S_END = range(7)
@@ -1099,12 +1145,12 @@ def _parse(
             if bfind(_AMP, value_start, i) >= 0:
                 saved = bytes(buf[value_start:i])
                 try:
-                    value_end = _normalize_attr_fast(buf, value_start, i)
+                    value_end = _normalize_attr_fast(buf, value_start, i, fr)
                 except _AttrQuirk:
                     buf[value_start:i] = saved
-                    value_end = _normalize_attr_quirk(buf, value_start, i)
+                    value_end = _normalize_attr_quirk(buf, value_start, i, fr)
             else:
-                value_end = _normalize_attr_fast(buf, value_start, i)
+                value_end = _normalize_attr_fast(buf, value_start, i, fr)
             # inlined first-colon namespace strip for the attribute name
             colon = bfind(_COLON, start, name_end_raw) if namespace_removal else -1
             if colon < 0:
