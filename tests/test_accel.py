@@ -147,6 +147,14 @@ CASES = [
     # path's document-global ';' scan is frontier-memoized across
     # attrs (one EOF scan per document, not one per entity)
     b"<r>" + b"<a b='& x'/>" * 3000 + b"</r>",
+    # cross-quote ';' targets: the doc-global scan crosses the closing
+    # quote, so the quirk's split (live value scan + pristine frontier
+    # tail) must agree with a full live scan byte-for-byte
+    b"<a b='&amp x'>t;</a>",
+    b"<a b='x & y'>t;u</a>",
+    b"<a b='&#59 q'>;</a>",
+    b"<a b='&' c='&amp;ok'>x;</a>",
+    b"<a b='&lt'>y</a><c d='&gt;'>;</c>",
 ]
 
 
