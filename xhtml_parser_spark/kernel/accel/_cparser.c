@@ -736,33 +736,23 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
     const int32_t *ls = c->loc_s.d, *le = c->loc_e.d;
     const uint8_t *buf = c->buf;
 
-    /* extracted_text: concat of text-node bytes in doc order */
-    int64_t total = 0;
-    for (Py_ssize_t i = 1; i < n; i++)
-        if (kind[i] == K_TEXT) total += le[i] - ls[i];
-    PyObject *text = PyBytes_FromStringAndSize(NULL, total);
-    if (!text) return -1;
-    {
-        char *w = PyBytes_AS_STRING(text);
-        for (Py_ssize_t i = 1; i < n; i++)
-            if (kind[i] == K_TEXT) {
-                memcpy(w, buf + ls[i], (size_t)(le[i] - ls[i]));
-                w += le[i] - ls[i];
-            }
-    }
-
-    /* main text: blacklist subtrees + link-density per block.
-     * One zeroed block for all five scratch arrays (they were five
-     * calloc/free pairs per parse; the 64-bit arrays lead so every
-     * slice stays naturally aligned). */
+    /* main-text scratch: blacklist subtrees + link-density per block.
+     * One malloc for all five arrays (the 64-bit arrays lead so every
+     * slice stays aligned); only the tlen/llen accumulators need
+     * zeroing -- bad/anch/blk are fully assigned by the stats walk,
+     * which also sums the extracted-text total so the five node walks
+     * of the original shape collapse to three. */
     size_t scratch_sz = (size_t)n * (8 + 8 + 4 + 1 + 1);
-    uint8_t *scratch = (uint8_t *)calloc(scratch_sz ? scratch_sz : 1, 1);
-    if (!scratch) { Py_DECREF(text); PyErr_NoMemory(); return -1; }
+    uint8_t *scratch = (uint8_t *)malloc(scratch_sz ? scratch_sz : 1);
+    if (!scratch) { PyErr_NoMemory(); return -1; }
     int64_t *tlen = (int64_t *)scratch;
     int64_t *llen = (int64_t *)(scratch + (size_t)n * 8);
     int32_t *blk = (int32_t *)(scratch + (size_t)n * 16);
     uint8_t *bad = scratch + (size_t)n * 20;
     uint8_t *anch = scratch + (size_t)n * 21;
+    memset(scratch, 0, (size_t)n * 16);  /* tlen + llen */
+    blk[0] = 0; bad[0] = 0; anch[0] = 0;
+    int64_t total = 0;
     for (Py_ssize_t i = 1; i < n; i++) {
         int32_t p = par[i];
         if (kind[i] == K_ELEM) {
@@ -774,14 +764,18 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
             blk[i] = tag_in(nm, nl, XPS_BLOCK, XPS_N_BLOCK, XPS_BLOCK_PREF)
                 ? (int32_t)i : blk[p];
         } else {
+            int64_t tl = le[i] - ls[i];
+            total += tl;
             if (bad[p]) { bad[i] = 1; continue; }
+            bad[i] = 0;
             anch[i] = anch[p];
             blk[i] = blk[p];
-            int64_t tl = le[i] - ls[i];
             tlen[blk[i]] += tl;
             if (anch[i]) llen[blk[i]] += tl;
         }
     }
+    PyObject *text = PyBytes_FromStringAndSize(NULL, total);
+    if (!text) { free(scratch); return -1; }
     /* keep-decision memoized in `bad` (reused as "excluded"): the copy
      * pass below must apply the identical predicate, so evaluate the
      * link-density + whitespace tests once */
@@ -806,11 +800,18 @@ static int extract_texts(ctx_t *c, PyObject **out_text, PyObject **out_main) {
         Py_DECREF(text); return -1;
     }
     {
-        char *w = PyBytes_AS_STRING(mtext);
+        /* one walk writes BOTH outputs (text always, main when kept) */
+        char *w = PyBytes_AS_STRING(text);
+        char *wm = PyBytes_AS_STRING(mtext);
         for (Py_ssize_t i = 1; i < n; i++) {
-            if (kind[i] != K_TEXT || bad[i]) continue;
-            memcpy(w, buf + ls[i], (size_t)(le[i] - ls[i]));
-            w += le[i] - ls[i];
+            if (kind[i] != K_TEXT) continue;
+            int64_t tl = le[i] - ls[i];
+            memcpy(w, buf + ls[i], (size_t)tl);
+            w += tl;
+            if (!bad[i]) {
+                memcpy(wm, buf + ls[i], (size_t)tl);
+                wm += tl;
+            }
         }
     }
     free(scratch);
