@@ -2352,66 +2352,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries; the tail (>50) holds only entries with fresh last-round
     # driver rows.
     return {
-        # -- never driver-verified before r04 (VERDICT r03 flag #1) --
-        "kmeans": q_kmeans,
-        "semdedup": q_semdedup,
-        "hash_embed": q_hash_embed,
-        "semdedup_text": q_semdedup_text,
-        "vocab_topk": q_vocab_topk,
-        "chunk_docs": q_chunk_docs,
-        "distinct_kmv": q_distinct_kmv,
-        "len_quantiles": q_len_quantiles,
-        "ivf2_assign": q_ivf2_assign,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokenize": q_bpe_tokenize,
-        # -- new in r04 --
-        "bpe_apply": q_bpe_apply,
-        "feed_entries": q_feed_entries,
-        "jsonld": q_jsonld,
-        "meta_kv": q_meta_kv,
-        "canonical_dedup": q_canonical_dedup,
-        "html_tables": q_html_tables,
-        "table_grid": q_table_grid,
-        "headings": q_headings,
-        "microdata": q_microdata,
-        "lsh_pairs_banded": q_lsh_pairs_banded,
-        "bm25_topk": q_bm25_topk,
-        "nb_classify": q_nb_classify,
-        "ann_topk_batch": q_ann_topk_batch,
-        # -- r02-verified only; rotated out of the r03 window --
-        "neardup_cosine": q_neardup_cosine,
-        "neardup_lsh": q_neardup_lsh,
-        "label_centroids": q_label_centroids,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "repetition": q_repetition,
-        "url_normalize": q_url_normalize,
-        "charset_sniff": q_charset_sniff,
-        "events_dedup": q_events_dedup,
-        "events_windowed": q_events_windowed,
-        "events_sessions": q_events_sessions,
-        "lineage_rollup": q_lineage_rollup,
-        "tpch_q1_qty": q_tpch_q1_qty,
-        # -- implementation touched in round 4 (re-verify) --
-        "extract_links": q_extract_links,
-        "ivf_topk_batch": q_ivf_topk_batch,
-        "sitemap_entries": q_sitemap_entries,
-        "audio_codecs": q_audio_codecs,
-        "host_pagerank": q_host_pagerank,
-        "xpath_kernel": q_xpath_kernel,
-        # -- flagship parse/extract kernel (always in-window) --
-        "xhtml_roundtrip": q_xhtml_roundtrip,
-        "xhtml_stats": q_xhtml_stats,
-        "xhtml_main_text": q_xhtml_main_text,
-        "xhtml_parse_errors": q_xhtml_parse_errors,
-        "xhtml_spans": q_xhtml_spans,
-        "xhtml_attrs": q_xhtml_attrs,
-        # -- high-value fill to 50 --
-        "web_record": q_web_record,
+        # -- r05 window: 37 entries whose driver evidence is r03 --
+        # -- (stale by one round), re-led per VERDICT r04 item 2 --
         "page_metadata": q_page_metadata,
-        # ---- driver 50-entry window boundary (entries below carry ----
-        # ---- fresh r03 driver rows; see CORRECTNESS_r03.json)     ----
+        "web_record": q_web_record,
+        "robots_sitemaps": q_robots_sitemaps,
+        "mixture_sample": q_mixture_sample,
+        "cdx_index": q_cdx_index,
+        "anchor_index": q_anchor_index,
+        "crawl_delta": q_crawl_delta,
+        "fetch_schedule": q_fetch_schedule,
+        "xpath_lite": q_xpath_lite,
+        "xpath_multi": q_xpath_multi,
         "image_codecs": q_image_codecs,
         "video_frames": q_video_frames,
         "pdf_roundtrip": q_pdf_roundtrip,
@@ -2420,15 +2372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "ivf_topk": q_ivf_topk,
-        "anchor_index": q_anchor_index,
-        "robots_sitemaps": q_robots_sitemaps,
-        "mixture_sample": q_mixture_sample,
-        "cdx_index": q_cdx_index,
-        "crawl_delta": q_crawl_delta,
-        "fetch_schedule": q_fetch_schedule,
-        "xpath_lite": q_xpath_lite,
-        "xpath_multi": q_xpath_multi,
         "host_cap": q_host_cap,
         "hash_sample": q_hash_sample,
         "dup_ngrams": q_dup_ngrams,
@@ -2447,6 +2390,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_scores": q_ann_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        # -- r04 RED rows (oracle decimal128 typing, fixed r05) --
+        "kmeans": q_kmeans,
+        "bpe_merges": q_bpe_merges,
+        # -- surfaces touched in r05 + flagship kernel queries --
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_apply": q_bpe_apply,
+        "lsh_pairs_banded": q_lsh_pairs_banded,
+        "semdedup": q_semdedup,
+        "xpath_kernel": q_xpath_kernel,
+        "xhtml_roundtrip": q_xhtml_roundtrip,
+        "xhtml_stats": q_xhtml_stats,
+        "xhtml_main_text": q_xhtml_main_text,
+        "xhtml_parse_errors": q_xhtml_parse_errors,
+        "xhtml_spans": q_xhtml_spans,
+        "xhtml_attrs": q_xhtml_attrs,
+        # ---- driver 50-entry window boundary (entries below ----
+        # ---- carry fresh r04 rows; see CORRECTNESS_r04.json) ----
+        "hash_embed": q_hash_embed,
+        "semdedup_text": q_semdedup_text,
+        "vocab_topk": q_vocab_topk,
+        "chunk_docs": q_chunk_docs,
+        "distinct_kmv": q_distinct_kmv,
+        "len_quantiles": q_len_quantiles,
+        "ivf2_assign": q_ivf2_assign,
+        "feed_entries": q_feed_entries,
+        "jsonld": q_jsonld,
+        "meta_kv": q_meta_kv,
+        "canonical_dedup": q_canonical_dedup,
+        "html_tables": q_html_tables,
+        "table_grid": q_table_grid,
+        "headings": q_headings,
+        "microdata": q_microdata,
+        "bm25_topk": q_bm25_topk,
+        "nb_classify": q_nb_classify,
+        "ann_topk_batch": q_ann_topk_batch,
+        "neardup_cosine": q_neardup_cosine,
+        "neardup_lsh": q_neardup_lsh,
+        "label_centroids": q_label_centroids,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "url_normalize": q_url_normalize,
+        "charset_sniff": q_charset_sniff,
+        "events_dedup": q_events_dedup,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "lineage_rollup": q_lineage_rollup,
+        "tpch_q1_qty": q_tpch_q1_qty,
+        "extract_links": q_extract_links,
+        "ivf_topk_batch": q_ivf_topk_batch,
+        "sitemap_entries": q_sitemap_entries,
+        "audio_codecs": q_audio_codecs,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -3818,8 +3816,8 @@ FROM d
               SELECT cell, dim, SUM(v) AS s, COUNT(*) AS cnt FROM x1 GROUP BY cell, dim
             ), cc1 AS (
               SELECT cc0.cell, cc0.dim,
-                     COALESCE(CAST(sign(m.s) AS BIGINT) * (abs(m.s) // m.cnt),
-                              cc0.val) AS val
+                     CAST(COALESCE(CAST(sign(m.s) AS BIGINT) * (abs(m.s) // m.cnt),
+                              cc0.val) AS BIGINT) AS val
               FROM cc0 LEFT JOIN m1 m ON m.cell = cc0.cell AND m.dim = cc0.dim
             ), c2_1 AS (
               SELECT cell, SUM(val * val) AS c2 FROM cc1 GROUP BY cell
@@ -3846,9 +3844,9 @@ FROM d
               SELECT cell, COUNT(*) AS cnt FROM g2 GROUP BY cell
             )
             SELECT cc1.cell, CAST(cc1.dim - 1 AS INTEGER) AS dim,
-                   COALESCE(CAST(sign(m2.s) AS BIGINT) * (abs(m2.s) // m2.cnt),
-                            cc1.val) AS c_val,
-                   COALESCE(k2.cnt, 0) AS n_members
+                   CAST(COALESCE(CAST(sign(m2.s) AS BIGINT) * (abs(m2.s) // m2.cnt),
+                            cc1.val) AS BIGINT) AS c_val,
+                   CAST(COALESCE(k2.cnt, 0) AS BIGINT) AS n_members
             FROM cc1
             LEFT JOIN m2 ON m2.cell = cc1.cell AND m2.dim = cc1.dim
             LEFT JOIN k2 ON k2.cell = cc1.cell
@@ -4043,9 +4041,9 @@ FROM d
             ), m3 AS (
               SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1
             )
-            SELECT 1 AS rank, lhs, rhs, cnt FROM m1
-            UNION ALL SELECT 2, lhs, rhs, cnt FROM m2
-            UNION ALL SELECT 3, lhs, rhs, cnt FROM m3
+            SELECT 1 AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM m1
+            UNION ALL SELECT 2, lhs, rhs, CAST(cnt AS BIGINT) FROM m2
+            UNION ALL SELECT 3, lhs, rhs, CAST(cnt AS BIGINT) FROM m3
         """,
         # end-to-end tokenizer replay: the bpe_merges CTE chain
         # re-learns m1..m3, then every corpus word is segmented by the
