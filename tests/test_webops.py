@@ -352,6 +352,46 @@ def test_bpe_merges_textbook_corpus(spark):
     assert got2[1][1:3] in {("aa", "aa"), ("aa", "b")}
 
 
+def test_bpe_merges_batched(spark):
+    """batch_size>1 (the scale path, VERDICT r04 item 3): per round the
+    top candidates are greedily conflict-filtered to a symbol-disjoint
+    set and applied in ONE reseg pass. On the textbook corpus round 1
+    candidates sorted (cnt desc, lhs, rhs) are (l,o)6,(o,w)6,(w,e)4,
+    (e,w)3,(n,e)3,(e,r)2,(e,s)2,(s,t)2; greedy acceptance takes
+    (l,o),(w,e),(s,t) — every other candidate shares a symbol — and
+    round 2's top pair on the re-segmented vocab is (lo,w)4. Each
+    recorded cnt is exact (disjointness => counts are unaffected by
+    the round's other merges). Driver round-trips: 2, not 4."""
+    from xhtml_parser_spark.operators.textops import bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest X9 42"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    res = bpe_merges(df, n_merges=4, batch_size=4)
+    got = [tuple(r) for r in res.orderBy("rank").collect()]
+    assert got == [
+        (1, "l", "o", 6),
+        (2, "w", "e", 4),
+        (3, "s", "t", 2),
+        (4, "lo", "w", 4),
+    ]
+    assert res._bpe_rounds == 2
+    # batch_size=1 stays bit-exact classic BPE (the oracle's replay)
+    seq = bpe_merges(df, n_merges=4, batch_size=1)
+    assert [tuple(r) for r in seq.orderBy("rank").collect()] == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "e", "w", 3),
+        (4, "n", "ew", 3),
+    ]
+    assert seq._bpe_rounds == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_merges(df, n_merges=2, batch_size=0)
+
+
 def test_bpe_segment_roundtrip_and_opaque(spark):
     """Segmenting the training corpus with the learned table yields
     the training loop's own final segmentation; merges apply in rank

@@ -506,6 +506,7 @@ def bpe_merges(
     n_merges: int = 3,
     text_col: str = "text",
     word_re: str = "^[a-z]+$",
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn the first ``n_merges`` byte-pair-encoding merges over the
     corpus vocabulary (the tokenizer-training step, Sennrich et al.
@@ -515,10 +516,28 @@ def bpe_merges(
     vocab table, whose size is bounded by the language, not the
     corpus. Per round: adjacent symbol pairs via one sliced
     arrays_zip (overlapping occurrences count, weighted by word
-    frequency), the (cnt DESC, left, right) argmax as a 1-row collect
-    (the bounded index-build shape), and a greedy
-    leftmost-nonoverlapping re-segmentation of the vocab in one
-    pandas pass. Output (rank, lhs, rhs, cnt), rank 1..n_merges.
+    frequency), a bounded top-candidate collect (the index-build
+    shape), and a greedy leftmost-nonoverlapping re-segmentation of
+    the vocab in one pandas pass. Output (rank, lhs, rhs, cnt),
+    rank 1..n_merges.
+
+    ``batch_size`` is the scale knob (VERDICT r04 item 3): a real
+    tokenizer train is ~32k merges, and one driver round-trip per
+    merge is a driver-side scale-killer. With ``batch_size=m`` each
+    round collects the top ``4m`` candidate pairs and greedily accepts
+    up to ``m`` whose symbols are pairwise DISJOINT (no candidate's
+    lhs/rhs/merged string appears in an already-accepted candidate's
+    {lhs, rhs, merged}); all accepted merges are applied in ONE
+    re-segmentation pass. Disjointness makes the batch sound: applying
+    (a,b) can neither create nor destroy an adjacency (c,d) when
+    {a,b,ab} and {c,d} share no symbol, so every accepted merge's
+    recorded cnt is exactly what sequential BPE would have recorded
+    had it picked that pair. The compromise (standard for distributed
+    BPE) is selection order only: sequential BPE might have preferred
+    a pair minted earlier in the same round. ``batch_size=1`` is
+    bit-exact classic BPE and stays the default (the DuckDB oracle
+    replays it); driver round-trips = ceil(n_merges / accepted-per-
+    round) instead of n_merges.
 
     The vocab is persisted (it derives from a corpus explode and is
     consumed every round) and released before returning -- the
@@ -530,6 +549,8 @@ def bpe_merges(
     import pandas as pd  # noqa: PLC0415 (worker-side)
     from pyspark import StorageLevel
 
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     vocab = (
         docs.select(F.explode(_words(F.col(text_col))).alias("w"))
         .where(F.col("w").rlike(word_re))
@@ -541,7 +562,8 @@ def bpe_merges(
     spark = docs.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     caches = [vocab]
-    for r in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "wc",
             F.explode(
@@ -557,39 +579,65 @@ def bpe_merges(
             pairs.groupBy("lhs", "rhs")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "lhs", "rhs")
-            .limit(1)
+            .limit(4 * batch_size)
             .collect()
         )
+        rounds += 1
         if not top:
             break
-        a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
-        merges.append((r + 1, a, b, cnt))
-        if r + 1 == n_merges:
+        # greedy conflict filter: accept candidates in rank order whose
+        # symbols are disjoint from every already-accepted candidate's
+        used: set = set()
+        accepted: list[tuple[str, str]] = []
+        for row in top:
+            if len(accepted) == batch_size or len(merges) == n_merges:
+                break
+            a, b = row["lhs"], row["rhs"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            used.update((a, b, a + b))
+            accepted.append((a, b))
+            merges.append((len(merges) + 1, a, b, int(row["cnt"])))
+        if not accepted:  # all top-4m conflicted (degenerate tiny vocab)
             break
-        ab = a + b
+        if len(merges) == n_merges:
+            break
+        mseq = [(a, b, a + b) for a, b in accepted]
 
-        def reseg(it, a=a, b=b, ab=ab):
+        def reseg(it, mseq=mseq):
             for pdf in it:
                 out = []
                 for syms in pdf["syms"]:
-                    acc: list = []
-                    for x in syms:
-                        if x == b and acc and acc[-1] == a:
-                            acc[-1] = ab
-                        else:
-                            acc.append(x)
-                    out.append(acc)
+                    for a, b, ab in mseq:
+                        acc: list = []
+                        for x in syms:
+                            if x == b and acc and acc[-1] == a:
+                                acc[-1] = ab
+                            else:
+                                acc.append(x)
+                        syms = acc
+                    out.append(syms)
                 yield pd.DataFrame({"syms": out, "wc": pdf["wc"]})
 
         vocab = vocab.mapInPandas(
             reseg, "syms array<string>, wc bigint"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(vocab)
+        # iterative-lineage truncation (the dedup_clusters pattern):
+        # without it a long sequential train chains one mapInPandas
+        # plan per round and the JVM OOMs just STRINGIFYING the plan
+        # (measured: heap-space in QueryExecution.explainString at
+        # n_merges=64, batch_size=1, sf1). Vocab is language-bounded,
+        # so the checkpoint copy is small.
+        if len(caches) % 8 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         merges or [], "rank int, lhs string, rhs string, cnt bigint"
     )
+    out._bpe_rounds = rounds  # driver round-trip count, for scale bench
+    return out
 
 
 def bpe_segment(
