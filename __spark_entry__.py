@@ -1181,14 +1181,19 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs; integer intersection/union sizes only (the
-    float jac = inter/uni is derived) so the oracle hash is exact."""
+def q_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs at the r=1 EXACT-RECALL setting (any single
+    shared minhash is a candidate) -- the historical regression pin.
+    Quadratic on bounded-vocabulary corpora; the unmarked `lsh_pairs`
+    entry is the sub-quadratic r=2 production setting (VERDICT r04
+    item 4). Integer intersection/union sizes only (the float
+    jac = inter/uni is derived) so the oracle hash is exact."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
         _docs(spark, sf_dir), n_hashes=4, jaccard_min=0.5,
+        rows_per_band=1,
         n_partitions=spark.sparkContext.defaultParallelism,
         max_bucket=None,  # exact all-buckets semantics, as the oracle replays
     ).select("a", "b", "inter", "uni")
@@ -1374,15 +1379,16 @@ def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lsh_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs at the SCALE selectivity setting: 2 bands of
-    r=2 concatenated minhashes each (band 0 = h0||h1, band 1 = h2||h3),
-    so a candidate needs BOTH rows of some band to match -- per-band
-    collision probability jaccard^2 instead of jaccard. r=1 is exact-
-    recall but quadratic on bounded-vocabulary corpora (measured at the
-    10x step-up: 4.3 M candidates, 3.4 GB spill; BENCH.md round 4);
-    r>=2 is the production setting at 10^12 docs. Same integer
-    inter/uni output as lsh_pairs, oracle-replayed with concat keys."""
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs at the production selectivity setting (the
+    operator DEFAULT, r=2): 2 bands of 2 concatenated minhashes each
+    (band 0 = h0||h1, band 1 = h2||h3), so a candidate needs BOTH rows
+    of some band to match -- per-band collision probability jaccard^2
+    instead of jaccard. r=1 is exact-recall but quadratic on bounded-
+    vocabulary corpora (measured at the 10x step-up: 4.3 M candidates,
+    3.4 GB spill; BENCH.md round 4) and lives on as `lsh_pairs_exact`;
+    r>=2 is mandatory at 10^12 docs. Integer inter/uni output,
+    oracle-replayed with concat keys."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import lsh_candidate_pairs
 
@@ -1432,7 +1438,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = the component's min doc_id (singletons cluster to
     themselves). All-integer output, oracle-exact; the oracle replays
     the components as a recursive reachability CTE over the same
-    banded-minhash pair set."""
+    banded-minhash pair set (the r=2 production default, concat
+    band keys)."""
     _ensure_pkg(spark)
     from xhtml_parser_spark.operators.dedup import dedup_clusters
 
@@ -2397,7 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- surfaces touched in r05 + flagship kernel queries --
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_apply": q_bpe_apply,
-        "lsh_pairs_banded": q_lsh_pairs_banded,
+        "lsh_pairs_exact": q_lsh_pairs_exact,
         "semdedup": q_semdedup,
         "xpath_kernel": q_xpath_kernel,
         "xhtml_roundtrip": q_xhtml_roundtrip,
@@ -3414,7 +3421,7 @@ def oracle_sql() -> dict[str, str]:
         # band j of a 4-hash LSH is minhash j alone, so two docs share a
         # bucket iff any h_j matches; the verify step is exact Jaccard
         # on distinct shingle sets, jac >= 0.5 <=> 2*inter >= uni.
-        "lsh_pairs": _SHINGLE_CTE + f"""
+        "lsh_pairs_exact": _SHINGLE_CTE + f"""
             , sig AS (
               SELECT doc_id, list_distinct(sh) AS shs, {mh} FROM s
             )
@@ -3519,7 +3526,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r=2 banding: band key = concat of 2 consecutive minhashes, so
         # a candidate pair shares band 0 (h0||h1) or band 1 (h2||h3)
-        "lsh_pairs_banded": _SHINGLE_CTE + f"""
+        "lsh_pairs": _SHINGLE_CTE + f"""
             , sig AS (
               SELECT doc_id, list_distinct(sh) AS shs, {mh} FROM s
             )
@@ -3642,7 +3649,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS a, b.doc_id AS b
               FROM sig a JOIN sig b
                 ON a.doc_id < b.doc_id
-               AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+               AND (a.h0 || a.h1 = b.h0 || b.h1 OR a.h2 || a.h3 = b.h2 || b.h3)
               WHERE 2 * len(list_intersect(a.shs, b.shs))
                     >= len(list_distinct(list_concat(a.shs, b.shs)))
             ), e AS (

@@ -68,9 +68,14 @@ def test_minhash_identical_docs_share_signature(spark, near_dup_docs):
 
 
 def test_lsh_pairs_find_near_dups(spark, near_dup_docs):
+    """r=1 exact-recall setting (any shared minhash is a candidate) —
+    pinned explicitly since the operator default is the sub-quadratic
+    production r=2 (VERDICT r04 item 4)."""
     pairs = {
         (r["a"], r["b"]): r["jac"]
-        for r in lsh_candidate_pairs(near_dup_docs, jaccard_min=0.5).collect()
+        for r in lsh_candidate_pairs(
+            near_dup_docs, jaccard_min=0.5, rows_per_band=1
+        ).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
@@ -95,6 +100,12 @@ def test_lsh_banding_subsets_and_validates(spark, near_dup_docs):
     assert p2 <= p1 and p4 <= p2
     assert (0, 1) in p4  # exact dup collides at every selectivity
     assert not any(4 in p or 5 in p for p in p1)
+    # the DEFAULT is the sub-quadratic production setting r=2
+    default_pairs = {
+        (row["a"], row["b"])
+        for row in lsh_candidate_pairs(near_dup_docs, jaccard_min=0.0).collect()
+    }
+    assert default_pairs == p2
     with pytest.raises(ValueError, match="rows_per_band"):
         lsh_candidate_pairs(near_dup_docs, rows_per_band=3)
 
@@ -132,15 +143,27 @@ def test_dedup_clusters_and_keep(spark, near_dup_docs):
     original columns."""
     from xhtml_parser_spark.operators.dedup import dedup_clusters, dedup_keep
 
-    got = {
+    # r=1 exact recall: the superset doc 3 pairs with 0 via a single
+    # shared minhash, so 0-3 are one cluster
+    got1 = {
+        r["doc_id"]: (r["cluster_id"], r["csize"])
+        for r in dedup_clusters(near_dup_docs, rows_per_band=1).collect()
+    }
+    assert got1 == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
+                    4: (4, 1), 5: (5, 1)}
+    # production default r=2: doc 3's extra tail flips one minhash of
+    # each band, so it falls out to a singleton — selectivity working
+    got2 = {
         r["doc_id"]: (r["cluster_id"], r["csize"])
         for r in dedup_clusters(near_dup_docs).collect()
     }
-    assert got == {0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
-                   4: (4, 1), 5: (5, 1)}
-    kept = dedup_keep(near_dup_docs).orderBy("doc_id").collect()
+    assert got2 == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (3, 1),
+                    4: (4, 1), 5: (5, 1)}
+    kept = dedup_keep(near_dup_docs, rows_per_band=1).orderBy("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [0, 4, 5]
     assert kept[0]["text"].startswith("the quick")  # columns preserved
+    kept2 = dedup_keep(near_dup_docs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept2] == [0, 3, 4, 5]
 
 
 def test_simhash_hamming_structure(spark, near_dup_docs):

@@ -153,7 +153,7 @@ def lsh_candidate_pairs(
     n_partitions: int | None = None,
     persist_signatures: bool = True,
     max_bucket: int | None = 10_000,
-    rows_per_band: int = 1,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -169,9 +169,10 @@ def lsh_candidate_pairs(
     the CONCATENATION of r consecutive minhashes (band j = h[j*r] ||
     ... || h[j*r + r - 1], n_hashes/r bands -- n_hashes must divide),
     so two docs collide in a band iff all r rows match: P = jaccard^r
-    per band.  The r=1 default keeps the historical semantics (any
-    single shared minhash is a candidate), which is the EXACT-recall
-    setting the SQL oracles replay -- but it is quadratic on any
+    per band.  The r=2 DEFAULT is the sub-quadratic production
+    setting (VERDICT r04 item 4); r=1 is the historical exact-recall
+    semantics (any single shared minhash is a candidate), kept as the
+    ``lsh_pairs_exact`` regression oracle -- it is quadratic on any
     corpus whose shingle vocabulary is bounded (every doc pair sharing
     one common shingle-minimum collides: measured at the 50 k-doc
     step-up, 4.3 M candidate pairs and a 5 GB shuffle spill from
@@ -372,7 +373,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     n_partitions: int | None = None,
     max_bucket: int | None = 10_000,
-    rows_per_band: int = 1,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """End of the near-dup pipeline: LSH candidate pairs ->
     connected components -> one cluster id per document. Output
@@ -425,6 +426,7 @@ def dedup_keep(
     id_col: str = "doc_id",
     n_partitions: int | None = None,
     max_bucket: int | None = 10_000,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """The deduplicated corpus: keep each near-dup cluster's minimum
     doc_id (every column of ``docs`` preserved). Composes
@@ -432,7 +434,7 @@ def dedup_keep(
     clusters = dedup_clusters(
         docs, n_hashes=n_hashes, jaccard_min=jaccard_min,
         text_col=text_col, id_col=id_col, n_partitions=n_partitions,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, rows_per_band=rows_per_band,
     )
     keep = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return docs.join(
