@@ -104,6 +104,23 @@ def test_is_empty_and_last_node_idx():
     assert last_node_idx(doc) == 1
 
 
+def test_get_xml_content_post_mutation():
+    """get_xml_content (src/document.rs:238-242) returns the parse-
+    mutated buffer: same length as the input, with entity bytes
+    decoded in place so text spans slice to the decoded text."""
+    from xhtml_parser_spark.kernel.document import get_xml_content
+
+    raw = b"<root>a&amp;b</root>"
+    doc = parse_document(raw)
+    buf = get_xml_content(doc)
+    assert isinstance(buf, bytes) and len(buf) == len(raw)
+    text_node = get_node(doc, 2)
+    assert text_node.is_text()
+    s, e = doc.loc_start[2], doc.loc_end[2]
+    assert buf[s:e] == b"a&b"  # decoded IN the buffer, not a copy
+    assert buf != raw  # mutation actually happened
+
+
 def test_seq_navigation():
     doc = parse_document(b"<a><b/>t</a>")
     assert next_seq_node(doc, 1).idx == 2

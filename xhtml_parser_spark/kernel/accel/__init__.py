@@ -35,10 +35,19 @@ def _gen_tables_header() -> str:
     lines.append(", ".join(str(b) for b in chartype.CHARTYPE))
     lines.append("};")
     ents = sorted(entities.ENTITIES.items())
+    # XPS_ENT_LO/XPS_ENT_CNT below are unsigned char: if the entity
+    # table ever grows past 255 entries the C ent_lookup would silently
+    # truncate indices/counts and drop entities. Guard at generation
+    # time AND compile time (the reference map is 129 entries).
+    assert len(ents) < 256, "entity bucket tables are u8-indexed"
     lines.append(
         "typedef struct { const char *name; int nlen; const char *val; int vlen; } xps_ent;"
     )
     lines.append(f"#define XPS_N_ENTITIES {len(ents)}")
+    lines.append(
+        "_Static_assert(XPS_N_ENTITIES < 256, "
+        '"XPS_ENT_LO/XPS_ENT_CNT are unsigned char");'
+    )
     lines.append("static const xps_ent XPS_ENTITIES[XPS_N_ENTITIES] = {")
     for name, val in ents:
         nv = "".join(f"\\x{b:02x}" for b in name)

@@ -233,6 +233,15 @@ def last_node_idx(doc: ParsedDoc) -> int:
     return 0 if is_empty(doc) else doc.n_nodes - 1
 
 
+def get_xml_content(doc: ParsedDoc) -> bytes:
+    """The document's XML byte buffer AS MUTATED BY THE PARSE
+    (src/document.rs:238-242 get_xml_content): entity decoding and
+    attribute normalization compact bytes in place, so node/attribute
+    value spans index into THIS buffer, not the original input. Length
+    equals the input length (mutation never grows the buffer)."""
+    return bytes(doc.buf)
+
+
 def get_node(doc: ParsedDoc, node_idx: int) -> Node:
     """Bounds-checked access (src/document.rs:200-234); raises ValueError
     with the reference's message on an invalid index."""

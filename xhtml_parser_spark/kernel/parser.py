@@ -343,14 +343,16 @@ def _parse_pcdata(buf: bytearray, start: int, end: int, fr: list[int],
     rescans -- measured 0.9 MB/s on entity-dense megabyte text spans --
     into one linear pass; the caller seeds them with the positions its
     own fast-path scan already found, so the bytes up to the first
-    match are never re-scanned. ``fr`` is a one-element PARSE-GLOBAL
-    frontier for the document-global ';' scan (-2 uncomputed, -1
-    absent to EOF): ';' positions are monotone across text nodes (all
-    in-place rewrites land strictly behind the parse cursor, and the
-    frontier is refetched whenever it sits behind the consult point),
-    so a semicolon-free entity-dense document pays ONE ';' scan total
-    instead of one per text node -- the per-call memo alone left that
-    cross-node case quadratic. Byte-identical output.
+    match are never re-scanned. ``fr`` is the two-element PARSE-GLOBAL
+    anchored frontier ``[first_semi, anchor]`` for the document-global
+    ';' scan (see ``_next_semi``): ``first_semi`` is the first ';' at
+    or after ``anchor`` (-1 = none to EOF), sound because rewrites
+    only land strictly below the read cursor, so the region at/after
+    ``anchor`` is pristine; the frontier advances (re-anchors) whenever
+    a consult point passes it. A semicolon-free entity-dense document
+    thus pays ONE ';' scan total instead of one per text node -- the
+    per-call memo alone left that cross-node case quadratic.
+    Byte-identical output.
 
     Raw CR (the other PARSE_PCDATA byte) is reference UB -> UnsupportedCR.
     """

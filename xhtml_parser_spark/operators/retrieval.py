@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import _WS, _words
+from .textops import _words
 
 
 def _bits(col: "F.Column") -> "F.Column":
@@ -135,8 +135,16 @@ def bm25_topk(
             (
                 F.col("idf_bits")
                 * F.expr(
-                    "(22000 * tf * total) div "
-                    "(10 * total * tf + 3 * total + 9 * dl * n_docs)"
+                    # DECIMAL(38,0) intermediates: 22000*tf*total
+                    # overflows int64 around 10^10 corpus tokens (tens
+                    # of GB of text), which under ANSI mode RAISES at
+                    # the module's documented scale posture. div
+                    # (IntegralDivide) still returns BIGINT and the
+                    # quotient is bounded by 2200, so output values
+                    # and schema are unchanged.
+                    "(22000 * CAST(tf AS DECIMAL(38,0)) * total) div "
+                    "(10 * CAST(total AS DECIMAL(38,0)) * tf "
+                    " + 3 * total + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
                 )
             ).alias("contrib"),
         )
