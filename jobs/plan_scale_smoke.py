@@ -1,0 +1,178 @@
+"""100x plan smoke (VERDICT r04 item 8): does any query's PHYSICAL
+PLAN degrade when input statistics grow 1000x?
+
+For every ``__spark_entry__.queries()`` entry the query is BUILT (not
+executed) against two listings -- the sf0.01 driver testdata and a
+synthetic sf10 listing (``jobs/make_sfdata.py --mult 100`` documents/
+embeddings + the sf0.1 relational tables) -- and the pre-AQE physical
+plan is audited with ``jobs.plan_audit.audit_plan``. Planning-time
+join strategy is driven by file-size statistics, so a broadcast that
+silently flips to SortMergeJoin, a lost PushedFilters, or a new
+Exchange shows up here without paying any execution time (the
+execution-based audit is ``plan_audit.py``; its AQE caveat does not
+apply to what this smoke checks -- planning-time stats decisions).
+
+Degradations reported:
+  * SMJ grew -- SortMergeJoin count increased (a broadcast flipped)
+  * pushed lost -- a parquet scan stopped carrying PushedFilters
+  * Exchange grew -- shuffle count increased
+  * python grew -- a Python stage appeared that wasn't there
+Writes a delta section appended to PLAN_AUDIT.md.
+
+Usage: python jobs/plan_scale_smoke.py [--small DIR] [--big DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs.plan_audit import audit_plan  # noqa: E402
+
+
+# Flips adjudicated CORRECT at scale -- both join sides grow with the
+# corpus, so the sf0.01 broadcast was small-data luck and SortMergeJoin
+# is the plan a 10^12-row input SHOULD get. Keyed by query name;
+# annotated in the delta section instead of flagged.
+KNOWN_SCALE_CORRECT = {
+    # join-aggregate-back-to-corpus LeftOuters: both sides are one row
+    # per document (or per extracted node) at any scale
+    "curation_funnel": "per-doc stage flags joined back to the corpus",
+    "dedup_passages": "passage table and winner set both corpus-sized",
+    "dup_ngrams": "n-gram self-join: both sides corpus-sized",
+    "feed_entries": "entry table self-join: both sides corpus-sized",
+    "hash_embed": "per-doc vectors joined back to the corpus",
+    "incremental_dedup": "seen-hash anti-join: seen set is corpus-sized",
+    "lm_surprisal": "per-doc surprisal joined back to the corpus",
+    "microdata": "itemprop rows joined to their itemscope ancestors",
+    "paragraph_dedup": "paragraph table and winner set both corpus-sized",
+    "repetition": "per-doc stats joined back to the corpus",
+    "semdedup_text": "per-doc signature joined back to the corpus",
+    "sitemap_entries": "entry table self-join: both sides corpus-sized",
+    "xpath_lite": "relational nodes x attrs twin kept as the oracle; "
+    "the fused xpath_kernel (1 exchange, no join) is the scale shape",
+    "xpath_multi": "same as xpath_lite",
+    "nb_classify": "model is vocab x classes -- can exceed the "
+    "broadcast cap at real vocab; AQE broadcasts when it fits "
+    "(documented in the operator)",
+    # candidate/corpus joins in ANN operators: the candidate side is a
+    # bucket/cell-sized corpus FRACTION -- broadcasting it would abort
+    # past the 8 GB cap at scale (bounded query sides ARE hinted)
+    "ann_topk_batch": "cand x embeddings join: candidates are "
+    "bucket-sized (corpus fraction); query-side joins are "
+    "broadcast-hinted",
+    "bm25_topk": "candidate x doc-length join: candidates scale with "
+    "df; qterms/qidf are broadcast-hinted",
+    "ivf_topk": "cell-member semi-join: probed cells are a corpus "
+    "fraction",
+    "ivf_topk_batch": "cell-member joins: same as ivf_topk; the "
+    "bounded qid set is broadcast-hinted",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.01")
+    ap.add_argument("--big", default="/tmp/xps_sf10_full")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from xhtml_parser_spark.session import get_spark
+
+    spark = get_spark("plan_scale_smoke", master="local[8]")
+    rows = []
+    degraded = []
+    for name, fn in sorted(entry.queries().items()):
+        mm = {}
+        err = None
+        for tag, sf in (("small", args.small), ("big", args.big)):
+            try:
+                df = fn(spark, sf)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                mm[tag] = audit_plan(plan)
+            except Exception as e:  # noqa: BLE001 -- sweep must finish
+                err = f"{tag}: {str(e).splitlines()[0][:80]}"
+                break
+        if err:
+            rows.append((name, None, None, err))
+            continue
+        s, b = mm["small"], mm["big"]
+        flags = []
+        if b["smj"] > s["smj"]:
+            flags.append(f"SMJ {s['smj']}->{b['smj']} (broadcast flipped)")
+        if s["pushed"] and not b["pushed"]:
+            flags.append("PushedFilters LOST")
+        if b["exchanges"] > s["exchanges"]:
+            flags.append(f"Exchange {s['exchanges']}->{b['exchanges']}")
+        if b["python"] > s["python"]:
+            flags.append(f"python stages {s['python']}->{b['python']}")
+        rows.append((name, s, b, "; ".join(flags)))
+        if flags:
+            degraded.append((name, flags))
+        spark.catalog.clearCache()
+
+    known = [
+        (n, f, KNOWN_SCALE_CORRECT[n]) for n, f in degraded
+        if n in KNOWN_SCALE_CORRECT
+    ]
+    degraded = [(n, f) for n, f in degraded if n not in KNOWN_SCALE_CORRECT]
+
+    lines = [
+        "",
+        "## 1000x plan-delta smoke (sf0.01 -> synthetic sf10 listing, "
+        "plans only, pre-AQE)",
+        "",
+        f"Generated by `jobs/plan_scale_smoke.py` "
+        f"(big listing: `{args.big}`, 500k docs / 200k vecs). "
+        "Planning-time join strategies follow file-size stats, so "
+        "broadcast->SMJ flips and lost pushdowns surface here without "
+        "execution.",
+        "",
+    ]
+    if degraded:
+        lines.append("**UNADJUDICATED degradations (fix or justify):**")
+        lines.append("")
+        lines.append("| query | degradation |")
+        lines.append("|---|---|")
+        for name, flags in degraded:
+            lines.append(f"| {name} | {'; '.join(flags)} |")
+    else:
+        lines.append(
+            f"**No unadjudicated degradations across {len(rows)} "
+            "queries**: every broadcast->SMJ flip is either fixed "
+            "(bounded sides broadcast-hinted) or adjudicated "
+            "scale-correct below; no lost PushedFilters, no new "
+            "Python stage."
+        )
+    if known:
+        lines.append("")
+        lines.append(
+            "Stats-driven plan changes adjudicated CORRECT at scale "
+            "(the small-SF broadcast was small-data luck; SMJ is the "
+            "10^12-row plan):"
+        )
+        lines.append("")
+        lines.append("| query | change | why correct |")
+        lines.append("|---|---|---|")
+        for name, flags, why in known:
+            lines.append(f"| {name} | {'; '.join(flags)} | {why} |")
+    errs = [(n, e) for n, s, b, e in rows if s is None]
+    if errs:
+        lines.append("")
+        lines.append("Build errors (query could not be planned):")
+        for n, e in errs:
+            lines.append(f"* `{n}`: {e}")
+    with open(args.out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

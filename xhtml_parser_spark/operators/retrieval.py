@@ -118,13 +118,20 @@ def bm25_topk(
         (_bits(F.expr("n_docs div df")) - F.lit(1)).alias("idf_bits"),
     )
     qt = F.coalesce(F.col(text_col), F.lit(""))
-    qterms = query_docs.select(
-        F.col(id_col).alias("query_id"), F.explode(_words(qt)).alias("w")
-    ).distinct()
+    # the query batch is BOUNDED (operator contract), so qterms and
+    # qidf are a few thousand rows: hard-hint them broadcast -- the
+    # 1000x plan smoke showed the planner flipping both joins to
+    # SortMergeJoin once the vocab/postings stats grow, which would
+    # shuffle the corpus-sized postings just to probe a bounded set
+    qterms = F.broadcast(
+        query_docs.select(
+            F.col(id_col).alias("query_id"), F.explode(_words(qt)).alias("w")
+        ).distinct()
+    )
     # idf_bits = 0 terms can't change any score: drop them before the
     # postings join (at web scale this removes the high-df head that
     # dominates the candidate fan-out).
-    qidf = qterms.join(idf, "w").where(F.col("idf_bits") > 0)
+    qidf = F.broadcast(qterms.join(idf, "w").where(F.col("idf_bits") > 0))
     cand = (
         qidf.join(postings, "w")
         .join(dl, "doc_id")

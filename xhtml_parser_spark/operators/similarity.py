@@ -660,7 +660,10 @@ def ivf_topk_batch(
     if persist_assignments:
         asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
 
-    q = queries.select(F.col(id_col).alias("qid")).distinct()
+    # bounded query batch (operator contract): broadcast the qid set so
+    # the corpus-sized assignment table is never shuffled just to pick
+    # out the query rows (1000x plan smoke: this flipped to SMJ)
+    q = F.broadcast(queries.select(F.col(id_col).alias("qid")).distinct())
     probes = (
         asg.join(q, F.col(id_col) == F.col("qid"), "left_semi")
         .select(
@@ -793,7 +796,12 @@ def ann_topk_batch(
     buckets = hyperplane_lsh_buckets(emb, n_bits, id_col, vec_col)
     if persist_buckets:
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    q = queries.select(F.col(id_col).alias("qid")).distinct()
+    # the query-id set is BOUNDED by the operator's query-batch
+    # contract: hard-hint every join against it (the 1000x plan smoke
+    # showed the planner flipping these to SortMergeJoin once corpus
+    # file stats grow past the auto-broadcast threshold, shuffling the
+    # whole corpus to filter it by a few thousand qids)
+    q = F.broadcast(queries.select(F.col(id_col).alias("qid")).distinct())
     qb = buckets.join(q, F.col(id_col) == F.col("qid")).select("qid", "bucket")
     probes = qb.select(
         "qid",
@@ -803,7 +811,8 @@ def ann_topk_batch(
         "bucket",
     ).select("qid", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"))
     cand = (
-        buckets.join(probes, "bucket")
+        # probes = queries x probe-masks, bounded like q
+        buckets.join(F.broadcast(probes), "bucket")
         .where(F.col(id_col) != F.col("qid"))
         .select("qid", id_col)
     )
@@ -813,9 +822,12 @@ def ann_topk_batch(
     qe = e.join(q, F.col(id_col) == F.col("qid"), "left_semi").select(
         F.col(id_col).alias("qid"), F.col("qv").alias("qq")
     )
+    # cand join e stays stats-driven: candidates are bucket-sized (a
+    # corpus fraction at scale), so a hard broadcast would abort past
+    # the 8 GB cap -- SMJ is the correct strategy there at 10^12 rows
     scored = (
         cand.join(e, id_col)
-        .join(qe, "qid")
+        .join(F.broadcast(qe), "qid")
         .select("qid", id_col, dot_q(F.col("qv"), F.col("qq")).alias("dot"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col(id_col))
