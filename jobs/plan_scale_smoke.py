@@ -1,16 +1,23 @@
 """100x plan smoke (VERDICT r04 item 8): does any query's PHYSICAL
 PLAN degrade when input statistics grow 1000x?
 
-For every ``__spark_entry__.queries()`` entry the query is BUILT (not
-executed) against two listings -- the sf0.01 driver testdata and a
-synthetic sf10 listing (``jobs/make_sfdata.py --mult 100`` documents/
-embeddings + the sf0.1 relational tables) -- and the pre-AQE physical
-plan is audited with ``jobs.plan_audit.audit_plan``. Planning-time
-join strategy is driven by file-size statistics, so a broadcast that
+For every ``__spark_entry__.queries()`` entry the query is BUILT
+against two listings -- the sf0.01 driver testdata and a synthetic
+sf10 listing (``jobs/make_sfdata.py --mult 100`` documents/embeddings
++ the sf0.1 relational tables) -- and the pre-AQE physical plan is
+audited with ``jobs.plan_audit.audit_plan``. Planning-time join
+strategy is driven by file-size statistics, so a broadcast that
 silently flips to SortMergeJoin, a lost PushedFilters, or a new
-Exchange shows up here without paying any execution time (the
-execution-based audit is ``plan_audit.py``; its AQE caveat does not
-apply to what this smoke checks -- planning-time stats decisions).
+Exchange shows up here. Declarative queries pay no execution time;
+the execution-based audit is ``plan_audit.py`` (its AQE caveat does
+not apply to the planning-time stats decisions checked here).
+
+CAVEAT: queries with bounded DRIVER LOOPS are not plans-only --
+building them runs their loop (kmeans/BPE collects, the eager
+localCheckpoints of dedup_clusters / host_pagerank / connected
+components), so those execute at sf10 during the sweep. Their loops
+are bounded by design (that is their scale contract), but budget
+minutes, not seconds, for the sweep.
 
 Degradations reported:
   * SMJ grew -- SortMergeJoin count increased (a broadcast flipped)
@@ -132,7 +139,9 @@ def main() -> None:
         f"(big listing: `{args.big}`, 500k docs / 200k vecs). "
         "Planning-time join strategies follow file-size stats, so "
         "broadcast->SMJ flips and lost pushdowns surface here without "
-        "execution.",
+        "executing the declarative queries (driver-loop operators do "
+        "run their bounded loops during plan build; see the script "
+        "docstring).",
         "",
     ]
     if degraded:

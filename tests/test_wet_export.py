@@ -120,3 +120,44 @@ def test_warc_export_roundtrip(spark, tmp_path):
 def test_wet_export_validates(spark, extracted, tmp_path):
     with pytest.raises(ValueError, match="n_shards"):
         wet_export(extracted, str(tmp_path / "x"), n_shards=0)
+
+
+def test_wet_duplicate_urls_deterministic_and_null_handling(spark, tmp_path):
+    """Duplicate urls (same page fetched twice) sort on the total
+    (url, ts, payload) key so re-runs stay byte-identical; null url
+    rows are dropped (unaddressable record), null payload becomes an
+    empty block, null ts stamps the epoch."""
+    rows = [
+        ("http://dup.test/", TS, b"second"),
+        ("http://dup.test/", TS, b"first"),
+        ("http://dup.test/", datetime.datetime(2020, 1, 1), b"zz-earliest"),
+        (None, TS, b"dropped"),
+        ("http://nullpayload.test/", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text binary"
+    )
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        lineage = wet_export(
+            df.repartition(4) if name == "b" else df,
+            out, n_shards=1, ts_col="warc_ts",
+        ).collect()
+        assert sum(r["records"] for r in lineage) == 4  # null url dropped
+        outs.append(out)
+    f1 = sorted(glob.glob(os.path.join(outs[0], "*.gz")))
+    f2 = sorted(glob.glob(os.path.join(outs[1], "*.gz")))
+    for a, b in zip(f1, f2):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read()
+    recs = [
+        (r["url"], r["ts"], bytes(r["text"]))
+        for r in read_wet(spark, outs[0]).collect()
+    ]
+    dup = [r for r in recs if r[0] == "http://dup.test/"]
+    # shard-internal order is the total sort key: earliest ts first,
+    # then payload bytes
+    assert [r[2] for r in dup] == [b"zz-earliest", b"first", b"second"]
+    null_p = next(r for r in recs if r[0] == "http://nullpayload.test/")
+    assert null_p[2] == b"" and null_p[1] == datetime.datetime(1970, 1, 1)

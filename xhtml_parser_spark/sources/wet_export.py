@@ -55,7 +55,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_EPOCH = datetime.datetime(1970, 1, 1)
+from .warc import _EPOCH
 
 _LINEAGE_SCHEMA = (
     "shard int, path string, records bigint, block_bytes bigint, "
@@ -77,11 +77,24 @@ def _shard_writer(out_dir: str, kind: str, n_shards: int):
 
     def run(key, pdf):
         shard = int(key[0])
-        pdf = pdf.sort_values("url", kind="mergesort")
+        # total sort key: duplicate urls (same page fetched twice --
+        # routine in crawl data) would otherwise keep their
+        # shuffle-arrival order and break byte-determinism. Null
+        # payloads normalize to b"" first (None is not orderable
+        # against bytes).
+        pdf = pdf.assign(
+            payload=[p if p is not None else b"" for p in pdf["payload"]]
+        ).sort_values(["url", "_ts_us", "payload"], kind="mergesort")
         rows = []
         block_bytes = 0
-        for url, ts, payload in zip(pdf["url"], pdf["ts"], pdf["payload"]):
-            t = ts.to_pydatetime() if ts is not None and not pd.isna(ts) else _EPOCH
+        for url, ts_us, payload in zip(
+            pdf["url"], pdf["_ts_us"], pdf["payload"]
+        ):
+            # epoch micros -> UTC instant, tz-proof: PySpark delivers
+            # TimestampType as tz-NAIVE values in the session timezone,
+            # which _format_ts would mislabel 'Z' on a non-UTC session
+            # (the warc._write_shards lesson)
+            t = _EPOCH + datetime.timedelta(microseconds=int(ts_us))
             b = bytes(payload) if payload is not None else b""
             rows.append((url, t, b))
             block_bytes += len(b)
@@ -114,19 +127,26 @@ def _export(
 ) -> DataFrame:
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    ts = (
-        F.col(ts_col).cast("timestamp")
+    # timestamps travel as epoch MICROS (an instant), never as
+    # TimestampType rows: the row path converts to naive session-local
+    # datetimes and _format_ts would stamp the wrong instant on any
+    # non-UTC session. Null ts -> epoch (deterministic default).
+    ts_us = (
+        F.coalesce(F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(0))
         if ts_col is not None
-        else F.lit(_EPOCH).cast("timestamp")
+        else F.lit(0).cast("bigint")
     )
     staged = df.select(
         F.col(url_col).cast("string").alias("url"),
-        ts.alias("ts"),
+        ts_us.alias("_ts_us"),
         F.col(payload_col).cast("binary").alias("payload"),
         F.pmod(F.crc32(F.col(url_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
-    )
+        # a WARC record cannot be addressed without a target URI:
+        # null-url rows are dropped, documented in the public
+        # docstrings (count them upstream if they matter)
+    ).where(F.col("url").isNotNull())
     return staged.groupBy("shard").applyInPandas(
         _shard_writer(out_dir, kind, n_shards), _LINEAGE_SCHEMA
     )
@@ -145,8 +165,12 @@ def wet_export(
     lineage DataFrame — materialize it (``.collect()``) to run the
     export; lineage record/byte totals must reconcile with the input.
 
-    ``ts_col`` (optional) supplies WARC-Date; absent, the epoch is
-    used so the output stays deterministic."""
+    ``ts_col`` (optional) supplies WARC-Date (shipped as epoch micros,
+    so the stamped instant is correct on any session timezone); absent
+    or null, the epoch is used so the output stays deterministic.
+    Rows with a null url are DROPPED (a WARC record cannot be
+    addressed without a target URI) — count them upstream if they
+    matter."""
     return _export(extracted, out_dir, n_shards, "wet", url_col, text_col, ts_col)
 
 
