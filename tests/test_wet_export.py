@@ -117,6 +117,35 @@ def test_warc_export_roundtrip(spark, tmp_path):
         assert got[r["url"]] == bytes(r["html"])
 
 
+def test_wet_resume_skips_committed_shards(spark, extracted, tmp_path):
+    """resume=True: shards whose final file exists are not rewritten
+    (mtime unchanged), missing shards are completed, lineage covers
+    all shards either way, and the completed output is byte-identical
+    to a fresh full export."""
+    out = str(tmp_path / "wet")
+    wet_export(extracted, out, n_shards=4, ts_col="warc_ts").collect()
+    files = sorted(glob.glob(os.path.join(out, "*.gz")))
+    assert len(files) == 4
+    # simulate a crash that lost two shards
+    victims, survivors = files[:2], files[2:]
+    for f in victims:
+        os.remove(f)
+    marks = {f: os.stat(f).st_mtime_ns for f in survivors}
+    lineage = wet_export(
+        extracted, out, n_shards=4, ts_col="warc_ts", resume=True
+    ).collect()
+    assert sum(r["records"] for r in lineage) == extracted.count()
+    for f in survivors:  # untouched, not rewritten
+        assert os.stat(f).st_mtime_ns == marks[f]
+    # completed output equals a fresh full export byte-for-byte
+    ref = str(tmp_path / "ref")
+    wet_export(extracted, ref, n_shards=4, ts_col="warc_ts").collect()
+    for f in sorted(glob.glob(os.path.join(out, "*.gz"))):
+        r = os.path.join(ref, os.path.basename(f))
+        with open(f, "rb") as fa, open(r, "rb") as fb:
+            assert fa.read() == fb.read(), os.path.basename(f)
+
+
 def test_wet_export_validates(spark, extracted, tmp_path):
     with pytest.raises(ValueError, match="n_shards"):
         wet_export(extracted, str(tmp_path / "x"), n_shards=0)

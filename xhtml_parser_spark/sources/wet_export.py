@@ -63,10 +63,14 @@ _LINEAGE_SCHEMA = (
 )
 
 
-def _shard_writer(out_dir: str, kind: str, n_shards: int):
+def _shard_writer(out_dir: str, kind: str, n_shards: int, resume: bool):
     """Per-shard pandas writer (runs in the executor): sorts the shard
     by url, writes one deterministic archive via tmp+rename, yields
-    one lineage row."""
+    one lineage row. With ``resume``, a shard whose final file already
+    exists is SKIPPED (sound because the bytes are a pure function of
+    the input — the existing file is what this task would write); its
+    lineage row is computed from the staged rows, and the atomic
+    rename means a crashed task never leaves a partial final file."""
     import pandas as pd  # noqa: PLC0415 (worker-side)
 
     from .warc import write_warc_gz, write_wet_gz
@@ -100,14 +104,16 @@ def _shard_writer(out_dir: str, kind: str, n_shards: int):
             block_bytes += len(b)
         os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"part-{shard:0{width}d}.{ext}")
-        tmp = final + f".tmp-{os.getpid()}"
-        n = write_one(tmp, rows)
-        os.replace(tmp, final)
+        if not (resume and os.path.exists(final)):
+            tmp = final + f".tmp-{os.getpid()}"
+            n = write_one(tmp, rows)
+            assert n == len(rows)
+            os.replace(tmp, final)
         return pd.DataFrame(
             {
                 "shard": [shard],
                 "path": [final],
-                "records": [n],
+                "records": [len(rows)],
                 "block_bytes": [block_bytes],
                 "file_bytes": [os.path.getsize(final)],
             }
@@ -124,6 +130,7 @@ def _export(
     url_col: str,
     payload_col: str,
     ts_col: str | None,
+    resume: bool = False,
 ) -> DataFrame:
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -148,7 +155,7 @@ def _export(
         # docstrings (count them upstream if they matter)
     ).where(F.col("url").isNotNull())
     return staged.groupBy("shard").applyInPandas(
-        _shard_writer(out_dir, kind, n_shards), _LINEAGE_SCHEMA
+        _shard_writer(out_dir, kind, n_shards, resume), _LINEAGE_SCHEMA
     )
 
 
@@ -159,6 +166,7 @@ def wet_export(
     url_col: str = "url",
     text_col: str = "text",
     ts_col: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Export extracted text as sharded WET archives
     (``part-<shard>.warc.wet.gz``, ``conversion`` records). Returns the
@@ -170,8 +178,17 @@ def wet_export(
     or null, the epoch is used so the output stays deterministic.
     Rows with a null url are DROPPED (a WARC record cannot be
     addressed without a target URI) — count them upstream if they
-    matter."""
-    return _export(extracted, out_dir, n_shards, "wet", url_col, text_col, ts_col)
+    matter.
+
+    ``resume=True`` skips any shard whose final archive already exists
+    — sound because the bytes are a pure function of the input, and a
+    crashed task never leaves a partial final file (tmp + atomic
+    rename). The shard's rows are still shuffled and staged (the
+    upstream compute is paid); what's saved is the gzip + the write,
+    which is what matters when out_dir is remote object storage."""
+    return _export(
+        extracted, out_dir, n_shards, "wet", url_col, text_col, ts_col, resume
+    )
 
 
 def warc_export(
@@ -181,12 +198,15 @@ def warc_export(
     url_col: str = "url",
     html_col: str = "html",
     ts_col: str | None = "warc_ts",
+    resume: bool = False,
 ) -> DataFrame:
     """Export raw pages as sharded WARC archives (``response`` records
     with a minimal HTTP/1.1 envelope, the CC packaging) — re-emitting
     a filtered/deduplicated corpus for interchange. Same contract as
-    ``wet_export``."""
-    return _export(pages, out_dir, n_shards, "warc", url_col, html_col, ts_col)
+    ``wet_export`` (incl. ``resume`` shard skip)."""
+    return _export(
+        pages, out_dir, n_shards, "warc", url_col, html_col, ts_col, resume
+    )
 
 
 def read_wet(spark, path: str, num_partitions: int | None = None) -> DataFrame:
