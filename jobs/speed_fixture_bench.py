@@ -47,6 +47,26 @@ def _time_parse(fn, data: bytes, repeats: int) -> float:
     return best / 1e3  # us
 
 
+def _time_parse_only(data: bytes, repeats: int) -> float:
+    """cp.parse_only: run_parse and free, nothing extracted or
+    marshalled -- the apples-to-apples twin of the reference's speed
+    test (Document::new builds the tree and RETURNS; the published
+    1.69 GB/s pays no text extraction). The stats differential
+    (test_accel.py::test_parse_only_probe_stats_match_parse_texts)
+    pins the probe to the shipped parse."""
+    from xhtml_parser_spark.kernel.parser import _get_cparser
+
+    cp = _get_cparser()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter_ns()
+        ok = cp.parse_only(data)[0]
+        dt = time.perf_counter_ns() - t0
+        assert ok
+        best = min(best, dt)
+    return best / 1e3
+
+
 def _time_hot(data: bytes, repeats: int) -> float:
     """parse_texts: the pipeline hot path (packed C parse + extraction,
     NO Python-list materialization of the node arrays -- what
@@ -74,26 +94,31 @@ def main() -> None:
     out: dict = {"files": {}}
     tot_bytes = 0
     tot_hot_us = 0.0
+    tot_po_us = 0.0
     tot_c_us = 0.0
     tot_py_us = 0.0
     for f in sorted(FIXTURES.glob("*.xhtml")):
         data = f.read_bytes()
         repeats = max(5, int(2_000_000 / max(len(data), 1)))
         hot_us = _time_hot(data, repeats) if have_c else None
+        po_us = _time_parse_only(data, repeats) if have_c else None
         c_us = _time_parse(parse_document, data, repeats) if have_c else None
         py_us = _time_parse(parse_document_pure, data, max(3, repeats // 10))
         out["files"][f.name] = {
             "bytes": len(data),
             "hot_us": round(hot_us, 1) if hot_us is not None else None,
+            "parse_only_us": round(po_us, 1) if po_us is not None else None,
             "c_us": round(c_us, 1) if c_us is not None else None,
             "py_us": round(py_us, 1),
         }
         tot_bytes += len(data)
         tot_hot_us += hot_us or 0.0
+        tot_po_us += po_us or 0.0
         tot_c_us += c_us or 0.0
         tot_py_us += py_us
     if have_c:
         out["hot_mb_per_sec"] = round(tot_bytes / tot_hot_us, 2)
+        out["parse_only_mb_per_sec"] = round(tot_bytes / tot_po_us, 2)
         out["c_api_mb_per_sec"] = round(tot_bytes / tot_c_us, 2)
     out["py_mb_per_sec"] = round(tot_bytes / tot_py_us, 2)
     out["ref_mb_per_sec"] = round(REF_MB_PER_SEC, 2)

@@ -220,6 +220,34 @@ def test_golden_fixtures_agree() -> None:
         _assert_same(f.read_bytes())
 
 
+def test_parse_only_probe_stats_match_parse_texts() -> None:
+    """The parse_only bench probe (no extraction, no marshal — the
+    apples-to-apples twin of the reference's Document::new speed test)
+    must report identical ok/error/stats to parse_texts on every
+    fixture and on negatives: same run_parse by construction, pinned
+    here so the probe can never drift from the shipped path."""
+    import pathlib
+
+    cp = _get_cparser()
+    cases = [
+        f.read_bytes()
+        for f in (pathlib.Path(__file__).parent / "fixtures").rglob("*.xhtml")
+    ]
+    cases += [b"", b"<r>a&amp;b</r>", b"<r><unclosed>", b"junk", b"<a x='1' x='2'/>"]
+    checked = 0
+    for xml in cases:
+        po = cp.parse_only(xml)
+        pt = cp.parse_texts(xml)
+        # parse_texts: (ok, code, pos, aux, buf, text, mtext,
+        #               n_nodes, n_attrs, n_text, max_d)
+        ok, code, pos = pt[0], pt[1], pt[2]
+        stats = pt[7:11]
+        assert po[0] == ok and po[1] == code and po[2] == pos, xml[:40]
+        assert tuple(po[3:7]) == tuple(stats), xml[:40]
+        checked += 1
+    assert checked > 20  # the fixture corpus actually enumerated
+
+
 def test_accel_builds_from_zipimport(tmp_path):
     """Workers that import the package from an addPyFile zip must still
     get the C kernel: the accel loader reads _cparser.c via pkgutil

@@ -969,6 +969,40 @@ done:
     return result;
 }
 
+/* parse-only probe: run_parse and free, nothing extracted or
+ * marshalled -- the apples-to-apples counterpart of the reference's
+ * speed test (Document::new builds the tree and returns; its
+ * published GB/s pays no text extraction). Used by
+ * jobs/speed_fixture_bench.py for the baseline comparison; NOT a
+ * pipeline path. Returns (ok, err_code, err_pos, n_nodes, n_attrs,
+ * n_text, max_depth) -- stats identical to parse_texts by
+ * construction (same run_parse), pinned by a differential test. */
+static PyObject *py_parse_only(PyObject *self, PyObject *args) {
+    Py_buffer in;
+    if (!PyArg_ParseTuple(args, "y*", &in)) return NULL;
+    if (in.len > INT32_MAX / 2) {
+        PyBuffer_Release(&in);
+        Py_RETURN_NONE;
+    }
+    ctx_t c; int rc;
+    if (run_parse(&in, &c, &rc) != 0) { free_ctx(&c); return NULL; }
+    PyObject *result = NULL;
+    if (rc != 0 && c.err_code == E_NOMEM) { PyErr_NoMemory(); goto done; }
+    if (rc == 0) {
+        result = Py_BuildValue(
+            "(iiLLLLL)", 1, 0, (long long)0,
+            (long long)(c.kind.n - 1), (long long)c.a_ns.n,
+            (long long)c.n_text, (long long)c.max_d);
+    } else {
+        result = Py_BuildValue(
+            "(iiLLLLL)", 0, c.err_code, (long long)c.err_pos,
+            (long long)0, (long long)0, (long long)0, (long long)0);
+    }
+done:
+    free_ctx(&c);
+    return result;
+}
+
 static PyObject *py_parse(PyObject *self, PyObject *args) {
     Py_buffer in;
     if (!PyArg_ParseTuple(args, "y*", &in)) return NULL;
@@ -1028,6 +1062,9 @@ static PyMethodDef methods[] = {
      "parse(xml: bytes) -> packed-array DOM tuple (see kernel/parser.py)"},
     {"parse_texts", py_parse_texts, METH_VARARGS,
      "parse_texts(xml: bytes) -> texts-only tuple (no node-array marshal)"},
+    {"parse_only", py_parse_only, METH_VARARGS,
+     "parse_only(xml: bytes) -> (ok, err_code, err_pos, n_nodes, "
+     "n_attrs, n_text, max_depth); bench probe, no extraction"},
     {NULL, NULL, 0, NULL},
 };
 
