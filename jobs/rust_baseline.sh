@@ -42,7 +42,16 @@ src = src.replace('memchr = { version = "2.7.4", default-features = false }',
                   'memchr = { path = "stubs/memchr", default-features = false }')
 src = src.replace('phf = { version = "0.12", features = ["macros"] }',
                   'phf = { path = "stubs/phf", features = ["macros"] }')
-src = re.sub(r'\[dev-dependencies\][^\[]*', '', src)  # need the registry
+# dev-deps: keep the path-local test_support, stub the registry-only
+# timelapse profiler -- this lets the reference's OWN test suite
+# (negative corpus + byte-identity goldens) run against the stub build
+src = re.sub(
+    r'\[dev-dependencies\][^\[]*',
+    '[dev-dependencies]\n'
+    'test_support = { path = "./tests/test_support" }\n'
+    'timelapse = { path = "stubs/timelapse" }\n\n',
+    src,
+)
 open(p, "w").write(src)
 EOF
 
@@ -69,6 +78,10 @@ EOF
     --manifest-path bench_harness/Cargo.toml >/dev/null 2>&1)
 BIN="$BUILD/bench_harness/target/release/bench_harness"
 FIX="$REF/tests/test_data/speed_test/test_case"
+
+echo "== reference's OWN test suite against the stub build"
+(cd "$BUILD" && cargo test --release --offline 2>&1 |
+    grep -E "^test result" ) || { echo "REFERENCE TESTS FAILED"; exit 1; }
 
 echo "== output-equivalence check (stub build vs repo kernel)"
 taskset -c "$CORE" "$BIN" "$FIX/large.xhtml" verify
