@@ -2,6 +2,10 @@ use xhtml_parser::document::Document;
 
 fn main() {
     let args: Vec<String> = std::env::args().collect();
+    if args.len() > 1 && args[1] == "--pipe" {
+        pipe_mode();
+        return;
+    }
     let file = &args[1];
     let mode = if args.len() > 2 { args[2].clone() } else { "cold".into() };
     let contents = std::fs::read(file).expect("read");
@@ -37,5 +41,36 @@ fn main() {
             if d < best { best = d; }
         }
         println!("{}", best);
+    }
+}
+
+// pipe mode (differential fuzzing): read length-prefixed documents on
+// stdin, answer with length-prefixed results -- "OK " + the Debug
+// tree (the same formatter the golden .result files pin) on success,
+// "ERR " + the error Debug on failure. Used by
+// jobs/fuzz_vs_reference.py to compare the repo kernels against the
+// reference's own binary on millions of random documents.
+
+fn pipe_mode() {
+    use std::io::{Read, Write};
+    let mut stdin = std::io::stdin().lock();
+    let mut stdout = std::io::stdout().lock();
+    let mut len_buf = [0u8; 4];
+    loop {
+        match stdin.read_exact(&mut len_buf) {
+            Ok(()) => {}
+            Err(_) => break, // EOF
+        }
+        let n = u32::from_le_bytes(len_buf) as usize;
+        let mut doc = vec![0u8; n];
+        stdin.read_exact(&mut doc).expect("doc body");
+        let out = match Document::new(doc) {
+            Ok(d) => format!("OK {:#?}", d),
+            Err(e) => format!("ERR {:?}", e),
+        };
+        let ob = out.as_bytes();
+        stdout.write_all(&(ob.len() as u32).to_le_bytes()).unwrap();
+        stdout.write_all(ob).unwrap();
+        stdout.flush().unwrap();
     }
 }
