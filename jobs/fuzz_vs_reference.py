@@ -10,12 +10,14 @@ and the reference parser itself (built by jobs/rust_baseline.sh,
 ``--pipe`` mode: length-prefixed docs in, ``OK <Debug tree>`` /
 ``ERR <error Debug>`` out) and fails on the first byte difference.
 
-Scope: documents that PARSE on the repo kernel (error-path message
-parity is separately pinned by the 75-case negative corpus, where the
-expected messages come from the reference's own asserts). Documents
-containing raw CR in text are skipped (reference UB -> documented
-UnsupportedCR deviation, kernel/parser.py), as are docs our parser
-rejects.
+Both outcomes are compared: parsing documents by full Debug tree,
+rejecting documents by the error Debug (``InvalidXml("<msg>")`` --
+our ``error_msg`` is the reference's message with its ``Invalid
+XML: `` Display prefix, so the mapping strips the prefix and applies
+Rust's Debug string escaping). Documents containing raw CR are
+skipped (reference UB -> documented UnsupportedCR deviation,
+kernel/parser.py), as are the two documented error-behavior
+deviations (error classes UnsupportedCR / AttrNormCorruption).
 
 Usage:
   bash jobs/rust_baseline.sh          # build the reference first
@@ -62,9 +64,16 @@ def main() -> None:
         n = struct.unpack("<I", proc.stdout.read(4))[0]
         return proc.stdout.read(n)
 
+    from xhtml_parser_spark.kernel.document import _rust_str_debug
+
+    def rust_debug_str(s: str) -> str:
+        """Rust Debug escaping via the kernel's measured-exact
+        _rust_str_debug (quotes stripped -- the caller adds them)."""
+        return _rust_str_debug(s)[1:-1]
+
     rng = random.Random(args.seed)
     t0 = time.time()
-    n = skipped = compared = 0
+    n = skipped = compared = err_compared = 0
     while time.time() - t0 < args.seconds:
         doc = _gen_doc(rng)
         n += 1
@@ -72,10 +81,17 @@ def main() -> None:
             skipped += 1
             continue
         ours = parse_document(doc)
-        if not ours.ok:
+        if ours.ok:
+            want = ("OK " + debug_format(ours)).encode()
+        elif ours.error_class == "InvalidXml" and ours.error_msg.startswith(
+            "Invalid XML: "
+        ):
+            msg = ours.error_msg[len("Invalid XML: "):]
+            want = f'ERR InvalidXml("{rust_debug_str(msg)}")'.encode()
+            err_compared += 1
+        else:  # documented deviations (UnsupportedCR etc.)
             skipped += 1
             continue
-        want = ("OK " + debug_format(ours)).encode()
         got = ref_parse(doc)
         if got != want:
             # show the first divergence with context
@@ -92,7 +108,8 @@ def main() -> None:
     proc.wait()
     print(
         f"OK: {compared} documents byte-identical vs the reference binary "
-        f"({n} generated, {skipped} skipped: CR/parse-error, "
+        f"({err_compared} of them on the error path; {n} generated, "
+        f"{skipped} skipped: raw-CR / deviation classes, "
         f"{args.seconds:.0f}s, seed {args.seed})"
     )
 

@@ -104,6 +104,30 @@ def test_is_empty_and_last_node_idx():
     assert last_node_idx(doc) == 1
 
 
+def test_rust_str_debug_escaping_matches_reference_binary():
+    """_rust_str_debug's escape set was measured against the stub-built
+    reference binary's own {:?} formatter across every codepoint
+    (jobs/fuzz_vs_reference.py sweep, BENCH.md round 5). Pin the
+    representatives of each rule here so the tables cannot drift:
+    grapheme-extended escaped (Mn, and the Other_Grapheme_Extend
+    spacing marks the category check misses), format chars and NBSP
+    escaped, newer-UCD codepoints Python calls unassigned NOT escaped,
+    ordinary printable non-ASCII raw."""
+    from xhtml_parser_spark.kernel.document import _rust_str_debug
+
+    cases = {
+        "á": '"a\\u{301}"',     # combining acute (Mn)
+        "া": '"\\u{9be}"',       # Bengali AA (Mc, Other_Graph_Ext)
+        "‬": '"\\u{202c}"',      # pop-directional (Cf) — euro quirk
+        " ": '"\\u{a0}"',        # NBSP (Zs, non-space separator)
+        "࢏": '"࢏"',         # assigned in newer UCD: raw
+        "é※☃": '"é※☃"',               # printable non-ASCII: raw
+        'q"\\\n\t\r\0': '"q\\"\\\\\\n\\t\\r\\0"',
+    }
+    for s, want in cases.items():
+        assert _rust_str_debug(s) == want, (s, _rust_str_debug(s))
+
+
 def test_get_xml_content_post_mutation():
     """get_xml_content (src/document.rs:238-242) returns the parse-
     mutated buffer: same length as the input, with entity bytes

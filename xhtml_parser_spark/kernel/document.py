@@ -473,12 +473,93 @@ def last_descendant(doc: ParsedDoc, node_idx: int) -> Optional[int]:
 # ---------------------------------------------------------------------------
 
 
+# Rust's str Debug escapes a char when it is NOT printable per the
+# stdlib's unicode-printable table OR when it is Grapheme_Extend (the
+# escape_grapheme_extended=true arm of escape_debug_ext). Python's
+# str.isprintable() + category in (Mn, Me) approximates that pair; the
+# two exception tables below are the EXACT measured delta vs the
+# reference binary itself -- every codepoint >= 0x80 was swept through
+# the stub-built reference's {:?} formatter (jobs/rust_baseline.sh
+# --pipe; 1.11 M probes, zero parse failures) and diffed against the
+# approximation. _DEBUG_ESC_EXTRA (41 ranges) = Rust escapes but the
+# approximation would not: Other_Grapheme_Extend spacing marks
+# (U+09BE Bengali AA, U+09D7 AU-length-mark, ...). _DEBUG_ESC_NOT
+# (115 ranges) = the approximation escapes but Rust does not:
+# codepoints assigned in the reference toolchain's newer UCD that this
+# Python's unicodedata still reports unassigned (U+088F, new CJK
+# extensions, ...).
+_DEBUG_ESC_EXTRA = (
+    (0x9BE, 0x9BE), (0x9D7, 0x9D7), (0xB3E, 0xB3E), (0xB57, 0xB57),
+    (0xBBE, 0xBBE), (0xBD7, 0xBD7), (0xCC0, 0xCC0), (0xCC2, 0xCC2),
+    (0xCC7, 0xCC8), (0xCCA, 0xCCB), (0xCD5, 0xCD6), (0xD3E, 0xD3E),
+    (0xD57, 0xD57), (0xDCF, 0xDCF), (0xDDF, 0xDDF), (0x1715, 0x1715),
+    (0x1734, 0x1734), (0x1B35, 0x1B35), (0x1B3B, 0x1B3B), (0x1B3D, 0x1B3D),
+    (0x1B43, 0x1B44), (0x1BAA, 0x1BAA), (0x1BF2, 0x1BF3), (0x302E, 0x302F),
+    (0xA953, 0xA953), (0xA9C0, 0xA9C0), (0xFF9E, 0xFF9F),
+    (0x111C0, 0x111C0), (0x11235, 0x11235), (0x1133E, 0x1133E),
+    (0x1134D, 0x1134D), (0x11357, 0x11357), (0x114B0, 0x114B0),
+    (0x114BD, 0x114BD), (0x115AF, 0x115AF), (0x116B6, 0x116B6),
+    (0x11930, 0x11930), (0x1193D, 0x1193D), (0x16FF0, 0x16FF1),
+    (0x1D165, 0x1D166), (0x1D16D, 0x1D172),
+)
+_DEBUG_ESC_NOT = (
+    (0x88F, 0x88F), (0xC5C, 0xC5C), (0xCDC, 0xCDC), (0xCF3, 0xCF3),
+    (0x1B4E, 0x1B4F), (0x1B7F, 0x1B7F), (0x1C89, 0x1C8A), (0x20C1, 0x20C1),
+    (0x2427, 0x2429), (0x2B96, 0x2B96), (0x2FFC, 0x2FFF), (0x31E4, 0x31E5),
+    (0x31EF, 0x31EF), (0xA7CB, 0xA7CF), (0xA7D2, 0xA7D2), (0xA7D4, 0xA7D4),
+    (0xA7DA, 0xA7DC), (0xA7F1, 0xA7F1), (0xFBC3, 0xFBD2), (0xFD90, 0xFD91),
+    (0xFDC8, 0xFDCE), (0x105C0, 0x105F3), (0x10940, 0x10959),
+    (0x10D40, 0x10D65), (0x10D6E, 0x10D85), (0x10D8E, 0x10D8F),
+    (0x10EC2, 0x10EC7), (0x10ED0, 0x10ED8), (0x1123F, 0x11240),
+    (0x11380, 0x11389), (0x1138B, 0x1138B), (0x1138E, 0x1138E),
+    (0x11390, 0x113B5), (0x113B7, 0x113B7), (0x113B9, 0x113BA),
+    (0x113CA, 0x113CA), (0x113CC, 0x113CD), (0x113D1, 0x113D1),
+    (0x113D3, 0x113D5), (0x113D7, 0x113D8), (0x116D0, 0x116E3),
+    (0x1171E, 0x1171E), (0x11B00, 0x11B09), (0x11B61, 0x11B61),
+    (0x11B65, 0x11B65), (0x11B67, 0x11B67), (0x11BC0, 0x11BE1),
+    (0x11BF0, 0x11BF9), (0x11DB0, 0x11DDB), (0x11DE0, 0x11DE9),
+    (0x11F02, 0x11F10), (0x11F12, 0x11F35), (0x11F3E, 0x11F3F),
+    (0x11F43, 0x11F59), (0x1342F, 0x1342F), (0x13441, 0x13446),
+    (0x13460, 0x143FA), (0x16100, 0x1611D), (0x1612A, 0x1612C),
+    (0x16130, 0x16139), (0x16D40, 0x16D79), (0x16EA0, 0x16EB8),
+    (0x16EBB, 0x16ED3), (0x16FF2, 0x16FF6), (0x187F8, 0x187FF),
+    (0x18CFF, 0x18CFF), (0x18D09, 0x18D1E), (0x18D80, 0x18DF2),
+    (0x1B132, 0x1B132), (0x1B155, 0x1B155), (0x1CC00, 0x1CCFC),
+    (0x1CD00, 0x1CEB3), (0x1CEBA, 0x1CED0), (0x1CEE0, 0x1CEF0),
+    (0x1D2C0, 0x1D2D3), (0x1DF25, 0x1DF2A), (0x1E030, 0x1E06D),
+    (0x1E4D0, 0x1E4EB), (0x1E4F0, 0x1E4F9), (0x1E5D0, 0x1E5ED),
+    (0x1E5F0, 0x1E5FA), (0x1E5FF, 0x1E5FF), (0x1E6C0, 0x1E6DE),
+    (0x1E6E0, 0x1E6E2), (0x1E6E4, 0x1E6E5), (0x1E6E7, 0x1E6ED),
+    (0x1E6F0, 0x1E6F4), (0x1E6FE, 0x1E6FF), (0x1F6D8, 0x1F6D8),
+    (0x1F6DC, 0x1F6DC), (0x1F774, 0x1F77F), (0x1F7D9, 0x1F7D9),
+    (0x1F8B2, 0x1F8BB), (0x1F8C0, 0x1F8C1), (0x1F8D0, 0x1F8D8),
+    (0x1FA54, 0x1FA57), (0x1FA75, 0x1FA77), (0x1FA87, 0x1FA8A),
+    (0x1FA8E, 0x1FA8F), (0x1FAAD, 0x1FAAF), (0x1FABB, 0x1FABF),
+    (0x1FAC6, 0x1FAC6), (0x1FAC8, 0x1FAC8), (0x1FACD, 0x1FACF),
+    (0x1FADA, 0x1FADC), (0x1FADF, 0x1FADF), (0x1FAE8, 0x1FAEA),
+    (0x1FAEF, 0x1FAEF), (0x1FAF7, 0x1FAF8), (0x1FBCB, 0x1FBEF),
+    (0x1FBFA, 0x1FBFA), (0x2B739, 0x2B73F), (0x2CEA2, 0x2CEAD),
+    (0x2EBF0, 0x2EE5D), (0x31350, 0x33479),
+)
+
+
+def _in_ranges(o: int, table) -> bool:
+    import bisect
+
+    i = bisect.bisect_right(table, (o, 0x110000)) - 1
+    return i >= 0 and table[i][0] <= o <= table[i][1]
+
+
 def _rust_str_debug(s: str) -> str:
     """Rust ``{:?}`` formatting of a str: escape_debug per char inside
-    double quotes. Printability matches Rust's unicode-printable table
-    closely enough for the fixture corpus (ASCII + Latin letters)."""
+    double quotes (src/document.rs Debug impl renders tag_name this
+    way). Byte-exact vs the reference binary across the full codepoint
+    space (measured sweep; see the exception tables above)."""
+    import unicodedata
+
     out = ['"']
     for ch in s:
+        o = ord(ch)
         if ch == '"':
             out.append('\\"')
         elif ch == "\\":
@@ -491,10 +572,16 @@ def _rust_str_debug(s: str) -> str:
             out.append("\\t")
         elif ch == "\0":
             out.append("\\0")
-        elif ch.isprintable():
+        elif o < 0x80:
+            out.append(ch if ch.isprintable() else f"\\u{{{o:x}}}")
+        elif _in_ranges(o, _DEBUG_ESC_EXTRA):
+            out.append(f"\\u{{{o:x}}}")
+        elif _in_ranges(o, _DEBUG_ESC_NOT):
             out.append(ch)
+        elif not ch.isprintable() or unicodedata.category(ch) in ("Mn", "Me"):
+            out.append(f"\\u{{{o:x}}}")
         else:
-            out.append(f"\\u{{{ord(ch):x}}}")
+            out.append(ch)
     out.append('"')
     return "".join(out)
 
