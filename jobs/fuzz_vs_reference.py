@@ -19,9 +19,17 @@ skipped (reference UB -> documented UnsupportedCR deviation,
 kernel/parser.py), as are the two documented error-behavior
 deviations (error classes UnsupportedCR / AttrNormCorruption).
 
+``--profile`` selects a reference feature profile (default /
+trim_pcdata / keep_ws_only_pcdata / no_feature): the harness builds
+the reference with the matching cargo features (per-profile target
+dir) and passes the matching kwargs to the repo kernel. Under
+``no_feature`` (parse_escapes off) raw-CR handling is DEFINED
+(CR/CRLF -> LF), so CR documents are compared rather than skipped.
+
 Usage:
   bash jobs/rust_baseline.sh          # build the reference first
   python jobs/fuzz_vs_reference.py [--seconds 60] [--seed 0]
+      [--profile default]
 """
 
 from __future__ import annotations
@@ -37,18 +45,71 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BIN = "/tmp/xps_rust_baseline/bench_harness/target/release/bench_harness"
+BUILD = "/tmp/xps_rust_baseline"
+
+SIZES = "small_node_count,small_attr_count,medium_xml_size"
+PROFILES = {
+    # name -> (cargo features, kernel kwargs, compare raw-CR docs?)
+    "default": (None, {}, False),
+    "trim_pcdata": (
+        f"namespace_removal,parse_escapes,trim_pcdata,{SIZES}",
+        dict(trim_pcdata=True),
+        False,
+    ),
+    "keep_ws_only_pcdata": (
+        f"namespace_removal,parse_escapes,keep_ws_only_pcdata,{SIZES}",
+        dict(keep_ws_only_pcdata=True),
+        False,
+    ),
+    "no_feature": (
+        SIZES,
+        dict(parse_escapes=False, namespace_removal=False),
+        True,  # CR/CRLF -> LF is defined without parse_escapes
+    ),
+}
+
+
+def _build_profile(features: str | None) -> str:
+    """Build the pipe harness for a cargo feature set; returns the
+    binary path (per-profile target dir, so profiles coexist)."""
+    import subprocess as sp
+
+    tag = "default" if features is None else features.replace(",", "_")
+    tdir = os.path.join(BUILD, "bench_harness", f"target_{tag}")
+    binp = os.path.join(tdir, "release", "bench_harness")
+    if os.path.exists(binp):
+        return binp
+    manifest = os.path.join(BUILD, "bench_harness", "Cargo.toml")
+    src = open(manifest).read()
+    if features is None:
+        dep = 'xhtml_parser = { path = ".." }'
+    else:
+        dep = ('xhtml_parser = { path = "..", default-features = false, '
+               f'features = [{", ".join(repr(f) for f in features.split(","))}] }}')
+    import re
+
+    src = re.sub(r"xhtml_parser = .*", dep.replace("'", '"'), src)
+    open(manifest, "w").write(src)
+    sp.run(
+        ["cargo", "build", "--release", "--offline", "--target-dir", tdir,
+         "--manifest-path", manifest],
+        check=True, capture_output=True,
+    )
+    return binp
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", default="default", choices=sorted(PROFILES))
     args = ap.parse_args()
 
-    if not os.path.exists(BIN):
-        print(f"reference harness missing: run jobs/rust_baseline.sh first")
+    if not os.path.exists(BUILD):
+        print("reference build missing: run jobs/rust_baseline.sh first")
         sys.exit(2)
+    features, kernel_kwargs, compare_cr = PROFILES[args.profile]
+    BIN = _build_profile(features)
 
     from jobs.fuzz_differential import _gen_doc
     from xhtml_parser_spark.kernel.document import debug_format
@@ -77,10 +138,10 @@ def main() -> None:
     while time.time() - t0 < args.seconds:
         doc = _gen_doc(rng)
         n += 1
-        if b"\r" in doc:  # reference UB (UnsupportedCR deviation)
+        if not compare_cr and b"\r" in doc:  # ref UB (UnsupportedCR)
             skipped += 1
             continue
-        ours = parse_document(doc)
+        ours = parse_document(doc, **kernel_kwargs)
         if ours.ok:
             want = ("OK " + debug_format(ours)).encode()
         elif ours.error_class == "InvalidXml" and ours.error_msg.startswith(
@@ -107,9 +168,9 @@ def main() -> None:
     proc.stdin.close()
     proc.wait()
     print(
-        f"OK: {compared} documents byte-identical vs the reference binary "
-        f"({err_compared} of them on the error path; {n} generated, "
-        f"{skipped} skipped: raw-CR / deviation classes, "
+        f"OK[{args.profile}]: {compared} documents byte-identical vs the "
+        f"reference binary ({err_compared} of them on the error path; "
+        f"{n} generated, {skipped} skipped: raw-CR / deviation classes, "
         f"{args.seconds:.0f}s, seed {args.seed})"
     )
 
