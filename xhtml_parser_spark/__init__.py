@@ -90,6 +90,9 @@ _LAZY = {
     "cache_scope": ("xhtml_parser_spark.caching", "cache_scope"),
     "wat_metadata": ("xhtml_parser_spark.sources.warc", "wat_metadata"),
     "write_wat_shards": ("xhtml_parser_spark.sources.warc", "write_wat_shards"),
+    "wet_export": ("xhtml_parser_spark.sources.wet_export", "wet_export"),
+    "warc_export": ("xhtml_parser_spark.sources.wet_export", "warc_export"),
+    "read_wet": ("xhtml_parser_spark.sources.wet_export", "read_wet"),
     "SnapshotTable": ("xhtml_parser_spark.sources.table", "SnapshotTable"),
     "synthesize_pages": ("xhtml_parser_spark.sources", "synthesize_pages"),
     "get_spark": ("xhtml_parser_spark.session", "get_spark"),
