@@ -310,6 +310,32 @@ def test_wet_sink_roundtrip(spark, tmp_path):
     assert got == want and len(got) == 30
 
 
+def test_wet_shards_null_ts_stamps_epoch(spark, tmp_path):
+    """A null warc_ts must stamp the epoch, not kill the task
+    (timedelta(microseconds=None) crashed the 10x-corpus rehearsal:
+    BENCH.md round 5)."""
+    import datetime
+    import glob
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from xhtml_parser_spark.sources.warc import iter_wet_records, write_wet_shards
+
+    df = spark.createDataFrame(
+        [("http://a.test/", b"hello")], "url string, text binary"
+    ).select("url", F.lit(None).cast("timestamp").alias("warc_ts"), "text")
+    out = str(tmp_path / "wet")
+    write_wet_shards(df, out)
+    recs = []
+    for p in glob.glob(out + "/*.wet.gz"):
+        with _gzip.open(p, "rb") as fh:
+            recs.extend(iter_wet_records(fh))
+    assert recs == [
+        ("http://a.test/", datetime.datetime(1970, 1, 1), b"hello")
+    ]
+
+
 def test_warc_shards_distributed_writer(spark, tmp_path):
     """write_warc_shards (the bench's corpus->delivery synthesizer) is
     read_warc's exact inverse: urls, instants, and html bytes survive

@@ -370,12 +370,20 @@ def iter_wet_records(fh) -> Iterator[tuple[str, datetime.datetime, bytes]]:
 
 def _write_members_gz(path: str, records: Iterable[bytes]) -> int:
     """One gzip member per record, mtime pinned to 0 (deterministic:
-    identical input produces identical bytes). Returns the count."""
+    identical input produces identical bytes). Returns the count.
+
+    compresslevel 6 (zlib default, the CC-conventional setting), not
+    Python's gzip default 9: level 9 measured ~2x slower for ~1%
+    smaller output and made gzip THE bottleneck of the sharded WET
+    export at the 10x corpus (BENCH.md round 5). Determinism is
+    per-level; the level is pinned here, never caller-chosen."""
     n = 0
     with open(path, "wb") as out:
         for record in records:
             buf = io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            with gzip.GzipFile(
+                fileobj=buf, mode="wb", mtime=0, compresslevel=6
+            ) as gz:
                 gz.write(record)
             out.write(buf.getvalue())
             n += 1
@@ -459,7 +467,8 @@ def _write_shards(df, out_dir: str, payload_col: str, writer, suffix: str) -> No
     (``unix_micros``, an instant): PySpark's row path converts
     TimestampType to naive datetimes in the worker's OS-local timezone,
     which would shift every exported WARC-Date by the host's UTC offset
-    on a non-UTC machine."""
+    on a non-UTC machine. A null warc_ts stamps the epoch (previously
+    crashed the task: timedelta(microseconds=None))."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -480,7 +489,9 @@ def _write_shards(df, out_dir: str, payload_col: str, writer, suffix: str) -> No
         writer(os.path.join(out_dir, f"part-{pid:05d}{suffix}"), rows())
 
     df.select(
-        "url", F.unix_micros("warc_ts").alias("_ts_us"), payload_col
+        "url",
+        F.coalesce(F.unix_micros("warc_ts"), F.lit(0)).alias("_ts_us"),
+        payload_col,
     ).foreachPartition(_write)
 
 

@@ -233,9 +233,14 @@ def read_wet(spark, path: str, num_partitions: int | None = None) -> DataFrame:
 
         from .warc import iter_wet_records
 
+        # bounded output batches: a whole shard yielded as ONE pandas
+        # frame becomes one giant Arrow batch and 32 parallel tasks
+        # exhaust the JVM's direct-memory pool (netty
+        # OutOfDirectMemoryError at the 10x corpus, BENCH.md round 5)
+        MAX_ROWS, MAX_BYTES = 4096, 32 << 20
         for pdf in it:
             for paths in pdf["paths"]:
-                urls, tss, texts = [], [], []
+                urls, tss, texts, nb = [], [], [], 0
                 for p in paths:
                     with open(p, "rb") as fh:
                         import gzip as _gzip
@@ -245,9 +250,16 @@ def read_wet(spark, path: str, num_partitions: int | None = None) -> DataFrame:
                                 urls.append(url)
                                 tss.append(ts)
                                 texts.append(text)
-                yield pd.DataFrame(
-                    {"url": urls, "ts": tss, "text": texts}
-                )
+                                nb += len(text)
+                                if len(urls) >= MAX_ROWS or nb >= MAX_BYTES:
+                                    yield pd.DataFrame(
+                                        {"url": urls, "ts": tss, "text": texts}
+                                    )
+                                    urls, tss, texts, nb = [], [], [], 0
+                if urls:
+                    yield pd.DataFrame(
+                        {"url": urls, "ts": tss, "text": texts}
+                    )
 
     listing = spark.createDataFrame(
         [(list(g),) for g in groups], "paths array<string>"
